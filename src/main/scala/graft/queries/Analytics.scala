@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -10,14 +12,31 @@ import org.apache.spark.sql.types.DecimalType
   * floating aggregate is accumulated in DECIMAL (exact, order
   * independent) and only then cast to DOUBLE, so Spark and DuckDB
   * produce bit-identical values regardless of partitioning / shuffle
-  * order. Every result carries an explicit deterministic ORDER BY.
+  * order. Every result carries an explicit deterministic ORDER BY and
+  * every window an explicit tiebreak.
+  *
+  * Scale notes (100 TB): fact-side scans keep filters + projections in
+  * the parquet reader (PushedFilters/ReadSchema); dimension joins are
+  * explicitly broadcast (region/nation/supplier/customer are tiny
+  * relative to facts); fact-fact joins shuffle once on the join key and
+  * AQE handles skew. Top-N uses rank-then-filter windows, which Spark
+  * executes with partial top-K pushdown under AQE; global ORDER BY only
+  * on final, already-small results.
   */
 object Analytics {
 
   /** Money/quantity columns arrive as doubles with exact 2-decimal
     * values; `dec(c)` is the shared exact-accumulation representation.
     */
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec(c: Column) = c.cast(DecimalType(18, 2))
+
+  private def tsLit(s: String) = lit(s).cast("timestamp")
+
+  /** Exact revenue term: extprice * (1 - discount) in DECIMAL. */
+  private def revTerm =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+  private val revTermSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   // --- B1: TPC-H Q1 pricing summary -------------------------------------
   // Scan + filter + 8-way aggregate; single shuffle on the 2 grouping
@@ -35,17 +54,105 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        sum(revTerm).cast("double").as("sum_disc_price"),
+        sum(revTerm * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // --- B2: shipping-priority top-N (TPC-H Q3 shape) ----------------------
+  // customer is the small side → broadcast; orders⋈lineitem shuffles once
+  // on orderkey. Top-10 with full deterministic tiebreak.
+  val q3 = QueryDef.oracled(
+    "q3_shipping_priority",
+    s"""SELECT l_orderkey,
+      |  CAST(sum($revTermSql) AS DOUBLE) AS revenue, o_orderdate
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < tsLit("1996-03-15 00:00:00"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > tsLit("1996-03-15 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // --- B3: order-priority EXISTS count (TPC-H Q4 shape) ------------------
+  // EXISTS → left-semi join; correlated ship-lag predicate lives in the
+  // join condition. (No l_commitdate in this schema — "late" = shipped
+  // more than 60 days after the order date.)
+  val q4 = QueryDef.oracled(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsLit("1996-07-01 00:00:00")
+        && col("o_orderdate") < tsLit("1996-10-01 00:00:00"))
+    ord.join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // --- B4: local-supplier volume (TPC-H Q5 shape) ------------------------
+  // 5-way join: all dims broadcast (region→nation→supplier/customer);
+  // only orders⋈lineitem shuffles. c_nationkey = s_nationkey enforces
+  // "local" supplier.
+  val q5 = QueryDef.oracled(
+    "q5_local_supplier",
+    s"""SELECT n_name, CAST(sum($revTermSql) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val nations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsLit("1996-01-01 00:00:00")
+        && col("o_orderdate") < tsLit("1997-01-01 00:00:00"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   // --- B5: TPC-H Q6 revenue delta ---------------------------------------
@@ -60,13 +167,195 @@ object Analytics {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
-        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00")
+        && col("l_shipdate") < tsLit("1997-01-01 00:00:00")
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
         .cast("double").as("revenue"))
   }
 
-  def all: Seq[QueryDef] = Seq(q1, q6)
+  // --- B6: returned items by customer (TPC-H Q10 shape) ------------------
+  val q10 = QueryDef.oracled(
+    "q10_returned_items",
+    s"""SELECT c_custkey, c_name,
+      |  CAST(sum($revTermSql) AS DOUBLE) AS revenue, c_acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsLit("1996-10-01 00:00:00")
+        && col("o_orderdate") < tsLit("1997-01-01 00:00:00"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+        col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // --- B7: top-k customers per nation (window rank) ----------------------
+  val topkCustomers = QueryDef.oracled(
+    "topk_customers_per_nation",
+    """WITH r AS (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |         row_number() OVER (PARTITION BY n_name
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name, rk, c_custkey, c_name, c_acctbal
+      |FROM r WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  // --- B8: ROLLUP multi-level aggregate ----------------------------------
+  val priorityRollup = QueryDef.oracled(
+    "order_priority_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  // --- B9: tumbling hourly aggregate over events -------------------------
+  val eventsHourly = QueryDef.oracled(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  // --- B10: gap-based sessionization (30 min) ----------------------------
+  // LAG + cumulative-sum session ids; exact integer µs arithmetic.
+  val eventsSessionize = QueryDef.oracled(
+    "events_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, sid AS session_id, min(ts) AS session_start,
+      |       max(ts) AS session_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("ns", when(col("prev_us").isNull
+        || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sid").as("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // --- B11: ordered funnel signup → click → purchase ---------------------
+  // Stage counts as single-row result; each stage = min-ts agg joined to
+  // the previous stage (all stage frames are tiny → broadcast).
+  val eventsFunnel = QueryDef.oracled(
+    "events_funnel",
+    """WITH s AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN s ON e.user_id = s.user_id AND e.ts > s.t
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM s) AS n_signup,
+      |       (SELECT count(*) FROM c) AS n_click_after,
+      |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val cl = events.filter(col("event_type") === "click").as("e")
+      .join(broadcast(su), Seq("user_id"))
+      .filter(col("ts") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val pu = events.filter(col("event_type") === "purchase").as("e")
+      .join(broadcast(cl), Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    su.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(cl.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  // --- B12: per-user stats with exact median -----------------------------
+  // Spark `percentile` and DuckDB `quantile_cont` both interpolate
+  // lower + (upper-lower)*frac at rank (n-1)*p → bit-identical doubles.
+  val eventsUserStats = QueryDef.oracled(
+    "events_user_stats",
+    """SELECT user_id, count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(value) AS max_value,
+      |  quantile_cont(value, 0.5) AS p50_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        max(col("value")).as("max_value"),
+        expr("percentile(value, 0.5)").as("p50_value"))
+      .orderBy(col("user_id"))
+  }
+
+  // --- B13: HLL sketch path (approx_count_distinct) ----------------------
+  // The 100 TB path for distinct-user counts: mergeable HLL sketches, no
+  // exact-distinct shuffle explosion. Checked by spec against exact
+  // counts within HLL tolerance (rsd=0.01); no DuckDB oracle (sketch
+  // internals differ across engines by construction).
+  val approxDistinct = QueryDef.rowsOnly("approx_distinct_users") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    q1, q3, q4, q5, q6, q10, topkCustomers, priorityRollup,
+    eventsHourly, eventsSessionize, eventsFunnel, eventsUserStats,
+    approxDistinct)
 }

@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch re-expression of the reference's coordination/state semantics
+  * (SURVEY.md §2.A). The reference (riptano/kafka-cassandra-plugin)
+  * maintains KV storage, TTL leader election and group membership as
+  * Cassandra tables mutated by a stream of claims/renewals/puts
+  * (`leader/election/CassandraLeaderElection.scala:46-170`,
+  * `listener/registry/CassandraListenerRegistry.scala:28-66`); watchers
+  * poll and diff those tables. Spark-first, each capability is a query
+  * over the changelog: key = user_id, namespace/resource/group =
+  * event_type, payload = value, event time = ts, tiebreak = event_id.
+  *
+  * Scale notes (100 TB): every operator below does exactly ONE hash
+  * shuffle on its key (the window partition / groupBy key); no driver
+  * state, no collect. TTL liveness uses integer microsecond arithmetic
+  * (unix_micros) — exact, order-independent, codegen-friendly.
+  */
+object Coordination {
+
+  private val TtlMicros = 3600L * 1000000L      // 1h TTL (SURVEY §3)
+  private val SessionGapMicros = TtlMicros      // LE session gap = TTL
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  // Latest-wins ordering used everywhere: event time then log position.
+  private val byKeyDesc = Window
+    .partitionBy(col("event_type"), col("user_id"))
+    .orderBy(col("ts").desc, col("event_id").desc)
+  private val byKeyAsc = Window
+    .partitionBy(col("event_type"), col("user_id"))
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  // --- A1: compacted KV snapshot (Storage.fetch over the whole keyspace) --
+  // Reference: kv table point-lookup; replayed, the table IS "latest value
+  // per key". One shuffle on (namespace, key); row_number + filter.
+  val kvSnapshot = QueryDef.oracled(
+    "kv_snapshot",
+    """WITH ranked AS (
+      |  SELECT event_type AS namespace, user_id AS key, value, ts, event_id,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT namespace, key, value, ts
+      |FROM ranked WHERE rn = 1 ORDER BY namespace, key""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("value"), col("ts"))
+      .orderBy(col("namespace"), col("key"))
+  }
+
+  // --- A2: first-write-wins (Storage.put IF NOT EXISTS / CAS acquire) ----
+  val kvFirstWrite = QueryDef.oracled(
+    "kv_first_write",
+    """WITH ranked AS (
+      |  SELECT event_type AS namespace, user_id AS key, value, ts, event_id,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events)
+      |SELECT namespace, key, value AS first_value, ts AS first_ts
+      |FROM ranked WHERE rn = 1 ORDER BY namespace, key""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("rn", row_number().over(byKeyAsc))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("value").as("first_value"), col("ts").as("first_ts"))
+      .orderBy(col("namespace"), col("key"))
+  }
+
+  // --- A3: key-set listing per namespace (`SELECT key FROM <ns>`) --------
+  // Digest = md5 of the lexicographically sorted distinct key list, the
+  // same canonical form the poll-based KeySetWatcher diffs against.
+  val kvKeyset = QueryDef.oracled(
+    "kv_keyset",
+    """WITH ks AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+      |            FROM events)
+      |SELECT event_type AS namespace, count(*) AS n_keys,
+      |       md5(string_agg(k, ',' ORDER BY k)) AS keyset_digest
+      |FROM ks GROUP BY event_type ORDER BY namespace""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .select(col("event_type"), col("user_id").cast("string").as("k"))
+      .groupBy(col("event_type"))
+      .agg(collect_set(col("k")).as("ks"))
+      .select(col("event_type").as("namespace"),
+        size(col("ks")).as("n_keys").cast("long"),
+        md5(concat_ws(",", sort_array(col("ks")))).as("keyset_digest"))
+      .orderBy(col("namespace"))
+  }
+
+  // --- A4: value-change feed (ValueChangeListener.valueChanged) ----------
+  // The reference fires when a polled value differs from the cached one
+  // (CacheListenerRegistry.scala:37-185). Replay: LAG per key, emit rows
+  // where the value changed (first sighting included).
+  val valueChangeFeed = QueryDef.oracled(
+    "value_change_feed",
+    """WITH w AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         lag(value) OVER (PARTITION BY event_type, user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT namespace, key, ts, event_id, value
+      |FROM w WHERE prev IS NULL OR value <> prev
+      |ORDER BY namespace, key, ts, event_id""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("prev", lag(col("value"), 1).over(byKeyAsc))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .orderBy(col("namespace"), col("key"), col("ts"), col("event_id"))
+  }
+
+  // --- A5: key-set change feed (KeySetChangeListener.keySetChanged) ------
+  // Poll tick = day of event time; a tick fires when the canonical sorted
+  // key-set digest differs from the previous tick's.
+  val keysetChangeFeed = QueryDef.oracled(
+    "keyset_change_feed",
+    """WITH ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
+      |                   CAST(user_id AS VARCHAR) AS k FROM events),
+      |d AS (SELECT event_type, tick,
+      |             md5(string_agg(k, ',' ORDER BY k)) AS digest,
+      |             count(*) AS n_keys
+      |      FROM ks GROUP BY event_type, tick),
+      |w AS (SELECT *, lag(digest) OVER (PARTITION BY event_type
+      |                                  ORDER BY tick) AS prev FROM d)
+      |SELECT event_type AS namespace, tick, n_keys, digest
+      |FROM w WHERE prev IS NULL OR digest <> prev
+      |ORDER BY namespace, tick""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("tick"),
+        col("user_id").cast("string").as("k"))
+      .distinct()
+      .groupBy(col("event_type"), col("tick"))
+      .agg(collect_set(col("k")).as("ks"))
+      .select(col("event_type"), col("tick"),
+        size(col("ks")).cast("long").as("n_keys"),
+        md5(concat_ws(",", sort_array(col("ks")))).as("digest"))
+      .withColumn("prev", lag(col("digest"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("tick"))))
+      .filter(col("prev").isNull || col("digest") =!= col("prev"))
+      .select(col("event_type").as("namespace"), col("tick"), col("n_keys"),
+        col("digest"))
+      .orderBy(col("namespace"), col("tick"))
+  }
+
+  /** Shared TTL-gap sessionization: each (resource, candidate)'s events
+    * split into sessions wherever the gap exceeds the TTL — exactly the
+    * reference's claim/renew/expire cycle replayed
+    * (CassandraLeaderElection.scala:46-170: a holder that misses its
+    * renew window loses the row to TTL expiry; the next claim starts a
+    * new tenure). Columns: resource, candidate, session_start,
+    * session_end, n_heartbeats.
+    */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("event_type").as("resource"), col("user_id").as("candidate"),
+        col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(
+        Window.partitionBy(col("resource"), col("candidate"))
+          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapMicros, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        Window.partitionBy(col("resource"), col("candidate"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("resource"), col("candidate"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_heartbeats"))
+  }
+
+  private val sessionsSql =
+    """sess AS (
+      |  SELECT resource, candidate, sid,
+      |         min(ts) AS session_start, max(ts) AS session_end,
+      |         count(*) AS n_heartbeats
+      |  FROM (
+      |    SELECT *, sum(new_s) OVER (PARTITION BY resource, candidate
+      |                               ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM (
+      |      SELECT event_type AS resource, user_id AS candidate, ts, event_id,
+      |             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)))
+      |  GROUP BY resource, candidate, sid)""".stripMargin
+
+  // --- A6: leader election end-state (getLeader after full replay) -------
+  // Live session = last heartbeat within TTL of log end; CAS first-writer-
+  // wins → leader = live candidate whose current session started earliest
+  // (tiebreak: candidate id, the deterministic stand-in for CAS order).
+  val leaderElectionReplay = QueryDef.oracled(
+    "leader_election_replay",
+    s"""WITH $sessionsSql,
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |live AS (SELECT sess.* FROM sess, logend
+      |         WHERE epoch_us(session_end) >= e - 3600000000),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY resource
+      |                ORDER BY session_start, candidate) AS rn FROM live)
+      |SELECT resource, candidate AS leader, session_start AS leader_since,
+      |       n_heartbeats AS n_renewals
+      |FROM r WHERE rn = 1 ORDER BY resource""".stripMargin) { (s, d) =>
+    val sess = sessions(s, d)
+    val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
+    sess.crossJoin(broadcast(logEnd))
+      .filter(unix_micros(col("session_end")) >= col("e") - TtlMicros)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("resource"))
+          .orderBy(col("session_start"), col("candidate"))))
+      .filter(col("rn") === 1)
+      .select(col("resource"), col("candidate").as("leader"),
+        col("session_start").as("leader_since"),
+        col("n_heartbeats").as("n_renewals"))
+      .orderBy(col("resource"))
+  }
+
+  // --- A7: leadership tenures over time ----------------------------------
+  val leaderTenures = QueryDef.oracled(
+    "leader_tenures",
+    s"""WITH $sessionsSql
+      |SELECT resource, candidate, session_start, session_end,
+      |       n_heartbeats - 1 AS n_renewals
+      |FROM sess ORDER BY resource, candidate, session_start""".stripMargin) { (s, d) =>
+    sessions(s, d)
+      .select(col("resource"), col("candidate"), col("session_start"),
+        col("session_end"), (col("n_heartbeats") - 1).as("n_renewals"))
+      .orderBy(col("resource"), col("candidate"), col("session_start"))
+  }
+
+  // --- A8: group membership with TTL liveness ----------------------------
+  // membershipList(): members whose heartbeat is within TTL of log end;
+  // sup_data = payload of the latest heartbeat (README "Group Membership").
+  val groupMembership = QueryDef.oracled(
+    "group_membership",
+    """WITH r AS (
+      |  SELECT event_type AS grp, user_id AS member, ts, value,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT grp, member, ts AS last_heartbeat, value AS sup_data
+      |FROM r, logend
+      |WHERE rn = 1 AND epoch_us(ts) >= e - 3600000000
+      |ORDER BY grp, member""".stripMargin) { (s, d) =>
+    val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
+    ev(s, d)
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(logEnd))
+      .filter(unix_micros(col("ts")) >= col("e") - TtlMicros)
+      .select(col("event_type").as("grp"), col("user_id").as("member"),
+        col("ts").as("last_heartbeat"), col("value").as("sup_data"))
+      .orderBy(col("grp"), col("member"))
+  }
+
+  /** Kafka-shaped frame derived deterministically from the changelog —
+    * the connector's input contract (topic, partition, offset, key,
+    * value, timestamp) without a broker in the container (SURVEY §6).
+    */
+  def kafkaFrame(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(
+      col("event_type").as("topic"),
+      (col("user_id") % 8).cast("int").as("partition"),
+      col("event_id").as("koffset"),
+      col("user_id").cast("string").as("key"),
+      col("value"),
+      col("ts"))
+
+  val kafkaFrameSql =
+    """kafka AS (
+      |  SELECT event_type AS topic, CAST(user_id % 8 AS INT) AS partition,
+      |         event_id AS koffset, CAST(user_id AS VARCHAR) AS key,
+      |         value, ts
+      |  FROM events)""".stripMargin
+
+  // --- A9: the connector's essence: keyed upsert compaction --------------
+  // Kafka→Cassandra with a keyed table = last-write-wins upsert; the
+  // post-replay table state is "latest record per (topic, key)".
+  val etlUpsertCompact = QueryDef.oracled(
+    "etl_upsert_compact",
+    s"""WITH $kafkaFrameSql,
+      |r AS (SELECT *, row_number() OVER (PARTITION BY topic, key
+      |               ORDER BY ts DESC, koffset DESC) AS rn FROM kafka)
+      |SELECT topic, partition, key, value, ts, koffset
+      |FROM r WHERE rn = 1 ORDER BY topic, key""".stripMargin) { (s, d) =>
+    kafkaFrame(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("topic"), col("key"))
+          .orderBy(col("ts").desc, col("koffset").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("topic"), col("key"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
+    leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact)
+}
