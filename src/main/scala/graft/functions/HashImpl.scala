@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash/vector kernels shared by interpreted eval and generated
+  * code. A Scala object with no companion class emits static forwarders,
+  * so whole-stage codegen calls these as plain Java statics — the hot
+  * path stays inside one generated loop, no virtual dispatch, no boxing
+  * of array elements.
+  */
+object HashImpl {
+
+  /** Polynomial rolling hash h = h*31 + codepoint, 64-bit wraparound.
+    * Codepoint iteration (not UTF-16 units) so the DuckDB oracle's
+    * ord()-fold reproduces it exactly (SURVEY §2.C4).
+    */
+  def fingerprint64(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 31L + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — the standard public-domain 64-bit avalanche
+    * (Steele et al., "Fast Splittable Pseudorandom Number Generators").
+    */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit token hash: rolling hash avalanched through mix64. */
+  def tokenHash64(s: UTF8String): Long = mix64(fingerprint64(s))
+
+  /** SimHash-64 over a token array: per-bit vote sum of each token's
+    * 64-bit hash; result bit i = 1 iff votes(i) > 0 (Charikar 2002,
+    * "Similarity estimation techniques from rounding algorithms").
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = tokenHash64(tokens.getUTF8String(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // MinHash "permutations": h_i(x) = mix64(x ^ seed_i) — a full-avalanche
+  // hash per permutation. (A plain (a*x+b) mod p family with a narrow
+  // product is nearly order-preserving in x and destroys min-agreement;
+  // the avalanche finalizer gives each permutation an independent order.)
+  val NumPerms = 128
+  private val permSeed: Array[Long] =
+    Array.tabulate(NumPerms)(i => mix64(0xC0FFEEL + i))
+
+  /** MinHash signature (Broder 1997, "On the resemblance and containment
+    * of documents"): per permutation, min (signed order) over the shingle
+    * set of the re-avalanched 64-bit shingle hash. Empty input →
+    * all-MAX sentinel.
+    */
+  def minhash(shingles: ArrayData): ArrayData = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    val n = shingles.numElements()
+    var t = 0
+    while (t < n) {
+      val x = tokenHash64(shingles.getUTF8String(t))
+      var i = 0
+      while (i < NumPerms) {
+        val v = mix64(x ^ permSeed(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cosine similarity, float inputs accumulated as double in strict
+    * left-to-right order — bit-identical to a DuckDB
+    * list_reduce(list_transform(...)) fold, which is what the oracle SQL
+    * uses (SURVEY §5). Returns NaN when either norm is 0.
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product, same strict fold discipline. */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** L2 norm of a float vector, double accumulation. */
+  def l2normF(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Word tokenizer: lowercase, runs of [a-z0-9] — semantics identical
+    * to regexp_extract_all(lower(text), '[a-z0-9]+') (the DuckDB oracle
+    * form) but one tight codegen kernel instead of an interpreted
+    * regex + higher-order-function tree, which Catalyst's
+    * infer-filters-from-generate otherwise clones into join-side Filter
+    * conditions wholesale.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = str.length
+    val sb = new java.lang.StringBuilder()
+    while (i <= n) {
+      val c = if (i < n) str.charAt(i) else ' '
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) {
+        out.add(UTF8String.fromString(sb.toString)); sb.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct 3-gram word shingles ("a b c") in first-occurrence order;
+    * empty for fewer than 3 tokens.
+    */
+  def shingles3(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(UTF8String.concatWs(UTF8String.fromString(" "),
+        tokens.getUTF8String(i), tokens.getUTF8String(i + 1),
+        tokens.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot paths (SURVEY §2.G).
+  *
+  * Each `doGenCode` emits a single static call into [[HashImpl]], so the
+  * kernels run inside whole-stage codegen (no UDF serialization, no
+  * boxing per element, no interpreted fallback). Preference order per
+  * the build brief: compose built-ins < custom Expression < custom
+  * physical operator; these are the cases where built-ins can't express
+  * the kernel (64-bit rolling hash, minhash signatures, strict-order
+  * float folds).
+  */
+object expressions {
+
+  /** 64-bit polynomial rolling fingerprint of a string. */
+  case class Fingerprint64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.fingerprint64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.fingerprint64($c)")
+    override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+  }
+
+  /** SimHash-64 of an array of tokens. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.simhash64(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** 128-permutation MinHash signature of a shingle array. */
+  case class MinHashSigs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.minhash(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.minhash($c)")
+    override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(c)
+  }
+
+  /** Cosine similarity of two float vectors (strict-order double fold —
+    * bit-identical to the DuckDB list_reduce oracle, SURVEY §5).
+    */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashImpl.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.cosineFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(l, r)
+  }
+
+  /** Dot product of two float vectors, double accumulation. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashImpl.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.dotFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+      copy(l, r)
+  }
+
+  /** L2 norm of a float vector. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.l2normF(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.l2normF($c)")
+    override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
+  }
+
+  /** Lowercased [a-z0-9]+ word tokens of a string. */
+  case class TokenizeWords(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.tokenize(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.tokenize($c)")
+    override protected def withNewChildInternal(c: Expression): TokenizeWords = copy(c)
+  }
+
+  /** Distinct 3-gram word shingles of a token array. */
+  case class Shingles3(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.shingles3(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.shingles3($c)")
+    override protected def withNewChildInternal(c: Expression): Shingles3 = copy(c)
+  }
+
+  // ---- Column API -------------------------------------------------------
+
+  private def toCol(e: Expression): Column = org.apache.spark.sql.GraftColumnShim.column(e)
+  private def ex(c: Column): Expression = org.apache.spark.sql.GraftColumnShim.expression(c)
+
+  def fingerprint64(c: Column): Column = toCol(Fingerprint64(ex(c)))
+  def tokenize_words(c: Column): Column = toCol(TokenizeWords(ex(c)))
+  def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
+  def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
+  def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))
+  def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
+  def dot_product(a: Column, b: Column): Column = toCol(DotProduct(ex(a), ex(b)))
+  def l2norm(c: Column): Column = toCol(L2Norm(ex(c)))
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{expressions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` (SURVEY §2.D) — exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale architecture (100 TB): the only all-pairs computation is the
+  * small-data oracle baseline (D2); the production paths are bucketed —
+  * MinHash bands (D3) and SimHash bands (D4) turn O(n²) into per-bucket
+  * joins whose keys are shuffle keys, with AQE skew-join handling hot
+  * buckets. Exact verification only touches candidate pairs. A real
+  * deployment would additionally cap shingle document-frequency before
+  * the D2 join (dropping boilerplate shingles); kept exact here because
+  * the oracle is exact.
+  */
+object Dedup {
+
+  /** Word tokens — native TokenizeWords kernel, semantics equal to the
+    * oracle's regexp_extract_all(lower(text), '[a-z0-9]+').
+    */
+  private def tokens(c: Column): Column = F.tokenize_words(c)
+
+  /** doc_id, shingles(array<string>), n (=|shingle set|). Native
+    * Shingles3 kernel: one codegen call, cheap for Catalyst to clone
+    * into inferred join-side filters (the HOF formulation of this was
+    * the dedup-family bottleneck).
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shingles", F.shingles3(F.tokenize_words(col("text"))))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+
+  private val shingleSql =
+    """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |         FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        FOR i IN range(1, len(t) - 1)]) AS s
+      |       FROM toks)""".stripMargin
+
+  /** Exact-Jaccard pair SQL over the shingle sets at threshold τ. */
+  private def jaccardPairsSql(tau: Double): String =
+    s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |                 any_value(a.n) AS na, any_value(b.n) AS nb
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/(na + nb - inter) AS jaccard
+      |FROM pairs WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= $tau
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- D1: exact dedup (hash-groupBy on normalized content) ---------------
+  // One shuffle on the 128-bit content hash; keeper = min doc_id.
+  val exact = QueryDef.oracled(
+    "dedup_exact",
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      |       min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keeper_doc_id"))
+  }
+
+  /** Exact-Jaccard candidate pairs via the shared-shingle inverted index:
+    * explode shingle sets, self-equi-join on shingle (ONE shuffle on the
+    * shingle key), count shared per pair. This is the exact baseline;
+    * D3 is the sub-quadratic path.
+    */
+  private def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val ex = shingled(s, d)
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("shingle"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- D2: exact n-gram Jaccard at τ = 0.8 --------------------------------
+  val ngramJaccard = QueryDef.oracled(
+    "dedup_ngram_jaccard", jaccardPairsSql(0.8)) { (s, d) =>
+    jaccardPairs(s, d, 0.8)
+  }
+
+  // --- D3: MinHash + LSH, exact-verified ----------------------------------
+  // 128-perm MinHash signatures (native MinHashSigs expression), 32
+  // bands × 4 rows → P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8. Candidates
+  // from band-bucket self-join; exact Jaccard ≥ 0.8 verification on
+  // candidates only. Output ≡ D2 → oracled by the same exact SQL.
+  val minhashLsh = QueryDef.oracled(
+    "dedup_minhash_lsh", jaccardPairsSql(0.8)) { (s, d) =>
+    val sh = shingled(s, d).filter(col("n") > 0)
+      .withColumn("sig", F.minhash_sigs(col("shingles")))
+    val bands = sh.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 31), b -> concat_ws(':',
+            |  cast(b AS STRING), cast(sig[4*b] AS STRING),
+            |  cast(sig[4*b+1] AS STRING), cast(sig[4*b+2] AS STRING),
+            |  cast(sig[4*b+3] AS STRING)))""".stripMargin)).as("bucket"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingled(s, d).select(col("doc_id"), col("shingles"), col("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- D4: SimHash banded near-dup ----------------------------------------
+  // 64-bit SimHash (native SimHash64 expression) over the token
+  // multiset; 4 bands × 16 bits guarantee recall for hamming ≤ 3
+  // (pigeonhole: ≤3 differing bits leave ≥1 identical band). Checked by
+  // spec against brute-force hamming; not SQL-oracled (the hash is
+  // graft-internal).
+  val simhash = QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+    val sigs = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), F.simhash64(col("t")).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING), cast((sig DIV CAST(pow(2, 16*b) AS LONG)) % 65536 AS STRING)))"))
+        .as("bucket"))
+    bands.as("x").join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- D5: embedding-cosine near-dup --------------------------------------
+  // Exact pair scan with the native CosineSim expression (strict-order
+  // fold → bit-equal to DuckDB's list_reduce). At 100 TB this becomes
+  // the E2 LSH-bucketed variant; the exact form is the correctness
+  // anchor. τ = 0.45 calibrated to the synthetic embedding distribution
+  // (max off-diagonal cosine ≈ 0.51).
+  val embedding = QueryDef.oracled(
+    "dedup_embedding",
+    """WITH p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_zip(a.embedding, b.embedding),
+      |                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+      |      (x, y) -> x + y) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (x, y) -> x + y) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (x, y) -> x + y) AS nb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
+      |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def all: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash, embedding)
+}

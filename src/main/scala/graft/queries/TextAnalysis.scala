@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{expressions => F}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §2.C) — the
+  * token-counting / quality-scoring / language-ID / fingerprinting
+  * primitives of an LLM training-data pipeline.
+  *
+  * Everything is a narrow projection over one table: no shuffle at all
+  * except the final presentation sort — at 100 TB these run map-only,
+  * bounded by parquet scan throughput, entirely inside whole-stage
+  * codegen (regexp + the native Fingerprint64 expression).
+  *
+  * Token model shared with the DuckDB oracles: words =
+  * regexp_extract_all(lower(text), '[a-z0-9]+'); "BPE-ish" tokens =
+  * letter-runs | digit-runs | single non-alphanumeric glyphs.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "is", "in", "it", "on", "for")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // --- C1: token counting ------------------------------------------------
+  val tokenStats = QueryDef.oracled(
+    "text_token_stats",
+    """SELECT doc_id, length(text) AS n_chars_calc,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- C2: quality scoring -----------------------------------------------
+  // Component ratios + a fixed-weight composite; both engines evaluate
+  // the identical double expression tree → bit-equal.
+  val quality = QueryDef.oracled(
+    "text_quality",
+    s"""WITH t AS (SELECT doc_id, text,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |            FROM documents)
+      |SELECT doc_id, len(w) AS n_words,
+      |  CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS uniq_ratio,
+      |  CAST(len(list_filter(w, x -> x IN (${sqlList(stopwords)}))) AS DOUBLE)/len(w) AS stop_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)/length(text) AS punct_ratio,
+      |  CAST(len(list_distinct(w)) AS DOUBLE)/len(w) * 0.5
+      |    + (1.0 - CAST(len(list_filter(w, x -> x IN (${sqlList(stopwords)}))) AS DOUBLE)/len(w)) * 0.3
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)/length(text)) * 0.2 AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stops = sqlList(stopwords)
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(w, x -> x IN ($stops))) AS DOUBLE)") / size(col("w")))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("double") / length(col("text")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        col("uniq_ratio"), col("stop_ratio"), col("punct_ratio"),
+        (col("uniq_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3
+          + (lit(1.0) - col("punct_ratio")) * 0.2).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- C3: language ID (stopword-profile argmax) ---------------------------
+  // Deterministic n-gram-free heuristic: score = profile-stopword hits
+  // per language, argmax with alphabetical priority. Reported accuracy
+  // vs the `lang` label is a data property, not a correctness gate.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "he"))
+
+  val langId = QueryDef.oracled(
+    "text_langid", {
+      val scores = profiles.map { case (l, ws) =>
+        s"len(list_filter(w, x -> x IN (${sqlList(ws)}))) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = profiles.map(_._1)
+      val argmax = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+        |            regexp_extract_all(lower(text), '[a-z]+') AS w
+        |            FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  $scores
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE $argmax ELSE '${langs.last}' END AS pred_lang,
+        |  greatest(${langs.map("s_" + _).mkString(", ")}) AS best_score,
+        |  CASE $argmax ELSE '${langs.last}' END = lang AS is_correct
+        |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val langs = profiles.map(_._1)
+    val scored = profiles.foldLeft(
+      Tables.documents(s, d).withColumn("w",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          expr(s"CAST(size(filter(w, x -> x IN (${sqlList(ws)}))) AS BIGINT)"))
+    }
+    val argmax = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    scored
+      .withColumn("pred_lang", expr(s"CASE $argmax ELSE '${langs.last}' END"))
+      .select(col("doc_id"), col("pred_lang"),
+        greatest(langs.map(l => col(s"s_$l")): _*).as("best_score"),
+        (col("pred_lang") === col("lang")).as("is_correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- C4: document fingerprint (native codegen Expression) ---------------
+  // graft.functions.Fingerprint64: 64-bit rolling polynomial hash,
+  // h = h*31 + codepoint with wraparound — oracled by an equivalent
+  // HUGEINT fold in DuckDB, proving the custom expression end to end.
+  val fingerprint = QueryDef.oracled(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  CAST(h - CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+      |                THEN CAST('18446744073709551616' AS HUGEINT)
+      |                ELSE 0 END AS BIGINT) AS fingerprint
+      |FROM (SELECT doc_id, list_reduce(
+      |        list_prepend(CAST(0 AS HUGEINT),
+      |          list_transform(regexp_extract_all(text, '.'),
+      |                         c -> CAST(ord(c) AS HUGEINT))),
+      |        (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), F.fingerprint64(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[QueryDef] = Seq(tokenStats, quality, langId, fingerprint)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.HashImpl
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  test("fingerprint64 matches the h=h*31+cp reference fold") {
+    def ref(s: String): Long = s.codePoints().toArray
+      .foldLeft(0L)((h, c) => h * 31L + c)
+    for (s <- Seq("", "a", "hello world", "ü ünïcode", "graft"))
+      assert(HashImpl.fingerprint64(utf8(s)) === ref(s))
+  }
+
+  test("simhash of identical token sets is identical; near sets are near") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(ts: String*) = new GenericArrayData(ts.map(utf8).toArray[Any])
+    val a = HashImpl.simhash64(arr("alpha", "beta", "gamma", "delta", "eps"))
+    val b = HashImpl.simhash64(arr("alpha", "beta", "gamma", "delta", "eps"))
+    assert(a === b)
+    val c = HashImpl.simhash64(arr("alpha", "beta", "gamma", "delta", "zeta"))
+    assert(HashImpl.hamming64(a, c) > 0 && HashImpl.hamming64(a, c) < 32)
+  }
+
+  test("cosine_sim expression == functions.aggregate fold (bit-exact)") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val hof = expr(
+      """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
+        |(sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) *
+        | sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))""".stripMargin)
+    val rows = a.join(b, col("va") < col("vb"))
+      .select(graft.functions.expressions.cosine_sim(col("ea"), col("eb")).as("fast"),
+        hof.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
+  test("dedup_simhash candidates == brute-force hamming<=3 pairs") {
+    val sigs = Tables.documents(spark, sf)
+      .withColumn("t", regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      .select(col("doc_id"), graft.functions.expressions.simhash64(col("t")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if HashImpl.hamming64(sa, sb) <= 3
+    } yield (ida, idb)).toSet
+    val got = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+  }
+
+  test("minhash-LSH output equals exact ngram-jaccard at tau=0.8") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("approx_distinct_users within 5% of exact") {
+    val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k).toDouble - n) / n <= 0.05,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("text_langid is deterministic and majority-English on synthetic corpus") {
+    val rows = SparkEntry.queries("text_langid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val langs = rows.map(_.getAs[String]("pred_lang")).toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+}
