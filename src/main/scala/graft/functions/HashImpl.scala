@@ -146,6 +146,29 @@ object HashImpl {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Signed-random-projection LSH signature (Charikar 2002): `nBits`
+    * Rademacher (±1) hyperplanes with deterministic signs from mix64;
+    * bit p = (v · plane_p) > 0. Cheap (no stored planes), identical on
+    * every executor.
+    */
+  def srpSig(v: ArrayData, nBits: Int): Long = {
+    val d = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val sign = if ((mix64(p.toLong * 7919L + i) & 1L) == 0L) 1.0 else -1.0
+        dot += sign * v.getFloat(i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Word tokenizer: lowercase, runs of [a-z0-9] — semantics identical
     * to regexp_extract_all(lower(text), '[a-z0-9]+') (the DuckDB oracle
     * form) but one tight codegen kernel instead of an interpreted

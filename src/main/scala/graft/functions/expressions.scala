@@ -83,6 +83,16 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): L2Norm = copy(c)
   }
 
+  /** Signed-random-projection LSH bucket id of a float vector. */
+  case class SrpSig(child: Expression, nBits: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.srpSig(v.asInstanceOf[ArrayData], nBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.srpSig($c, $nBits)")
+    override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
+  }
+
   /** Lowercased [a-z0-9]+ word tokens of a string. */
   case class TokenizeWords(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -110,6 +120,7 @@ object expressions {
 
   def fingerprint64(c: Column): Column = toCol(Fingerprint64(ex(c)))
   def tokenize_words(c: Column): Column = toCol(TokenizeWords(ex(c)))
+  def srp_sig(c: Column, nBits: Int): Column = toCol(SrpSig(ex(c), nBits))
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))
