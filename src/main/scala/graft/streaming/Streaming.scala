@@ -1,0 +1,232 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming re-expression of the reference's push side
+  * (SURVEY §2.A10–A13): the poll-based watchers
+  * (CacheListenerRegistry.scala:37-185), the TTL leader-election state
+  * machine (CassandraLeaderElection.scala:46-170) and the
+  * Kafka→Cassandra connector pipeline, as incremental queries.
+  *
+  * In this zero-egress container the stream source is the events
+  * parquet replayed through the file source and results land in a
+  * memory sink (SURVEY §6) — swap `readStream.parquet` for
+  * `format("kafka")` and the memory sink for a Cassandra writer and the
+  * pipelines are production-shaped. State lives in the streaming state
+  * store (RocksDB-backed on a cluster), partitioned by group key — no
+  * driver state, watermark-boundable; the only cross-executor movement
+  * is the groupBy shuffle, exactly as in the batch twins.
+  */
+/** Row/state types for the stateful streaming operators (top-level:
+  * Catalyst's generated (de)serializers need public access).
+  */
+case class KeyedEvent(
+    namespace: String, key: Long, ts: java.sql.Timestamp,
+    event_id: Long, value: Double)
+case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
+case class LeaderChange(
+    resource: String, ts: java.sql.Timestamp, event_id: Long,
+    new_leader: Long, prev_leader: Long)
+
+object Streaming {
+
+  private val TtlMicros = 3600L * 1000000L
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Exact event-time micros of a Timestamp (getTime alone is millis —
+    * would collapse sub-ms ordering the batch twins tiebreak on).
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+
+  /** File-source stream of the events changelog (ts nanos → micros,
+    * matching Tables.events).
+    */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // The file stream source wants a directory; expose the single
+    // testdata file through a temp dir (a production feed is a Kafka
+    // topic or a landing directory anyway).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+
+  /** Run `frame` (a streaming DataFrame) to completion into a memory
+    * sink and return the materialized table.
+    */
+  private def runToMemory(s: SparkSession, frame: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = frame.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  // --- A10: value-change feed, streaming twin of A4 -----------------------
+  // flatMapGroupsWithState per (namespace, key): state = last seen
+  // value; emit rows whose value differs. Batch-internal ordering is
+  // enforced inside the group (event-time sort); on a live feed the
+  // watermark bounds how out-of-order the sort must tolerate. Output ≡
+  // A4 → same oracle SQL.
+  val changeFeed = QueryDef.oracled(
+    "stream_change_feed",
+    """WITH w AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         lag(value) OVER (PARTITION BY event_type, user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT namespace, key, ts, event_id, value
+      |FROM w WHERE prev IS NULL OR value <> prev
+      |ORDER BY namespace, key, ts, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed: Dataset[KeyedEvent] = eventStream(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent]
+    val changed = typed
+      .groupByKey(e => (e.namespace, e.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (String, Long), it: Iterator[KeyedEvent],
+         state: GroupState[Double]) => {
+          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+          var last: Option[Double] = state.getOption
+          sorted.foreach { e =>
+            if (!last.contains(e.value)) { out += e; last = Some(e.value) }
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+    runToMemory(s, changed.toDF(), OutputMode.Append)
+      .orderBy(col("namespace"), col("key"), col("ts"), col("event_id"))
+  }
+
+  // --- A11: continuous hourly rollup, streaming twin of B9 ----------------
+  // Tumbling event-time window aggregation; complete mode so the memory
+  // sink holds every window (a live deployment uses append + watermark
+  // and emits finalized windows downstream).
+  val hourlyRollup = QueryDef.oracled(
+    "stream_hourly_rollup",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToMemory(s, agg, OutputMode.Complete)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+
+  // --- A12: leader election as a live state machine -----------------------
+  // The CAS acquire/renew/expire cycle of
+  // CassandraLeaderElection.scala:46-170 as flatMapGroupsWithState per
+  // resource: a claim wins iff the row is absent (no leader yet) or the
+  // incumbent's TTL lapsed; the incumbent's own claims renew. Emits the
+  // LeaderChangeListener feed. prev_leader = -1 for the first
+  // acquisition. Checked by spec against a sequential replay.
+  val leaderElection = QueryDef.rowsOnly("stream_leader_election") { (s, d) =>
+    import s.implicits._
+    val typed = eventStream(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent]
+    val changes = typed
+      .groupByKey(_.namespace)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (resource: String, it: Iterator[KeyedEvent],
+         state: GroupState[LeaderState]) => {
+          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[LeaderChange]
+          var st = state.getOption
+          sorted.foreach { e =>
+            val us = tsMicros(e.ts)
+            st match {
+              case None =>
+                out += LeaderChange(resource, e.ts, e.event_id, e.key, -1L)
+                st = Some(LeaderState(e.key, us, us))
+              case Some(cur) if cur.leader == e.key =>
+                st = Some(cur.copy(lastHbUs = us))          // renewal
+              case Some(cur) if us - cur.lastHbUs > TtlMicros =>
+                out += LeaderChange(resource, e.ts, e.event_id, e.key, cur.leader)
+                st = Some(LeaderState(e.key, us, us))       // expiry + acquire
+              case Some(_) => ()                            // CAS lost
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+    runToMemory(s, changes.toDF(), OutputMode.Append)
+      .orderBy(col("resource"), col("ts"), col("event_id"))
+  }
+
+  // --- A13: the connector end-to-end: stream → keyed upsert sink ----------
+  // foreachBatch MERGE: each micro-batch folds into a parquet "table"
+  // keyed by (topic, key), latest (ts, koffset) wins — the idempotent
+  // Cassandra-upsert contract; re-delivery converges to the same state.
+  // Final table state ≡ A9's compaction → same oracle SQL.
+  val etlUpsert = QueryDef.oracled(
+    "stream_etl_upsert",
+    s"""WITH ${graft.queries.Coordination.kafkaFrameSql},
+      |r AS (SELECT *, row_number() OVER (PARTITION BY topic, key
+      |               ORDER BY ts DESC, koffset DESC) AS rn FROM kafka)
+      |SELECT topic, partition, key, value, ts, koffset
+      |FROM r WHERE rn = 1 ORDER BY topic, key""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_state").toString
+    val kafkaShaped = eventStream(s, d).select(
+      col("event_type").as("topic"),
+      (col("user_id") % 8).cast("int").as("partition"),
+      col("event_id").as("koffset"),
+      col("user_id").cast("string").as("key"),
+      col("value"), col("ts"))
+    val q = kafkaShaped.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val existing =
+          try sess.read.parquet(s"$stateDir/state")
+          catch { case _: Throwable => sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        existing.union(batch)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("topic"), col("key"))
+              .orderBy(col("ts").desc, col("koffset").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$stateDir/state_next")
+        // atomic-enough swap for the local stand-in; a real sink is the
+        // Cassandra upsert (naturally idempotent, no swap needed)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          sess.sparkContext.hadoopConfiguration)
+        val st = new org.apache.hadoop.fs.Path(s"$stateDir/state")
+        fs.delete(st, true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/state_next"), st)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$stateDir/state").orderBy(col("topic"), col("key"))
+  }
+
+  def all: Seq[QueryDef] = Seq(changeFeed, hourlyRollup, leaderElection, etlUpsert)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("stream_change_feed equals the batch value_change_feed") {
+    val stream = SparkEntry.queries("stream_change_feed")(spark, sf)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("event_id"))).toSet
+    val batch = SparkEntry.queries("value_change_feed")(spark, sf)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("event_id"))).toSet
+    assert(stream === batch)
+  }
+
+  test("stream_leader_election matches a sequential CAS replay") {
+    val ttlUs = 3600L * 1000000L
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e._3, e._4))
+    // sequential replay: one pass over the whole log per resource
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)] // leader, lastHb
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    events.foreach { case (res, cand, us, eid) =>
+      state.get(res) match {
+        case None =>
+          expected += ((res, eid, cand, -1L)); state(res) = (cand, us)
+        case Some((leader, _)) if leader == cand => state(res) = (cand, us)
+        case Some((leader, lastHb)) if us - lastHb > ttlUs =>
+          expected += ((res, eid, cand, leader)); state(res) = (cand, us)
+        case _ => ()
+      }
+    }
+    val got = SparkEntry.queries("stream_leader_election")(spark, sf)
+      .collect().map(r => (r.getAs[String]("resource"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("new_leader"), r.getAs[Long]("prev_leader"))).toSet
+    assert(got === expected.toSet)
+  }
+
+  test("stream_etl_upsert state equals batch compaction") {
+    val stream = SparkEntry.queries("stream_etl_upsert")(spark, sf)
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[String]("key"),
+        r.getAs[Long]("koffset"))).toSet
+    val batch = SparkEntry.queries("etl_upsert_compact")(spark, sf)
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[String]("key"),
+        r.getAs[Long]("koffset"))).toSet
+    assert(stream === batch)
+  }
+}
