@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     graft.queries.Analytics.all ++ graft.queries.Coordination.all ++
       graft.queries.TextAnalysis.all ++ graft.queries.Dedup.all ++
-      graft.queries.Similarity.all ++ graft.streaming.Streaming.all
+      graft.queries.Similarity.all ++ graft.streaming.Streaming.all ++
+      graft.queries.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque binary payload + typed metadata — the
+  * multimodal column model (SURVEY §2.F). Top-level for Catalyst's
+  * generated (de)serializers.
+  */
+case class MediaItem(
+    doc_id: Long, format: String, n_bytes: Int, payload: Array[Byte])
+
+/** Extracted features per item. */
+case class MediaFeatures(
+    doc_id: Long, format: String, n_bytes: Int,
+    width: Int, height: Int, features: Array[Double])
+
+/** Multimodal plumbing (SURVEY §2.F1): image/audio/video as opaque
+  * binary columns with typed metadata, decoded batch-wise inside the
+  * executors.
+  *
+  * The *plumbing* is real and tested: binary payload column, typed
+  * metadata, partition-balanced `mapPartitions` with explicit batching
+  * (the shape a GPU/native decoder wants), typed Encoders end to end.
+  * The *decoder* is a clearly marked deterministic STUB — the container
+  * ships no image/audio libs (per the build brief) — so `decodeBatch`
+  * is where libjpeg/ffmpeg-style calls would go.
+  *
+  * Scale notes: payloads stay columnar-binary in parquet; the
+  * repartition spreads skewed media sizes; batches amortize per-call
+  * decoder setup. No driver collection anywhere.
+  */
+object Multimodal {
+
+  private val BatchSize = 64
+
+  /** STUB DECODER — deterministic fake standing in for a real media
+    * decode (no media libraries in this container). Emits stable
+    * pseudo-dimensions and an 8-bin byte-histogram-moment feature
+    * vector; a real implementation replaces ONLY this function.
+    */
+  private def decodeBatch(batch: Seq[MediaItem]): Seq[MediaFeatures] =
+    batch.map { m =>
+      val h = graft.functions.HashImpl.mix64(m.doc_id)
+      val width = 64 + (h & 0x3f).toInt            // fake dims, stable per doc
+      val height = 64 + ((h >>> 6) & 0x3f).toInt
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < m.payload.length) {
+        hist((m.payload(i) & 0xff) >> 5) += 1.0
+        i += 1
+      }
+      val n = math.max(1, m.payload.length).toDouble
+      MediaFeatures(m.doc_id, m.format, m.n_bytes, width, height,
+        hist.map(_ / n))
+    }
+
+  // --- F1: binary media column → batched feature extraction ---------------
+  val mediaFeatures = QueryDef.rowsOnly("media_features") { (s, d) =>
+    import s.implicits._
+    val items = Tables.documents(s, d)
+      .select(col("doc_id"),
+        // synthetic media: the doc text bytes as payload, format from source
+        concat(lit("media/"), col("source")).as("format"),
+        length(col("text")).cast("int").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaItem]
+      // balance decode work across executors regardless of source skew
+      .repartition(col("doc_id"))
+    items.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => decodeBatch(batch.toSeq))
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mediaFeatures)
+}

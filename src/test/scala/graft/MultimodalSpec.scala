@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("media_features: one row per doc, real schema, deterministic stub") {
+    val df = SparkEntry.queries("media_features")(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = df.collect()
+    assert(rows.length == nDocs)
+    val schema = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("features") == "array<double>")
+    assert(schema("doc_id") == "bigint")
+    rows.foreach { r =>
+      val feats = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(feats.length == 8)
+      // histogram fractions sum to ~1 (all payload bytes binned)
+      assert(math.abs(feats.sum - 1.0) < 1e-9)
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
+    }
+    // deterministic across runs
+    val again = SparkEntry.queries("media_features")(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    spark.sparkContext // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.sql.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT fingerprint64('hello') AS f,
+          |  simhash64(tokenize_words('a b c')) AS sh,
+          |  size(shingles3(tokenize_words('a b c d'))) AS ns,
+          |  cosine_sim(array(float(1.0), float(0.0)), array(float(1.0), float(0.0))) AS cs,
+          |  dot_product(array(float(2.0)), array(float(3.0))) AS dp,
+          |  l2norm(array(float(3.0), float(4.0))) AS l2,
+          |  size(minhash_sigs(array('x', 'y'))) AS nmh""".stripMargin).head()
+      assert(r.getAs[Long]("f") == "hello".foldLeft(0L)((h, c) => h * 31 + c))
+      assert(r.getAs[Int]("ns") == 2)
+      assert(r.getAs[Double]("cs") == 1.0)
+      assert(r.getAs[Double]("dp") == 6.0)
+      assert(r.getAs[Double]("l2") == 5.0)
+      assert(r.getAs[Int]("nmh") == 128)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
