@@ -77,11 +77,16 @@ object Dedup {
     * D3 is the sub-quadratic path.
     */
   private def jaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    // join on the 64-bit shingle hash, not the ~20-byte string: same
+    // intersection counts (collision odds ~|shingles|²/2⁶⁵), far fewer
+    // shuffle bytes — the difference between shipping text and shipping
+    // fixed-width keys at warehouse scale
     val ex = shingled(s, d)
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("shingle"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), first(col("na")).as("na"),
         first(col("nb")).as("nb"))
