@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.HashImpl
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the native kernels: pure JVM, no SparkSession.
+  * (No scalatest-scalacheck bridge in the offline cache, so generators
+  * are sampled with fixed seeds — deterministic across runs.)
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 100)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 100)(
+      body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(1000L + i))
+      } body(a, b)
+    }
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+  private def arr(ts: Seq[String]): ArrayData =
+    new GenericArrayData(ts.map(utf8).toArray[Any])
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '\t', '\n'))).map(_.mkString)
+
+  test("tokenize matches the [a-z0-9]+ regex on lowercased input") {
+    val re = "[a-z0-9]+".r
+    forAll(asciiText) { s =>
+      val expected = re.findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toSeq
+      val got = {
+        val a = HashImpl.tokenize(utf8(s))
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("shingles3 = distinct sliding 3-grams") {
+    forAll(Gen.listOf(Gen.identifier.map(_.take(4)))) { toks =>
+      val expected = toks.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      val a = HashImpl.shingles3(arr(toks))
+      val got = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      assert(got == expected)
+    }
+  }
+
+  test("minhash: signature agreement tracks Jaccard similarity") {
+    forAll2(Gen.chooseNum(10, 60), Gen.chooseNum(0, 40)) { (shared, extra) =>
+      val common = (0 until shared).map(i => s"c$i")
+      val aOnly = (0 until extra).map(i => s"a$i")
+      val sa = HashImpl.minhash(arr(common ++ aOnly))
+      val sb = HashImpl.minhash(arr(common))
+      val agree = (0 until 128).count(i => sa.getLong(i) == sb.getLong(i))
+      val j = shared.toDouble / (shared + extra)
+      // agreement/128 is an unbiased estimator of j; allow generous noise
+      assert(math.abs(agree / 128.0 - j) < 0.30)
+    }
+  }
+
+  test("fingerprint64 is order-sensitive and deterministic") {
+    forAll2(asciiText, asciiText) { (a, b) =>
+      assert(HashImpl.fingerprint64(utf8(a)) == HashImpl.fingerprint64(utf8(a)))
+      whenever(a.nonEmpty && b.nonEmpty && a + b != b + a) {
+        // order matters for a rolling hash; fixed seeds make this
+        // deterministic, so a collision would fail every run, loudly
+        assert(HashImpl.fingerprint64(utf8(a + b)) !=
+          HashImpl.fingerprint64(utf8(b + a)))
+      }
+    }
+  }
+
+  test("cosineFF is symmetric and bounded on unit-ish vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
+    forAll2(vec, vec) { (a, b) =>
+      whenever(a.exists(_ != 0f) && b.exists(_ != 0f)) {
+        val aa = new GenericArrayData(a.toArray[Any])
+        val bb = new GenericArrayData(b.toArray[Any])
+        val ab = HashImpl.cosineFF(aa, bb)
+        assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+        assert(math.abs(HashImpl.cosineFF(aa, aa) - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("simhash hamming distance grows with token divergence") {
+    val base = (0 until 50).map(i => s"tok$i")
+    val s0 = HashImpl.simhash64(arr(base))
+    val dHalf = HashImpl.hamming64(s0,
+      HashImpl.simhash64(arr(base.take(25) ++ (0 until 25).map(i => s"x$i"))))
+    val dAll = HashImpl.hamming64(s0,
+      HashImpl.simhash64(arr((0 until 50).map(i => s"y$i"))))
+    assert(HashImpl.hamming64(s0, HashImpl.simhash64(arr(base))) == 0)
+    assert(dHalf < dAll)
+  }
+}
