@@ -1,0 +1,110 @@
+package graft.api
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed facade mirroring the reference plugin's programmatic surface
+  * (README "Storage", "Group Membership";
+  * leader/election/CassandraLeaderElection.scala:46-170;
+  * listener/registry/CassandraListenerRegistry.scala:28-66) so a caller
+  * of the reference can switch API-for-API. Reads are replay queries
+  * over the changelog; each returns a DataFrame (or Option for point
+  * lookups) instead of blocking on a live Cassandra session — same
+  * information, warehouse-scale execution.
+  *
+  * All methods are driver-light: point lookups push key predicates into
+  * the parquet scan; listing calls return unexecuted frames.
+  */
+final class CoordinationApi(spark: SparkSession, sfDir: String) {
+
+  private val ttlMicros = 3600L * 1000000L
+
+  private def events: DataFrame = Tables.events(spark, sfDir)
+
+  private def latestPerKey(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
+  // ---- Storage (KV) ------------------------------------------------------
+
+  /** Storage.fetch: latest value for (namespace, key); None if absent.
+    * The namespace+key predicates reach the parquet reader — a point
+    * lookup scans only matching row groups, not the table.
+    */
+  def fetch(namespace: String, key: Long): Option[Double] =
+    latestPerKey(events
+        .filter(col("event_type") === namespace && col("user_id") === key))
+      .select(col("value")).collect().headOption.map(_.getDouble(0))
+
+  /** Storage replay: which write won under put-if-absent semantics. */
+  def firstWrite(namespace: String, key: Long): Option[Double] =
+    events.filter(col("event_type") === namespace && col("user_id") === key)
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .select(col("value")).limit(1).collect().headOption.map(_.getDouble(0))
+
+  /** The compacted KV table for a namespace (key, value, ts). */
+  def snapshot(namespace: String): DataFrame =
+    latestPerKey(events.filter(col("event_type") === namespace))
+      .select(col("user_id").as("key"), col("value"), col("ts"))
+
+  /** Key listing for a namespace (the KeySetWatcher's poll body). */
+  def keySet(namespace: String): DataFrame =
+    events.filter(col("event_type") === namespace)
+      .select(col("user_id").as("key")).distinct()
+
+  // ---- Leader election ---------------------------------------------------
+
+  /** getLeader after full log replay with TTL semantics: the live
+    * candidate whose current session started first (CAS order).
+    */
+  def getLeader(resource: String): Option[Long] =
+    graft.queries.Coordination.leaderElectionReplay
+      .fn(spark, sfDir).filter(col("resource") === resource)
+      .select(col("leader")).collect().headOption.map(_.getLong(0))
+
+  /** Every leadership tenure of a resource over the log. */
+  def tenures(resource: String): DataFrame =
+    graft.queries.Coordination.leaderTenures.fn(spark, sfDir)
+      .filter(col("resource") === resource)
+
+  // ---- Group membership --------------------------------------------------
+
+  /** membershipList(): members of `group` alive at log end (heartbeat
+    * within TTL), with their latest supplemental data.
+    */
+  def membershipList(group: String): DataFrame =
+    graft.queries.Coordination.groupMembership.fn(spark, sfDir)
+      .filter(col("grp") === group)
+      .select(col("member"), col("last_heartbeat"), col("sup_data"))
+
+  /** Liveness check for a single member. */
+  def isMember(group: String, member: Long): Boolean = {
+    val logEnd = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    events.filter(col("event_type") === group && col("user_id") === member)
+      .agg(max(unix_micros(col("ts")))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .exists(_ >= logEnd - ttlMicros)
+  }
+
+  // ---- Listeners (change feeds) ------------------------------------------
+
+  /** ValueChangeListener replay: every (key, ts, value) transition in a
+    * namespace, first sighting included.
+    */
+  def valueChanges(namespace: String): DataFrame =
+    graft.queries.Coordination.valueChangeFeed.fn(spark, sfDir)
+      .filter(col("namespace") === namespace)
+      .select(col("key"), col("ts"), col("event_id"), col("value"))
+
+  /** KeySetChangeListener replay: the ticks where a namespace's key set
+    * changed, with the canonical digest.
+    */
+  def keySetChanges(namespace: String): DataFrame =
+    graft.queries.Coordination.keysetChangeFeed.fn(spark, sfDir)
+      .filter(col("namespace") === namespace)
+      .select(col("tick"), col("n_keys"), col("digest"))
+}

@@ -60,6 +60,14 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("DF-capped exact-Jaccard path equals the uncapped output") {
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact)
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard at tau=0.8") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
