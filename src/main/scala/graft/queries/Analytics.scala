@@ -341,6 +341,54 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  // --- B14: promo revenue share (TPC-H Q14 shape) -------------------------
+  // lineitem ⋈ part with part broadcast; conditional decimal aggregate;
+  // the ratio is computed double/double identically in both engines.
+  val q14 = QueryDef.oracled(
+    "q14_promo_revenue",
+    s"""SELECT
+      |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                        THEN $revTermSql ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |        / CAST(sum($revTermSql) AS DOUBLE) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-06-01 00:00:00")
+        && col("l_shipdate") < tsLit("1996-07-01 00:00:00"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0)
+        * sum(when(col("p_type") === "PROMO", revTerm)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+        / sum(revTerm).cast("double")).as("promo_revenue_pct"))
+  }
+
+  // --- B15: product-line revenue by nation and year (TPC-H Q9 shape) ------
+  // part filter → broadcast; supplier→nation broadcast; the only
+  // shuffle is the final (nation, year) aggregate.
+  val q9 = QueryDef.oracled(
+    "q9_product_profit",
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(sum($revTermSql) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
   // --- B13: HLL sketch path (approx_count_distinct) ----------------------
   // The 100 TB path for distinct-user counts: mergeable HLL sketches, no
   // exact-distinct shuffle explosion. Checked by spec against exact
@@ -355,7 +403,7 @@ object Analytics {
   }
 
   def all: Seq[QueryDef] = Seq(
-    q1, q3, q4, q5, q6, q10, topkCustomers, priorityRollup,
+    q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsFunnel, eventsUserStats,
     approxDistinct)
 }
