@@ -288,6 +288,35 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // --- B10b: the same sessions via Spark's native session_window ----------
+  // One operator instead of lag+cumsum: session_window(ts, gap) closes a
+  // session when the next event arrives more than the gap after the
+  // last — identical semantics to B10's manual sessionization, and the
+  // form that runs unchanged under Structured Streaming with a
+  // watermark. Oracled by the same gap/cumsum SQL (minus the session
+  // ordinal, which session_window doesn't expose).
+  val eventsSessionWindow = QueryDef.oracled(
+    "events_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // --- B11: ordered funnel signup → click → purchase ---------------------
   // Stage counts as single-row result; each stage = min-ts agg joined to
   // the previous stage (all stage frames are tiny → broadcast).
@@ -404,6 +433,6 @@ object Analytics {
 
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
-    eventsHourly, eventsSessionize, eventsFunnel, eventsUserStats,
-    approxDistinct)
+    eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
+    eventsUserStats, approxDistinct)
 }
