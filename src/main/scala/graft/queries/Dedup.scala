@@ -155,15 +155,37 @@ object Dedup {
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select(col("sh"))
     val idx = ex.join(broadcast(hot), Seq("sh"), "left_anti")
-    val cand = idx.select(col("doc_id").as("doc_a"), col("sh"))
+    // shared-capped-shingle counts per pair — the cheap aggregate path
+    val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
-        col("n").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
-        col("n").as("nb")), Seq("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_c"))
+    // per-doc: full set size and how many of its shingles were capped out
+    val meta = sets.select(col("doc_id"), col("n"))
+      .join(idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_capped")),
+        Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_capped"))
+      .withColumn("n_hot", col("n") - col("n_capped"))
+    // Jaccard upper bound: dropped shingles can add at most
+    // min(hot_a, hot_b) to the intersection. Only pairs whose bound
+    // clears τ get the exact array verification — everything else is
+    // decided by the aggregate counts alone. (AQE picks broadcast for
+    // the meta joins when small; at warehouse scale they hash-shuffle.)
+    val bounded = interCapped
+      .join(meta.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("n_hot").as("hot_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("n_hot").as("hot_b")), Seq("doc_b"))
+      .withColumn("min_hot", least(col("hot_a"), col("hot_b")))
+      .withColumn("ub", (col("inter_c") + col("min_hot")).cast("double")
+        / (col("na") + col("nb") - col("inter_c") - col("min_hot")))
+      .filter(col("ub") >= 0.8)
+    bounded
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
