@@ -418,6 +418,55 @@ object Analytics {
       .orderBy(col("nation"), col("o_year"))
   }
 
+  // --- B16: semi-structured props extraction ------------------------------
+  // The JSON payload column parsed in-engine (get_json_object — codegen,
+  // no UDF) and aggregated; schema-on-read over semi-structured
+  // telemetry is table stakes for an events pipeline.
+  val propsExtract = QueryDef.oracled(
+    "events_props_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k"))
+  }
+
+  // --- B17: weekly retention cohorts --------------------------------------
+  // Users active in ISO week w who return in w+1; self-join of the
+  // distinct (user, week) activity frame on adjacent weeks — the
+  // classic cohort shape, one shuffle on (user, week).
+  val retention = QueryDef.oracled(
+    "events_weekly_retention",
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |             FROM events)
+      |SELECT a.wk AS week, count(*) AS active,
+      |       count(b.user_id) AS retained,
+      |       CAST(count(b.user_id) AS DOUBLE) / count(*) AS retention_rate
+      |FROM act a LEFT JOIN act b
+      |  ON a.user_id = b.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+      |GROUP BY a.wk ORDER BY week""".stripMargin) { (s, d) =>
+    val act = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val a = act.select(col("user_id"), col("wk"))
+    val b = act.select(col("user_id"), col("wk").as("wk_next"))
+    a.join(b, a("user_id") === b("user_id")
+        && col("wk_next") === col("wk") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("wk").as("week"))
+      .agg(count(lit(1)).as("active"),
+        count(col("wk_next")).as("retained"),
+        (count(col("wk_next")).cast("double") / count(lit(1)))
+          .as("retention_rate"))
+      .orderBy(col("week"))
+  }
+
   // --- B13: HLL sketch path (approx_count_distinct) ----------------------
   // The 100 TB path for distinct-user counts: mergeable HLL sketches, no
   // exact-distinct shuffle explosion. Checked by spec against exact
@@ -434,5 +483,5 @@ object Analytics {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
-    eventsUserStats, approxDistinct)
+    eventsUserStats, propsExtract, retention, approxDistinct)
 }

@@ -30,6 +30,7 @@ case class KeyedEvent(
     namespace: String, key: Long, ts: java.sql.Timestamp,
     event_id: Long, value: Double)
 case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
+case class HashedDoc(content_hash: String, doc_id: Long)
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
@@ -179,6 +180,45 @@ object Streaming {
       .orderBy(col("resource"), col("ts"), col("event_id"))
   }
 
+  // --- A14: streaming exact dedup (first-seen wins) -----------------------
+  // The LLM-ingest shape of D1: documents arrive as a stream; only the
+  // first document per normalized-content hash survives. State = one
+  // boolean per hash in the state store, partitioned by hash — at
+  // warehouse scale this is the standard "have I seen this content"
+  // filter in front of every downstream stage. Output ≡ D1's
+  // (hash → keeper) mapping → oracled.
+  val dedupExact = QueryDef.oracled(
+    "stream_dedup_exact",
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      |       min(doc_id) AS keeper_doc_id
+      |FROM documents
+      |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val path = s"$d/documents.parquet"
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
+    val docs = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(srcDir.toString)
+      .select(
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("content_hash"),
+        col("doc_id"))
+      .as[HashedDoc]
+    val firstSeen = docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.minBy(_.doc_id))
+          })
+    runToMemory(s, firstSeen.toDF(), OutputMode.Append)
+      .select(col("content_hash"), col("doc_id").as("keeper_doc_id"))
+      .orderBy(col("keeper_doc_id"))
+  }
+
   // --- A13: the connector end-to-end: stream → keyed upsert sink ----------
   // foreachBatch MERGE: each micro-batch folds into a parquet "table"
   // keyed by (topic, key), latest (ts, koffset) wins — the idempotent
@@ -228,5 +268,6 @@ object Streaming {
     s.read.parquet(s"$stateDir/state").orderBy(col("topic"), col("key"))
   }
 
-  def all: Seq[QueryDef] = Seq(changeFeed, hourlyRollup, leaderElection, etlUpsert)
+  def all: Seq[QueryDef] = Seq(
+    changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact)
 }
