@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.DecimalType
   * floating aggregate is accumulated in DECIMAL (exact, order
   * independent) and only then cast to DOUBLE, so Spark and DuckDB
   * produce bit-identical values regardless of partitioning / shuffle
-  * order. Every result carries an explicit deterministic ORDER BY and
-  * every window an explicit tiebreak.
+  * order. Every window carries an explicit tiebreak. Results are
+  * sorted only where the semantics demand it (top-N limits, ranks,
+  * bounded summaries) — O(N) outputs ship unsorted, because a global
+  * presentation sort is a full range-shuffle at warehouse scale and the
+  * correctness gate compares sets, not sequences.
   *
   * Scale notes (100 TB): fact-side scans keep filters + projections in
   * the parquet reader (PushedFilters/ReadSchema); dimension joins are
@@ -285,7 +288,6 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sid").as("session_id"), col("session_start"),
         col("session_end"), col("n_events"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   // --- B10b: the same sessions via Spark's native session_window ----------
@@ -314,7 +316,6 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
-      .orderBy(col("user_id"), col("session_start"))
   }
 
   // --- B11: ordered funnel signup → click → purchase ---------------------
@@ -367,7 +368,6 @@ object Analytics {
         sum(dec(col("value"))).cast("double").as("sum_value"),
         max(col("value")).as("max_value"),
         expr("percentile(value, 0.5)").as("p50_value"))
-      .orderBy(col("user_id"))
   }
 
   // --- B14: promo revenue share (TPC-H Q14 shape) -------------------------

@@ -52,7 +52,6 @@ object Coordination {
       .filter(col("rn") === 1)
       .select(col("event_type").as("namespace"), col("user_id").as("key"),
         col("value"), col("ts"))
-      .orderBy(col("namespace"), col("key"))
   }
 
   // --- A2: first-write-wins (Storage.put IF NOT EXISTS / CAS acquire) ----
@@ -70,7 +69,6 @@ object Coordination {
       .filter(col("rn") === 1)
       .select(col("event_type").as("namespace"), col("user_id").as("key"),
         col("value").as("first_value"), col("ts").as("first_ts"))
-      .orderBy(col("namespace"), col("key"))
   }
 
   // --- A3: key-set listing per namespace (`SELECT key FROM <ns>`) --------
@@ -112,7 +110,6 @@ object Coordination {
       .filter(col("prev").isNull || col("value") =!= col("prev"))
       .select(col("event_type").as("namespace"), col("user_id").as("key"),
         col("ts"), col("event_id"), col("value"))
-      .orderBy(col("namespace"), col("key"), col("ts"), col("event_id"))
   }
 
   // --- A5: key-set change feed (KeySetChangeListener.keySetChanged) ------
@@ -234,7 +231,6 @@ object Coordination {
     sessions(s, d)
       .select(col("resource"), col("candidate"), col("session_start"),
         col("session_end"), (col("n_heartbeats") - 1).as("n_renewals"))
-      .orderBy(col("resource"), col("candidate"), col("session_start"))
   }
 
   // --- A8: group membership with TTL liveness ----------------------------
@@ -299,7 +295,6 @@ object Coordination {
           .orderBy(col("ts").desc, col("koffset").desc)))
       .filter(col("rn") === 1)
       .drop("rn")
-      .orderBy(col("topic"), col("key"))
   }
 
   def all: Seq[QueryDef] = Seq(

@@ -68,7 +68,6 @@ object Dedup {
           .as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
-      .orderBy(col("keeper_doc_id"))
   }
 
   /** Exact-Jaccard candidate pairs via the shared-shingle inverted index:
@@ -94,7 +93,6 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --- D2: exact n-gram Jaccard at τ = 0.8 --------------------------------
@@ -134,7 +132,6 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --- D2b: the warehouse-scale exact-Jaccard path ------------------------
@@ -191,7 +188,6 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --- D4: SimHash banded near-dup ----------------------------------------
@@ -216,7 +212,6 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --- D5: embedding-cosine near-dup --------------------------------------
@@ -250,7 +245,6 @@ object Dedup {
       .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
       .filter(col("cosine") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   def all: Seq[QueryDef] = Seq(

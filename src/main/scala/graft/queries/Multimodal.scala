@@ -70,7 +70,6 @@ object Multimodal {
     items.mapPartitions { it =>
       it.grouped(BatchSize).flatMap(batch => decodeBatch(batch.toSeq))
     }.toDF()
-      .orderBy(col("doc_id"))
   }
 
   def all: Seq[QueryDef] = Seq(mediaFeatures)

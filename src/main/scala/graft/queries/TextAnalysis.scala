@@ -44,7 +44,6 @@ object TextAnalysis {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
         .cast("long").as("n_bpe_tokens"),
       md5(col("text")).as("text_md5"))
-      .orderBy(col("doc_id"))
   }
 
   // --- C2: quality scoring -----------------------------------------------
@@ -77,7 +76,6 @@ object TextAnalysis {
         col("uniq_ratio"), col("stop_ratio"), col("punct_ratio"),
         (col("uniq_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3
           + (lit(1.0) - col("punct_ratio")) * 0.2).as("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   // --- C3: language ID (stopword-profile argmax) ---------------------------
@@ -130,7 +128,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"),
         greatest(langs.map(l => col(s"s_$l")): _*).as("best_score"),
         (col("pred_lang") === col("lang")).as("is_correct"))
-      .orderBy(col("doc_id"))
   }
 
   // --- C4: document fingerprint (native codegen Expression) ---------------
@@ -152,7 +149,6 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), F.fingerprint64(col("text")).as("fingerprint"))
-      .orderBy(col("doc_id"))
   }
 
   def all: Seq[QueryDef] = Seq(tokenStats, quality, langId, fingerprint)

@@ -21,9 +21,9 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(feats.sum - 1.0) < 1e-9)
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
     }
-    // deterministic across runs
+    // deterministic across runs (content-wise; row order is unspecified)
     val again = SparkEntry.queries("media_features")(spark, sf).collect()
-    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
   test("GraftExtensions registers SQL functions") {
