@@ -66,7 +66,11 @@ object Streaming {
   }
 
   /** Run `frame` (a streaming DataFrame) to completion into a memory
-    * sink and return the materialized table.
+    * sink and return the materialized result. The sink's temp view is
+    * dropped after materializing so repeated runs (bench, verify) don't
+    * pin an ever-growing set of in-memory tables; the driver-side
+    * collect is test-harness-only (SURVEY §4) — a production pipeline
+    * streams into a real sink instead.
     */
   private def runToMemory(s: SparkSession, frame: DataFrame,
       mode: OutputMode): DataFrame = {
@@ -74,7 +78,13 @@ object Streaming {
     val q = frame.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val table = s.table(name)
+    val rows = table.collect().toIndexedSeq
+    s.catalog.dropTempView(name)
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      table.schema)
   }
 
   // --- A10: value-change feed, streaming twin of A4 -----------------------
