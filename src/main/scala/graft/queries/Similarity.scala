@@ -135,5 +135,19 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("vec_id"), col("ea")))
   }
 
-  def all: Seq[QueryDef] = Seq(bruteForce, lsh, ivf)
+  // --- E4: per-label centroids (custom TypedImperativeAggregate) ----------
+  // vector_avg ships one (count, sums) buffer per group per partition
+  // through the shuffle — the map-side-combined centroid computation a
+  // k-means/IVF refinement loop runs every iteration. Spec-checked
+  // against a driver-side average.
+  val centroids = QueryDef.rowsOnly("embedding_centroids") { (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding"))
+        .as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"))
+  }
+
+  def all: Seq[QueryDef] = Seq(bruteForce, lsh, ivf, centroids)
 }

@@ -32,6 +32,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("embedding_centroids equals driver-side element-wise average") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("embedding_centroids")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[scala.collection.Seq[Double]]("centroid"), r.getAs[Long]("n_vectors")))
+      .toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[scala.collection.Seq[Float]]("embedding"))
+    raw.groupBy(_._1).foreach { case (label, vs) =>
+      val dims = vs.head._2.length
+      val expected = (0 until dims).map(i =>
+        vs.map(_._2(i).toDouble).sum / vs.size)
+      val (centroid, n) = got(label)
+      assert(n == vs.size)
+      expected.zip(centroid).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-9, s"label $label")
+      }
+    }
+  }
+
   test("knn_ivf recall vs brute force is substantial") {
     val got = neighbors("knn_ivf")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
