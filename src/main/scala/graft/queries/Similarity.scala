@@ -108,15 +108,27 @@ object Similarity {
       .distinct())
   }
 
-  // --- E3: IVF with deterministic centroids (recall-checked vs E1) --------
-  // Centroid seeds = first NCentroids vectors (deterministic, no
-  // iterative training — the partition-pruning mechanics are what's
-  // exercised; k-means refinement would slot in unchanged).
+  // --- E3: IVF with one Lloyd refinement (recall-checked vs E1) -----------
+  // Seeds = first NCentroids vectors (deterministic); one k-means step
+  // re-centers them with the vector_avg TypedImperativeAggregate (the
+  // map-side-combined centroid path — further iterations repeat these
+  // two stages unchanged). Lists and probes then use the refined
+  // centroids.
   val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) =>
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
     val emb = Tables.embeddings(s, d)
-    val centroids = broadcast(emb.filter(col("vec_id") < NCentroids)
+    val seeds = broadcast(emb.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    // invert: every vector → nearest centroid list
+    val seedAssign = emb.crossJoin(seeds)
+      .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crk") === 1)
+    val centroids = broadcast(seedAssign
+      .groupBy(col("cid"))
+      .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding")).as("cd"))
+      .select(col("cid"), col("cd").cast(ArrayType(FloatType)).as("ce")))
+    // invert: every vector → nearest refined-centroid list
     val assigned = emb.crossJoin(centroids)
       .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
       .withColumn("crk", row_number().over(
