@@ -75,8 +75,17 @@ object Streaming {
   private def runToMemory(s: SparkSession, frame: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = frame.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
+    // The state-store partition count is fixed per query from this conf
+    // at start; every partition pays checkpoint/commit IO per trigger.
+    // Size it to the harness (a cluster deployment raises it with its
+    // parallelism; state is keyed, so the semantics don't change).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prev.toInt).toString)
+    val q =
+      try frame.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     val table = s.table(name)
     val rows = table.collect().toIndexedSeq
