@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * small-data oracle baseline (D2); the production paths are bucketed —
   * MinHash bands (D3) and SimHash bands (D4) turn O(n²) into per-bucket
   * joins whose keys are shuffle keys, with AQE skew-join handling hot
-  * buckets. Exact verification only touches candidate pairs. A real
-  * deployment would additionally cap shingle document-frequency before
-  * the D2 join (dropping boilerplate shingles); kept exact here because
-  * the oracle is exact.
+  * buckets. Exact verification only touches candidate pairs. D2b is
+  * the production form of the exact path: it caps shingle document
+  * frequency before the join and bounds away the dropped mass, so the
+  * O(df²) hot keys never reach the shuffle.
   */
 object Dedup {
 
