@@ -151,5 +151,49 @@ object TextAnalysis {
       .select(col("doc_id"), F.fingerprint64(col("text")).as("fingerprint"))
   }
 
-  def all: Seq[QueryDef] = Seq(tokenStats, quality, langId, fingerprint)
+  // --- C5: cleaning pass ---------------------------------------------------
+  // The standard pre-training normalize-and-gate stage: collapse
+  // whitespace, trim, drop documents under a minimum token count.
+  // Map-only; emits the cleaned text's hash (not the text) so the
+  // output stays narrow at corpus scale.
+  val clean = QueryDef.oracled(
+    "text_clean",
+    """SELECT doc_id,
+      |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n_chars_clean,
+      |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_md5
+      |FROM documents
+      |WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(size(words(col("text"))) >= 5)
+      .withColumn("cleaned", trim(regexp_replace(col("text"), "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"),
+        md5(col("cleaned")).as("clean_md5"))
+  }
+
+  // --- C6: per-source corpus statistics ------------------------------------
+  // The rollup a data-curation dashboard reads: volume, language
+  // spread and mean quality per source, one shuffle on source.
+  val corpusStats = QueryDef.oracled(
+    "corpus_source_stats",
+    s"""WITH t AS (SELECT source, lang, n_chars,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |            FROM documents)
+      |SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(sum(len(list_distinct(w))) AS DOUBLE) / sum(len(w)) AS mean_uniq_ratio
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("w", words(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(size(array_distinct(col("w")))).cast("double")
+          / sum(size(col("w")))).as("mean_uniq_ratio"))
+      .orderBy(col("source"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats)
 }
