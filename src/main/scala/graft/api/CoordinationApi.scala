@@ -83,7 +83,9 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
 
   /** Liveness check for a single member. */
   def isMember(group: String, member: Long): Boolean = {
-    val logEnd = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val logEndRow = events.agg(max(unix_micros(col("ts")))).collect()(0)
+    if (logEndRow.isNullAt(0)) return false // empty changelog: no one is live
+    val logEnd = logEndRow.getLong(0)
     events.filter(col("event_type") === group && col("user_id") === member)
       .agg(max(unix_micros(col("ts")))).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))

@@ -36,19 +36,21 @@ case class VectorAvgAgg(
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
     val b = if (buf.isEmpty) new Array[Double](d + 1) else buf
+    require(b.length == d + 1,
+      s"vector_avg: ragged dimensions in one group (${b.length - 1} vs $d)")
     b(0) += 1.0
     var i = 0
-    val n = math.min(d, b.length - 1)
-    while (i < n) { b(i + 1) += arr.getFloat(i).toDouble; i += 1 }
+    while (i < d) { b(i + 1) += arr.getFloat(i).toDouble; i += 1 }
     b
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"vector_avg: ragged dimensions across partitions (${a.length - 1} vs ${b.length - 1})")
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { a(i) += b(i); i += 1 }
+    while (i < a.length) { a(i) += b(i); i += 1 }
     a
   }
 

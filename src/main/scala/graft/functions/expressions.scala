@@ -22,7 +22,6 @@ object expressions {
   /** 64-bit polynomial rolling fingerprint of a string. */
   case class Fingerprint64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.fingerprint64(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -33,7 +32,6 @@ object expressions {
   /** SimHash-64 of an array of tokens. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.simhash64(v.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -44,7 +42,6 @@ object expressions {
   /** 128-permutation MinHash signature of a shingle array. */
   case class MinHashSigs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.minhash(v.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,7 +54,6 @@ object expressions {
     */
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def foldable: Boolean = left.foldable && right.foldable
     override protected def nullSafeEval(a: Any, b: Any): Any =
       HashImpl.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,7 +65,6 @@ object expressions {
   /** Dot product of two float vectors, double accumulation. */
   case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def foldable: Boolean = left.foldable && right.foldable
     override protected def nullSafeEval(a: Any, b: Any): Any =
       HashImpl.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -81,7 +76,6 @@ object expressions {
   /** L2 norm of a float vector. */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.l2normF(v.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -92,7 +86,6 @@ object expressions {
   /** Signed-random-projection LSH bucket id of a float vector. */
   case class SrpSig(child: Expression, nBits: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.srpSig(v.asInstanceOf[ArrayData], nBits)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -103,7 +96,6 @@ object expressions {
   /** Lowercased [a-z0-9]+ word tokens of a string. */
   case class TokenizeWords(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.tokenize(v.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -114,7 +106,6 @@ object expressions {
   /** Distinct 3-gram word shingles of a token array. */
   case class Shingles3(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def foldable: Boolean = child.foldable
     override protected def nullSafeEval(v: Any): Any =
       HashImpl.shingles3(v.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -202,7 +202,7 @@ object Dedup {
       .select(col("doc_id"), F.simhash64(col("t")).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(expr(
-        "transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING), cast((sig DIV CAST(pow(2, 16*b) AS LONG)) % 65536 AS STRING)))"))
+        "transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING), cast(shiftrightunsigned(sig, 16*b) & 65535 AS STRING)))"))
         .as("bucket"))
     bands.as("x").join(bands.as("y"), Seq("bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -62,7 +62,7 @@ object Multimodal {
       .select(col("doc_id"),
         // synthetic media: the doc text bytes as payload, format from source
         concat(lit("media/"), col("source")).as("format"),
-        length(col("text")).cast("int").as("n_bytes"),
+        octet_length(encode(col("text"), "UTF-8")).cast("int").as("n_bytes"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaItem]
       // balance decode work across executors regardless of source skew

@@ -142,7 +142,7 @@ object TextAnalysis {
       |                ELSE 0 END AS BIGINT) AS fingerprint
       |FROM (SELECT doc_id, list_reduce(
       |        list_prepend(CAST(0 AS HUGEINT),
-      |          list_transform(regexp_extract_all(text, '.'),
+      |          list_transform(regexp_extract_all(text, '[\s\S]'),
       |                         c -> CAST(ord(c) AS HUGEINT))),
       |        (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
       |      FROM documents)

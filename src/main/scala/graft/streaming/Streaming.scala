@@ -47,19 +47,29 @@ object Streaming {
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
 
+  // The file stream source wants a directory; expose a single parquet
+  // file through a symlinked temp dir (a production feed is a Kafka
+  // topic or a landing directory anyway). Cached per source path so
+  // repeated bench/verify runs don't litter the temp filesystem.
+  private val streamSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def symlinkedDir(path: String, fileName: String): String =
+    streamSrcCache.computeIfAbsent(path, { _ =>
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve(fileName), java.nio.file.Paths.get(path))
+      srcDir.toString
+    })
+
   /** File-source stream of the events changelog (ts nanos → micros,
     * matching Tables.events).
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
     val rawSchema = s.read.parquet(path).schema
-    // The file stream source wants a directory; expose the single
-    // testdata file through a temp dir (a production feed is a Kafka
-    // topic or a landing directory anyway).
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val raw = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+    val raw = s.readStream.schema(rawSchema)
+      .parquet(symlinkedDir(path, "events.parquet"))
     if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw
@@ -184,11 +194,15 @@ object Streaming {
               case None =>
                 out += LeaderChange(resource, e.ts, e.event_id, e.key, -1L)
                 st = Some(LeaderState(e.key, us, us))
-              case Some(cur) if cur.leader == e.key =>
-                st = Some(cur.copy(lastHbUs = us))          // renewal
+              // TTL check FIRST: an expired row is gone for everyone,
+              // including the former owner — its next claim is a fresh
+              // acquisition (new tenure), exactly like the batch
+              // sessionization splitting on gap > TTL
               case Some(cur) if us - cur.lastHbUs > TtlMicros =>
                 out += LeaderChange(resource, e.ts, e.event_id, e.key, cur.leader)
                 st = Some(LeaderState(e.key, us, us))       // expiry + acquire
+              case Some(cur) if cur.leader == e.key =>
+                st = Some(cur.copy(lastHbUs = us))          // renewal
               case Some(_) => ()                            // CAS lost
             }
           }
@@ -214,11 +228,8 @@ object Streaming {
       |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val path = s"$d/documents.parquet"
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("documents.parquet"), java.nio.file.Paths.get(path))
     val docs = s.readStream.schema(s.read.parquet(path).schema)
-      .parquet(srcDir.toString)
+      .parquet(symlinkedDir(path, "documents.parquet"))
       .select(
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
           .as("content_hash"),
@@ -284,7 +295,16 @@ object Streaming {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$stateDir/state").orderBy(col("topic"), col("key"))
+    // materialize the (small) compacted state and remove the temp dir —
+    // repeated runs otherwise accumulate full parquet copies
+    val state = s.read.parquet(s"$stateDir/state")
+    val rows = state.collect().toIndexedSeq
+    val schema = state.schema
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .orderBy(col("topic"), col("key"))
   }
 
   def all: Seq[QueryDef] = Seq(

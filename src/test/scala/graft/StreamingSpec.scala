@@ -31,9 +31,10 @@ class StreamingSpec extends AnyFunSuite {
       state.get(res) match {
         case None =>
           expected += ((res, eid, cand, -1L)); state(res) = (cand, us)
-        case Some((leader, _)) if leader == cand => state(res) = (cand, us)
         case Some((leader, lastHb)) if us - lastHb > ttlUs =>
+          // expired row: even the former owner re-acquires fresh
           expected += ((res, eid, cand, leader)); state(res) = (cand, us)
+        case Some((leader, _)) if leader == cand => state(res) = (cand, us)
         case _ => ()
       }
     }
