@@ -49,6 +49,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Double]("dp") == 6.0)
       assert(r.getAs[Double]("l2") == 5.0)
       assert(r.getAs[Int]("nmh") == 128)
+      // catalog + functions together: the full surface from plain SQL
+      GraftCatalog.registerAll(s2, sf)
+      val agg = s2.sql(
+        """SELECT count(*) AS n, count(DISTINCT fingerprint64(text)) AS nf
+          |FROM documents""".stripMargin).head()
+      assert(agg.getAs[Long]("n") > 0 && agg.getAs[Long]("nf") > 0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
