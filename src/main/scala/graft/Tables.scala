@@ -23,7 +23,7 @@ object Tables {
     * integer floor-division, matching DuckDB's nanos→micros truncation
     * so oracle timestamps are bit-identical.
     */
-  private def withMicroTs(df: DataFrame): DataFrame = {
+  private[graft] def withMicroTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.LongType
     if (df.schema("ts").dataType == LongType)

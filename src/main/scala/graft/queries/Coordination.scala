@@ -154,21 +154,18 @@ object Coordination {
     * session_end, n_heartbeats.
     */
   private def sessions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"), col("user_id"))
+    val byCandidate = Window
+      .partitionBy(col("resource"), col("candidate"))
       .orderBy(col("ts"), col("event_id"))
     ev(s, d)
       .select(col("event_type").as("resource"), col("user_id").as("candidate"),
         col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(
-        Window.partitionBy(col("resource"), col("candidate"))
-          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("prev_us", lag(col("us"), 1).over(byCandidate))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
           col("us") - col("prev_us") > SessionGapMicros, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(
-        Window.partitionBy(col("resource"), col("candidate"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byCandidate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("resource"), col("candidate"), col("sid"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_heartbeats"))
@@ -263,8 +260,13 @@ object Coordination {
     * the connector's input contract (topic, partition, offset, key,
     * value, timestamp) without a broker in the container (SURVEY §6).
     */
-  def kafkaFrame(s: SparkSession, d: String): DataFrame =
-    ev(s, d).select(
+  def kafkaFrame(s: SparkSession, d: String): DataFrame = kafkaShape(ev(s, d))
+
+  /** The shared event→Kafka-record projection; the streaming connector
+    * twin (A13) applies the identical shape to its stream.
+    */
+  def kafkaShape(events: DataFrame): DataFrame =
+    events.select(
       col("event_type").as("topic"),
       (col("user_id") % 8).cast("int").as("partition"),
       col("event_id").as("koffset"),

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{expressions => F}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family over `documents` (SURVEY §2.D) — exact,
   * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -58,13 +59,13 @@ object Dedup {
   // One shuffle on the 128-bit content hash; keeper = min doc_id.
   val exact = QueryDef.oracled(
     "dedup_exact",
-    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+    """SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash,
       |       min(doc_id) AS keeper_doc_id, count(*) AS n_docs
       |FROM documents
       |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
           .as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
@@ -80,9 +81,13 @@ object Dedup {
     // intersection counts (collision odds ~|shingles|²/2⁶⁵), far fewer
     // shuffle bytes — the difference between shipping text and shipping
     // fixed-width keys at warehouse scale
+    // persist: the exploded index feeds BOTH self-join sides; without it
+    // the corpus-wide tokenize+shingle scan runs once per branch (at
+    // warehouse scale this intermediate goes to a staging table instead)
     val ex = shingled(s, d)
       .select(col("doc_id"), col("n"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
     a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
@@ -108,7 +113,8 @@ object Dedup {
   // candidates only. Output ≡ D2 → oracled by the same exact SQL.
   val minhashLsh = QueryDef.oracled(
     "dedup_minhash_lsh", jaccardPairsSql(0.8)) { (s, d) =>
-    val sh = shingled(s, d).filter(col("n") > 0)
+    val sets = shingled(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.filter(col("n") > 0)
       .withColumn("sig", F.minhash_sigs(col("shingles")))
     val bands = sh.select(col("doc_id"),
         explode(expr(
@@ -121,7 +127,6 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingled(s, d).select(col("doc_id"), col("shingles"), col("n"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
         col("n").as("na")), Seq("doc_a"))
@@ -145,13 +150,14 @@ object Dedup {
   // equality with D2 on the test corpus.
   private val MaxDf = 100
   val ngramJaccardCapped = QueryDef.rowsOnly("dedup_ngram_jaccard_capped") { (s, d) =>
-    val sets = shingled(s, d)
+    val sets = shingled(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sets
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf).select(col("sh"))
     val idx = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // shared-capped-shingle counts per pair — the cheap aggregate path
     val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -237,13 +243,16 @@ object Dedup {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, dot/(sqrt(na)*sqrt(nb)) AS cosine
       |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.45
+      |  AND NOT isnan(dot/(sqrt(na)*sqrt(nb)))
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
-      .filter(col("cosine") >= 0.45)
+      // NaN (zero-norm degenerate vector) sorts above every number in
+      // both engines and would pass the threshold — exclude explicitly
+      .filter(col("cosine") >= 0.45 && !isnan(col("cosine")))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 

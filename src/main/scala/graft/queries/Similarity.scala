@@ -54,6 +54,9 @@ object Similarity {
   private def topK(cands: DataFrame): DataFrame =
     cands
       .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      // a zero-norm vector's NaN cosine would rank first (NaN sorts
+      // above all numbers in Spark and DuckDB) — drop degenerates
+      .filter(!isnan(col("cosine")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("vec_id"))))
@@ -69,8 +72,9 @@ object Similarity {
       |           FROM embeddings WHERE vec_id < $NQueries),
       |s AS (SELECT query_id, vec_id, ${cosSql("qe", "embedding")} AS cosine
       |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-      |               ORDER BY cosine DESC, vec_id) AS rank FROM s)
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf)
       |SELECT query_id, rank, vec_id AS neighbor_id, cosine
       |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val corpus = Tables.embeddings(s, d)

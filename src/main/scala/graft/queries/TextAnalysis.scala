@@ -31,17 +31,17 @@ object TextAnalysis {
   val tokenStats = QueryDef.oracled(
     "text_token_stats",
     """SELECT doc_id, length(text) AS n_chars_calc,
-      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')) AS n_bpe_tokens,
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_calc"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit("[^ \\t\\n\\f\\r]+"), lit(0)))
         .cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
         .cast("long").as("n_bpe_tokens"),
       md5(col("text")).as("text_md5"))
   }
@@ -70,7 +70,7 @@ object TextAnalysis {
       .withColumn("stop_ratio",
         expr(s"CAST(size(filter(w, x -> x IN ($stops))) AS DOUBLE)") / size(col("w")))
       .withColumn("punct_ratio",
-        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
           .cast("double") / length(col("text")))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
         col("uniq_ratio"), col("stop_ratio"), col("punct_ratio"),
@@ -159,13 +159,13 @@ object TextAnalysis {
   val clean = QueryDef.oracled(
     "text_clean",
     """SELECT doc_id,
-      |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n_chars_clean,
-      |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS clean_md5
+      |  length(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS n_chars_clean,
+      |  md5(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS clean_md5
       |FROM documents
       |WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 5""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .filter(size(words(col("text"))) >= 5)
-      .withColumn("cleaned", trim(regexp_replace(col("text"), "\\s+", " ")))
+      .withColumn("cleaned", trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " ")))
       .select(col("doc_id"),
         length(col("cleaned")).cast("long").as("n_chars_clean"),
         md5(col("cleaned")).as("clean_md5"))

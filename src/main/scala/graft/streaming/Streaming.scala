@@ -70,9 +70,7 @@ object Streaming {
     val rawSchema = s.read.parquet(path).schema
     val raw = s.readStream.schema(rawSchema)
       .parquet(symlinkedDir(path, "events.parquet"))
-    if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    Tables.withMicroTs(raw)
   }
 
   /** Run `frame` (a streaming DataFrame) to completion into a memory
@@ -135,8 +133,11 @@ object Streaming {
           val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
           var last: Option[Double] = state.getOption
+          // SQL equality semantics (NaN = NaN is true in Spark/DuckDB),
+          // not Scala's IEEE NaN != NaN — keeps parity with batch A4
+          def same(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
           sorted.foreach { e =>
-            if (!last.contains(e.value)) { out += e; last = Some(e.value) }
+            if (!last.exists(same(_, e.value))) { out += e; last = Some(e.value) }
           }
           last.foreach(state.update)
           out.iterator
@@ -222,7 +223,7 @@ object Streaming {
   // (hash → keeper) mapping → oracled.
   val dedupExact = QueryDef.oracled(
     "stream_dedup_exact",
-    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+    """SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash,
       |       min(doc_id) AS keeper_doc_id
       |FROM documents
       |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
@@ -231,7 +232,7 @@ object Streaming {
     val docs = s.readStream.schema(s.read.parquet(path).schema)
       .parquet(symlinkedDir(path, "documents.parquet"))
       .select(
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
           .as("content_hash"),
         col("doc_id"))
       .as[HashedDoc]
@@ -264,20 +265,21 @@ object Streaming {
     import org.apache.spark.sql.expressions.Window
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_upsert_state").toString
-    val kafkaShaped = eventStream(s, d).select(
-      col("event_type").as("topic"),
-      (col("user_id") % 8).cast("int").as("partition"),
-      col("event_id").as("koffset"),
-      col("user_id").cast("string").as("key"),
-      col("value"), col("ts"))
+    val kafkaShaped = graft.queries.Coordination.kafkaShape(eventStream(s, d))
     val q = kafkaShaped.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
+        // only path-absence means "first batch" — any other read failure
+        // must propagate, or the merge would silently discard all
+        // previously upserted state
+        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+          sess.sparkContext.hadoopConfiguration)
         val existing =
-          try sess.read.parquet(s"$stateDir/state")
-          catch { case _: Throwable => sess.createDataFrame(
-            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs0.exists(new org.apache.hadoop.fs.Path(s"$stateDir/state")))
+            sess.read.parquet(s"$stateDir/state")
+          else sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         existing.union(batch)
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("topic"), col("key"))
