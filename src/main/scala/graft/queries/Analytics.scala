@@ -467,6 +467,46 @@ object Analytics {
       .orderBy(col("week"))
   }
 
+  // --- B18: as-of join (most recent prior event) --------------------------
+  // "For each purchase, the last click before it by the same user" —
+  // the canonical as-of join. Composed from built-ins per the brief's
+  // preference order: one shuffle on user_id, then last_value(...,
+  // ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — no custom
+  // physical operator needed, and the plan is a single window pass
+  // (merge-join-free, skew handled by AQE on the user shuffle).
+  val asofJoin = QueryDef.oracled(
+    "events_asof_join",
+    """WITH ce AS (SELECT user_id, ts, event_id, event_type, value FROM events
+      |            WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER win AS click_event_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |      OVER win AS click_us
+      |  FROM ce
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+      |       click_event_id, epoch_us(ts) - click_us AS gap_us
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_event_id""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_event_id",
+        last(when(col("event_type") === "click", col("event_id")), true).over(win))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), true).over(win))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("click_event_id"),
+        (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("purchase_event_id"))
+  }
+
   // --- B13: HLL sketch path (approx_count_distinct) ----------------------
   // The 100 TB path for distinct-user counts: mergeable HLL sketches, no
   // exact-distinct shuffle explosion. Checked by spec against exact
@@ -483,5 +523,5 @@ object Analytics {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
-    eventsUserStats, propsExtract, retention, approxDistinct)
+    eventsUserStats, propsExtract, retention, asofJoin, approxDistinct)
 }

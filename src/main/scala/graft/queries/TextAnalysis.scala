@@ -194,6 +194,26 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  // --- C7: deterministic stratified sample ---------------------------------
+  // Hash-bucket sampling: a document is kept iff the first hex digit of
+  // md5(doc_id) falls in a fixed 4/16 bucket set (expected 25%),
+  // per-language strata reported alongside. Fully deterministic,
+  // engine-independent (md5 hex is identical everywhere), and
+  // map-only — the standard reproducible corpus-subset / train-val
+  // split primitive at any scale.
+  val stratifiedSample = QueryDef.oracled(
+    "corpus_stratified_sample",
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats)
+    Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
+      stratifiedSample)
 }
