@@ -256,6 +256,27 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  // --- D6: boilerplate detector -------------------------------------------
+  // Top shingles by document frequency — exactly the hot keys D2b's
+  // DF-cap drops; as a first-class report it's the "find the
+  // boilerplate" diagnostic a corpus curator runs before dedup. One
+  // shuffle on the shingle, top-20 with full tiebreak.
+  val topShingles = QueryDef.oracled(
+    "dedup_top_shingles",
+    s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+      |SELECT shingle, count(*) AS doc_freq
+      |FROM ex GROUP BY shingle
+      |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin) { (s, d) =>
+    shingled(s, d)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(20)
+  }
+
   def all: Seq[QueryDef] = Seq(
-    exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding)
+    exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
+    topShingles)
 }

@@ -213,7 +213,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  // --- C8: corpus length distribution --------------------------------------
+  // Width-50 histogram of document lengths — the curation dashboard's
+  // length-distribution panel; map-side-combined count per bucket.
+  val lengthHistogram = QueryDef.oracled(
+    "corpus_length_histogram",
+    """SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(expr("n_chars DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
-      stratifiedSample)
+      stratifiedSample, lengthHistogram)
 }
