@@ -146,6 +146,56 @@ object HashImpl {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Symmetric int8 quantization: q_i = round(x_i * 127 / scale),
+    * clamped to [-127, 127] — 4× smaller than float32, the standard
+    * memory/bandwidth dial for billion-vector ANN corpora.
+    */
+  def quantizeI8(v: ArrayData, scale: Float): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.round(v.getFloat(i) * 127.0f / scale)
+      out(i) = math.max(-127, math.min(127, q)).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Inverse of [[quantizeI8]]. */
+  def dequantizeI8(q: ArrayData, scale: Float): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = q.getByte(i) * scale / 127.0f
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine over two int8-quantized vectors: pure integer dot/norm
+    * accumulation (exact in Long), one double division at the end —
+    * scale factors cancel, so this approximates the float cosine to
+    * quantization error with no float math in the loop.
+    */
+  def cosineII(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Signed-random-projection LSH signature (Charikar 2002): `nBits`
     * Rademacher (±1) hyperplanes with deterministic signs from mix64;
     * bit p = (v · plane_p) > 0. Cheap (no stored planes), identical on

@@ -93,6 +93,37 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
+  /** Symmetric int8 quantization of a float vector at a fixed scale. */
+  case class QuantizeI8(child: Expression, scale: Float) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.quantizeI8(v.asInstanceOf[ArrayData], scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.quantizeI8($c, ${scale}f)")
+    override protected def withNewChildInternal(c: Expression): QuantizeI8 = copy(child = c)
+  }
+
+  /** Inverse of QuantizeI8. */
+  case class DequantizeI8(child: Expression, scale: Float) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.dequantizeI8(v.asInstanceOf[ArrayData], scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.dequantizeI8($c, ${scale}f)")
+    override protected def withNewChildInternal(c: Expression): DequantizeI8 = copy(child = c)
+  }
+
+  /** Cosine over int8-quantized vectors (integer accumulation). */
+  case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashImpl.cosineII(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.cosineII($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimI8 =
+      copy(l, r)
+  }
+
   /** Lowercased [a-z0-9]+ word tokens of a string. */
   case class TokenizeWords(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -127,4 +158,7 @@ object expressions {
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))
   def dot_product(a: Column, b: Column): Column = toCol(DotProduct(ex(a), ex(b)))
   def l2norm(c: Column): Column = toCol(L2Norm(ex(c)))
+  def quantize_i8(c: Column, scale: Float): Column = toCol(QuantizeI8(ex(c), scale))
+  def dequantize_i8(c: Column, scale: Float): Column = toCol(DequantizeI8(ex(c), scale))
+  def cosine_sim_i8(a: Column, b: Column): Column = toCol(CosineSimI8(ex(a), ex(b)))
 }

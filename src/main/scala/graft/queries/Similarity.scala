@@ -165,5 +165,30 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  def all: Seq[QueryDef] = Seq(bruteForce, lsh, ivf, centroids)
+  // --- E5: int8-quantized brute force (the memory/bandwidth dial) ---------
+  // Corpus stored 4× smaller (array<tinyint>); scoring is pure integer
+  // dot/norm accumulation (CosineSimI8). At 100 TB this is the
+  // difference between an in-memory and a disk-bound corpus scan.
+  // Scale 0.5 covers the synthetic embedding range (|x| ≲ 0.5);
+  // recall vs the float baseline is spec-checked.
+  private val QuantScale = 0.5f
+  val quantized = QueryDef.rowsOnly("knn_quantized") { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), F.quantize_i8(col("embedding"), QuantScale).as("qa"))
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        F.quantize_i8(col("embedding"), QuantScale).as("qq"))
+    broadcast(qs).join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim_i8(col("qq"), col("qa")))
+      .filter(!isnan(col("cosine")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def all: Seq[QueryDef] = Seq(bruteForce, lsh, ivf, centroids, quantized)
 }

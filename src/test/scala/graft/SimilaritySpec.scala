@@ -54,6 +54,14 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn_quantized (int8) recall vs float brute force is near-perfect") {
+    val got = neighbors("knn_quantized")
+    val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    info(s"int8 recall@5 = $recall")
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("knn_ivf recall vs brute force is substantial") {
     val got = neighbors("knn_ivf")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
