@@ -31,7 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("dot_product", "dot product of two float vectors",
       es => DotProduct(es.head, es(1))),
     ("l2norm", "L2 norm of a float vector",
-      es => L2Norm(es.head)))
+      es => L2Norm(es.head)),
+    ("quantize_i8", "int8-quantize a float vector at a literal scale",
+      es => QuantizeI8(es.head, evalScale(es(1)))),
+    ("dequantize_i8", "invert quantize_i8 at the same literal scale",
+      es => DequantizeI8(es.head, evalScale(es(1)))),
+    ("cosine_sim_i8", "cosine of two int8-quantized vectors",
+      es => CosineSimI8(es.head, es(1))))
+
+  private def evalScale(e: Expression): Float = {
+    require(e.foldable, "quantization scale must be a literal")
+    e.eval().asInstanceOf[Number].floatValue
+  }
 
   override def apply(e: SparkSessionExtensions): Unit =
     fns.foreach { case (name, usage, builder) =>
