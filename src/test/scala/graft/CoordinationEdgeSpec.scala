@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics of the TTL/session logic, pinned with crafted
+  * changelogs (the oracle gate covers the bulk distribution; these pin
+  * the exact edges).
+  */
+class CoordinationEdgeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val T0 = 1700000000000000L // µs
+  private val TtlUs = 3600L * 1000000L
+
+  /** Write a crafted changelog as events.parquet in a temp dir. */
+  private def changelog(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("gap exactly == TTL stays one session; TTL+1us splits") {
+    val dir = changelog(Seq(
+      (0L, T0, 1L, "r1", 1.0),
+      (1L, T0 + TtlUs, 1L, "r1", 1.0),       // == TTL: same session
+      (2L, T0, 2L, "r1", 1.0),
+      (3L, T0 + TtlUs + 1L, 2L, "r1", 1.0))) // > TTL: new session
+    val tenures = SparkEntry.queries("leader_tenures")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("candidate"), r.getAs[Long]("n_renewals")))
+    val byCand = tenures.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byCand(1L) == 1, s"candidate 1 should have 1 session: $tenures")
+    assert(byCand(2L) == 2, s"candidate 2 should have 2 sessions: $tenures")
+  }
+
+  test("leader = live candidate with earliest session start, tiebreak id") {
+    val end = T0 + TtlUs + 1000L
+    val dir = changelog(Seq(
+      (0L, T0, 5L, "r1", 1.0),        // starts first but dies (no renewal)
+      (1L, end - 10L, 3L, "r1", 1.0), // live, starts later
+      (2L, end - 10L, 2L, "r1", 1.0), // live, same start as 3 → id tiebreak
+      (3L, end, 9L, "r1", 1.0)))      // live, latest start (defines log end)
+    val leaders = SparkEntry.queries("leader_election_replay")(spark, dir)
+      .collect().map(r => r.getAs[String]("resource") -> r.getAs[Long]("leader"))
+      .toMap
+    // candidate 5's session ended > TTL before log end → not live;
+    // 2 and 3 tie on session start → lower id wins (CAS stand-in order)
+    assert(leaders("r1") == 2L, s"got $leaders")
+  }
+
+  test("value change feed: equal-value runs collapse, ts ties break by event_id") {
+    val dir = changelog(Seq(
+      (0L, T0, 1L, "ns", 1.0),
+      (1L, T0 + 1L, 1L, "ns", 1.0),   // same value → suppressed
+      (2L, T0 + 2L, 1L, "ns", 2.0),   // change → emitted
+      (4L, T0 + 3L, 1L, "ns", 3.0),   // same ts as event 3, higher id → later
+      (3L, T0 + 3L, 1L, "ns", 2.0)))  // same ts, lower id: 2.0 == prev → suppressed
+    val feed = SparkEntry.queries("value_change_feed")(spark, dir)
+      .collect().map(_.getAs[Long]("event_id"))
+    assert(feed.toSeq == Seq(0L, 2L, 4L), s"got ${feed.toSeq}")
+  }
+
+  test("group membership: heartbeat exactly TTL before log end is still live") {
+    val end = T0 + TtlUs
+    val dir = changelog(Seq(
+      (0L, T0, 1L, "g", 7.0),        // last hb exactly TTL before end → live
+      (1L, T0 - 1L, 2L, "g", 8.0),   // 1µs too old → expired
+      (2L, end, 3L, "g", 9.0)))      // defines log end
+    val members = SparkEntry.queries("group_membership")(spark, dir)
+      .collect().map(r => r.getAs[Long]("member") -> r.getAs[Double]("sup_data"))
+      .toMap
+    assert(members.keySet == Set(1L, 3L), s"got $members")
+    assert(members(1L) == 7.0)
+  }
+}
