@@ -31,6 +31,8 @@ case class KeyedEvent(
     event_id: Long, value: Double)
 case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
 case class HashedDoc(content_hash: String, doc_id: Long)
+case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
+case class FunnelStage(user_id: Long, stage: String)
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
@@ -250,6 +252,61 @@ object Streaming {
       .orderBy(col("keeper_doc_id"))
   }
 
+  // --- A15: the funnel as a live per-user state machine --------------------
+  // Tracks first signup → first later click → first later purchase in
+  // keyed state and emits one row per stage a user completes; the
+  // aggregated stage counts equal the batch funnel (B11) exactly →
+  // oracled by the same SQL.
+  val funnel = QueryDef.oracled(
+    "stream_funnel",
+    """WITH s AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN s ON e.user_id = s.user_id AND e.ts > s.t
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM s) AS n_signup,
+      |       (SELECT count(*) FROM c) AS n_click_after,
+      |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed = eventStream(s, d)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent]
+    val stages = typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[KeyedEvent], state: GroupState[FunnelState]) => {
+          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+          sorted.foreach { e =>
+            val us = tsMicros(e.ts)
+            e.namespace match {
+              case "signup" if st.tSignupUs < 0 =>
+                st = st.copy(tSignupUs = us); out += FunnelStage(user, "signup")
+              case "click" if st.tSignupUs >= 0 && st.tClickUs < 0 &&
+                  us > st.tSignupUs =>
+                st = st.copy(tClickUs = us); out += FunnelStage(user, "click")
+              case "purchase" if st.tClickUs >= 0 && st.tPurchaseUs < 0 &&
+                  us > st.tClickUs =>
+                st = st.copy(tPurchaseUs = us); out += FunnelStage(user, "purchase")
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+    val stageCounts = runToMemory(s, stages.toDF(), OutputMode.Append)
+    stageCounts.agg(
+      sum(when(col("stage") === "signup", 1).otherwise(0)).as("n_signup"),
+      sum(when(col("stage") === "click", 1).otherwise(0)).as("n_click_after"),
+      sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
+  }
+
   // --- A13: the connector end-to-end: stream → keyed upsert sink ----------
   // foreachBatch MERGE: each micro-batch folds into a parquet "table"
   // keyed by (topic, key), latest (ts, koffset) wins — the idempotent
@@ -310,5 +367,5 @@ object Streaming {
   }
 
   def all: Seq[QueryDef] = Seq(
-    changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact)
+    changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel)
 }
