@@ -13,7 +13,10 @@ object Bench {
     val spark = GraftSession.get(cpus)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // materialize the FULL plan: .count() would let the optimizer
+      // prune every projection expression (a map-only query would time
+      // as a metadata read); toRdd executes the physical plan as-is
+      fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

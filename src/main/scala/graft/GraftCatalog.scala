@@ -14,12 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftCatalog {
   def registerAll(spark: SparkSession, dir: String): Unit =
-    Tables.names.foreach { name =>
-      // events needs its nanos→timestamp normalization, same frame the
-      // engine queries see — raw load would expose ts as a bigint
-      val df =
-        if (name == "events") Tables.events(spark, dir)
-        else Tables.load(spark, dir, name)
-      df.createOrReplaceTempView(name)
+    Tables.loaders.foreach { case (name, loader) =>
+      loader(spark, dir).createOrReplaceTempView(name)
     }
 }

@@ -27,9 +27,20 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.LongType
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // exact integer FLOOR division (DIV alone truncates toward zero,
+      // which would diverge from DuckDB's floor for pre-epoch nanos)
+      df.withColumn("ts", expr(
+        "timestamp_micros(ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"))
     else df
   }
+
+  /** Name → loader, the single source of which tables need
+    * normalization beyond a raw read (currently only events).
+    */
+  def loaders: Map[String, (SparkSession, String) => DataFrame] =
+    names.map { n =>
+      n -> (if (n == "events") events _ else load(_: SparkSession, _: String, n))
+    }.toMap
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   */
 final class CoordinationApi(spark: SparkSession, sfDir: String) {
 
-  private val ttlMicros = 3600L * 1000000L
+  // single source of truth with the replay queries (and their oracles)
+  private val ttlMicros = graft.queries.Coordination.TtlMicros
 
   private def events: DataFrame = Tables.events(spark, sfDir)
 
@@ -31,20 +32,25 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
 
   // ---- Storage (KV) ------------------------------------------------------
 
-  /** Storage.fetch: latest value for (namespace, key); None if absent.
-    * The namespace+key predicates reach the parquet reader — a point
-    * lookup scans only matching row groups, not the table.
+  private def pointLookup(namespace: String, key: Long, latest: Boolean): Option[Double] =
+    events.filter(col("event_type") === namespace && col("user_id") === key)
+      .orderBy(
+        if (latest) col("ts").desc else col("ts").asc,
+        if (latest) col("event_id").desc else col("event_id").asc)
+      .select(col("value")).limit(1).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+
+  /** Storage.fetch: latest value for (namespace, key); None if absent
+    * (or if the winning write carried a null payload). The
+    * namespace+key predicates reach the parquet reader — a point lookup
+    * scans only matching row groups, not the table.
     */
   def fetch(namespace: String, key: Long): Option[Double] =
-    latestPerKey(events
-        .filter(col("event_type") === namespace && col("user_id") === key))
-      .select(col("value")).collect().headOption.map(_.getDouble(0))
+    pointLookup(namespace, key, latest = true)
 
   /** Storage replay: which write won under put-if-absent semantics. */
   def firstWrite(namespace: String, key: Long): Option[Double] =
-    events.filter(col("event_type") === namespace && col("user_id") === key)
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .select(col("value")).limit(1).collect().headOption.map(_.getDouble(0))
+    pointLookup(namespace, key, latest = false)
 
   /** The compacted KV table for a namespace (key, value, ts). */
   def snapshot(namespace: String): DataFrame =
@@ -81,15 +87,16 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
       .filter(col("grp") === group)
       .select(col("member"), col("last_heartbeat"), col("sup_data"))
 
-  /** Liveness check for a single member. */
+  /** Liveness check for a single member: one scan computes both the
+    * global log end and the member's last heartbeat.
+    */
   def isMember(group: String, member: Long): Boolean = {
-    val logEndRow = events.agg(max(unix_micros(col("ts")))).collect()(0)
-    if (logEndRow.isNullAt(0)) return false // empty changelog: no one is live
-    val logEnd = logEndRow.getLong(0)
-    events.filter(col("event_type") === group && col("user_id") === member)
-      .agg(max(unix_micros(col("ts")))).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-      .exists(_ >= logEnd - ttlMicros)
+    val row = events.agg(
+      max(unix_micros(col("ts"))).as("log_end"),
+      max(when(col("event_type") === group && col("user_id") === member,
+        unix_micros(col("ts")))).as("member_hb")).collect()(0)
+    !row.isNullAt(0) && !row.isNullAt(1) &&
+      row.getLong(1) >= row.getLong(0) - ttlMicros
   }
 
   // ---- Listeners (change feeds) ------------------------------------------

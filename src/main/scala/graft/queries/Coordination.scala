@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Coordination {
 
-  private val TtlMicros = 3600L * 1000000L      // 1h TTL (SURVEY §3)
+  val TtlMicros = 3600L * 1000000L              // 1h TTL (SURVEY §3)
   private val SessionGapMicros = TtlMicros      // LE session gap = TTL
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
