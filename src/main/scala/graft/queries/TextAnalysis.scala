@@ -228,7 +228,46 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  // --- C9: per-document top terms (keyword extraction) ---------------------
+  // Term frequency per doc joined with corpus document frequency, top-5
+  // per doc by (tf desc, term) with stopwords excluded — the
+  // tf-idf-style keyword primitive kept in exact integer space (the
+  // ranking is tf-major; df is attached for downstream idf weighting).
+  // Two shuffles: (doc,term) count and the df groupBy; WindowGroupLimit
+  // prunes the per-doc rank.
+  val topTerms = QueryDef.oracled(
+    "text_top_terms", {
+      val stops = sqlList(stopwords)
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term NOT IN ($stops) GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |       WHERE term NOT IN ($stops) GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |             row_number() OVER (PARTITION BY tf.doc_id
+        |                                ORDER BY tf.tf DESC, tf.term) AS rk
+        |      FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, rk, term, tf, df FROM r WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val stops = stopwords
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(!col("term").isin(stops: _*))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
-      stratifiedSample, lengthHistogram)
+      stratifiedSample, lengthHistogram, topTerms)
 }
