@@ -507,6 +507,55 @@ object Analytics {
       .orderBy(col("user_id"), col("purchase_event_id"))
   }
 
+  // --- B19: rolling-window anomaly detection ------------------------------
+  // Hourly event counts z-scored against the TRAILING 24 hours per
+  // type (rows between -24 and -1 — the current hour never sees
+  // itself). All statistics derive from exact integer window sums
+  // (sum, sum of squares, row count), so the double arithmetic is
+  // identical in both engines. Flags |z| ≥ 2.
+  val anomalies = QueryDef.oracled(
+    "events_hourly_anomalies",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, n,
+      |    sum(n)     OVER win AS s,
+      |    sum(n * n) OVER win AS sq,
+      |    count(*)   OVER win AS m
+      |  FROM hourly
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+      |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, hour, n,
+      |    (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / 24)
+      |      / sqrt(CAST(sq AS DOUBLE) / 24
+      |             - (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24)) AS zscore
+      |  FROM w
+      |  WHERE m = 24 AND CAST(sq AS DOUBLE) / 24
+      |        - (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24) > 0)
+      |SELECT event_type, hour, n AS n_events, zscore
+      |FROM z WHERE abs(zscore) >= 2
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val mean = col("s").cast("double") / 24
+    val variance = col("sq").cast("double") / 24 - mean * mean
+    hourly
+      .withColumn("s", sum(col("n")).over(win))
+      .withColumn("sq", sum(col("n") * col("n")).over(win))
+      .withColumn("m", count(lit(1)).over(win))
+      .filter(col("m") === 24 && variance > 0)
+      .withColumn("zscore", (col("n").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("zscore")) >= 2)
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        col("zscore"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   // --- B13: HLL sketch path (approx_count_distinct) ----------------------
   // The 100 TB path for distinct-user counts: mergeable HLL sketches, no
   // exact-distinct shuffle explosion. Checked by spec against exact
@@ -523,5 +572,6 @@ object Analytics {
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
-    eventsUserStats, propsExtract, retention, asofJoin, approxDistinct)
+    eventsUserStats, propsExtract, retention, asofJoin, anomalies,
+    approxDistinct)
 }
