@@ -28,6 +28,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("revenue") > 0)
   }
 
+  test("events_asof_join: click strictly precedes its purchase") {
+    val rows = SparkEntry.queries("events_asof_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Long]("gap_us") > 0,
+        s"click must be strictly before purchase: $r")
+    }
+  }
+
+  test("events_hourly_anomalies: only |z| >= 2 rows, finite scores") {
+    val rows = SparkEntry.queries("events_hourly_anomalies")(spark, sf).collect()
+    rows.foreach { r =>
+      val z = r.getAs[Double]("zscore")
+      assert(!z.isNaN && !z.isInfinite && math.abs(z) >= 2, s"bad z: $r")
+    }
+  }
+
+  test("corpus_stratified_sample is a subset with plausible rate") {
+    val n = Tables.documents(spark, sf).count()
+    val k = SparkEntry.queries("corpus_stratified_sample")(spark, sf).count()
+    assert(k > 0 && k < n)
+  }
+
   test("every query has distinct name; every oracle key exists in queries") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
