@@ -219,6 +219,34 @@ object HashImpl {
     sig
   }
 
+  /** Seeded SRP signature: an independent hyperplane family per seed
+    * (mix64 avalanche over an injective encoding of (seed, plane, dim);
+    * seed·1000003 gaps exceed the max plane·7919 + dim offset, so no
+    * two (seed, plane) pairs share a hyperplane). Lets callers build
+    * multi-table LSH signatures wider than 64 bits — table t of a
+    * B-bit-band family reads bits [B·(t mod 64/B), …) of signature
+    * seed = t div (64/B).
+    */
+  def srpSigSeeded(v: ArrayData, nBits: Int, seed: Long): Long = {
+    val d = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val sign =
+          if ((mix64(seed * 1000003L + p.toLong * 7919L + i) & 1L) == 0L) 1.0
+          else -1.0
+        dot += sign * v.getFloat(i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Word tokenizer: lowercase, runs of [a-z0-9] — semantics identical
     * to regexp_extract_all(lower(text), '[a-z0-9]+') (the DuckDB oracle
     * form) but one tight codegen kernel instead of an interpreted

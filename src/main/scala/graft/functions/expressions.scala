@@ -93,6 +93,21 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
+  /** Seeded SRP signature — independent hyperplane family per seed, for
+    * multi-table LSH wider than one 64-bit signature.
+    */
+  case class SrpSigSeeded(child: Expression, nBits: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.srpSigSeeded(v.asInstanceOf[ArrayData], nBits, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashImpl.srpSigSeeded($c, $nBits, ${seed}L)")
+    override protected def withNewChildInternal(c: Expression): SrpSigSeeded =
+      copy(child = c)
+  }
+
   /** Symmetric int8 quantization of a float vector at a fixed scale. */
   case class QuantizeI8(child: Expression, scale: Float) extends UnaryExpression {
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
@@ -152,6 +167,8 @@ object expressions {
   def fingerprint64(c: Column): Column = toCol(Fingerprint64(ex(c)))
   def tokenize_words(c: Column): Column = toCol(TokenizeWords(ex(c)))
   def srp_sig(c: Column, nBits: Int): Column = toCol(SrpSig(ex(c), nBits))
+  def srp_sig_seeded(c: Column, nBits: Int, seed: Long): Column =
+    toCol(SrpSigSeeded(ex(c), nBits, seed))
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))

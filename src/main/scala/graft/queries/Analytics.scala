@@ -271,7 +271,7 @@ object Analytics {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-      |SELECT user_id, sid AS session_id, min(ts) AS session_start,
+      |SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts) AS session_start,
       |       max(ts) AS session_end, count(*) AS n_events
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -320,7 +320,10 @@ object Analytics {
 
   // --- B11: ordered funnel signup → click → purchase ---------------------
   // Stage counts as single-row result; each stage = min-ts agg joined to
-  // the previous stage (all stage frames are tiny → broadcast).
+  // the previous stage. Stage frames grow with the user population, so
+  // no explicit broadcast hints: AQE picks broadcast vs shuffle from the
+  // measured stage size at runtime (a forced broadcast of a per-user
+  // aggregate is a driver-OOM at 100× scale).
   val eventsFunnel = QueryDef.oracled(
     "events_funnel",
     """WITH s AS (SELECT user_id, min(ts) AS t FROM events
@@ -338,11 +341,11 @@ object Analytics {
     val su = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
     val cl = events.filter(col("event_type") === "click").as("e")
-      .join(broadcast(su), Seq("user_id"))
+      .join(su, Seq("user_id"))
       .filter(col("ts") > col("t_signup"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
     val pu = events.filter(col("event_type") === "purchase").as("e")
-      .join(broadcast(cl), Seq("user_id"))
+      .join(cl, Seq("user_id"))
       .filter(col("ts") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
     su.agg(count(lit(1)).as("n_signup"))

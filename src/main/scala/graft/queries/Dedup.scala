@@ -9,11 +9,10 @@ import org.apache.spark.storage.StorageLevel
 /** Deduplication family over `documents` (SURVEY §2.D) — exact,
   * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
-  * Scale architecture (100 TB): the only all-pairs computation is the
-  * small-data oracle baseline (D2); the production paths are bucketed —
-  * MinHash bands (D3) and SimHash bands (D4) turn O(n²) into per-bucket
-  * joins whose keys are shuffle keys, with AQE skew-join handling hot
-  * buckets. Exact verification only touches candidate pairs. D2b is
+  * Scale architecture (100 TB): every path is bucketed — MinHash bands
+  * (D3), SimHash bands (D4) and SRP bands (D5) turn O(n²) into
+  * per-bucket equi-joins whose keys are shuffle keys, with AQE
+  * skew-join handling hot buckets. Exact verification only touches candidate pairs. D2b is
   * the production form of the exact path: it caps shingle document
   * frequency before the join and bounds away the dropped mass, so the
   * O(df²) hot keys never reach the shuffle.
@@ -220,12 +219,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  // --- D5: embedding-cosine near-dup --------------------------------------
-  // Exact pair scan with the native CosineSim expression (strict-order
-  // fold → bit-equal to DuckDB's list_reduce). At 100 TB this becomes
-  // the E2 LSH-bucketed variant; the exact form is the correctness
-  // anchor. τ = 0.45 calibrated to the synthetic embedding distribution
-  // (max off-diagonal cosine ≈ 0.51).
+  // --- D5: embedding-cosine near-dup, SRP-LSH bucketed --------------------
+  // Banded signed-random-projection LSH (Charikar STOC'02) + exact
+  // verify — the same candidate-generation shape as D3's minhash bands:
+  // bucket id is the shuffle key, the band self-join is an equi-join
+  // (never a nested-loop cartesian), and CosineSim re-verifies every
+  // candidate so reported pairs are exact.
+  //
+  // Parameters are τ-driven: p_bit(τ) = 1 − acos(τ)/π = 0.6486 at
+  // τ = 0.45, so a 4-bit band matches a qualifying pair w.p.
+  // 0.6486⁴ = 0.177 and 96 tables give P(miss) = (1−0.177)⁹⁶ ≈ 7.5e-9
+  // per pair (D3-grade confidence; the oracle stays the exact SQL).
+  // 96×4 = 384 signature bits = six seeded 64-bit SRP signatures.
+  // Cost scales with τ: this low τ sits near the random-pair cosine
+  // background (dim=64 ⇒ σ≈0.125), forcing coarse 4-bit bands — at a
+  // real near-dup threshold (τ ≥ 0.8, p_bit = 0.80) the same code runs
+  // 16-bit bands / 16 tables and prunes ~2¹⁶× harder. τ = 0.45 is
+  // calibrated to the synthetic distribution (max off-diagonal ≈ 0.51).
+  private val EmbTau = 0.45
+  private val EmbTables = 96
+  private val EmbBandBits = 4
   val embedding = QueryDef.oracled(
     "dedup_embedding",
     """WITH p AS (
@@ -246,13 +259,33 @@ object Dedup {
       |  AND NOT isnan(dot/(sqrt(na)*sqrt(nb)))
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val bandsPerSig = 64 / EmbBandBits
+    val nSigs = EmbTables / bandsPerSig
+    // bands carry only (vec_id, int bucket) through the shuffle — the
+    // 64-float vectors are re-fetched by equi-join on the candidate ids
+    // (a 96× band fan-out must not amplify vector bytes)
+    val bands = e
+      .withColumn("sigs", array((0 until nSigs).map(k =>
+        F.srp_sig_seeded(col("embedding"), 64, k.toLong)): _*))
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${EmbTables - 1}), t ->
+           |  t * ${1 << EmbBandBits} + CAST(shiftrightunsigned(
+           |      sigs[t div $bandsPerSig],
+           |      $EmbBandBits * (t % $bandsPerSig))
+           |    & ${(1 << EmbBandBits) - 1} AS INT))""".stripMargin)).as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
       .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
       // NaN (zero-norm degenerate vector) sorts above every number in
       // both engines and would pass the threshold — exclude explicitly
-      .filter(col("cosine") >= 0.45 && !isnan(col("cosine")))
+      .filter(col("cosine") >= EmbTau && !isnan(col("cosine")))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 

@@ -56,7 +56,13 @@ object Multimodal {
     }
 
   // --- F1: binary media column → batched feature extraction ---------------
-  val mediaFeatures = QueryDef.rowsOnly("media_features") { (s, d) =>
+  /** Raw feature frame with the `features` array column — the library
+    * surface and the spec subject. The driver-facing query projects it
+    * to scalars (dims + digest) because the harness canonicalizer
+    * cannot sort array cells.
+    */
+  def mediaFeaturesRaw(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val items = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -70,6 +76,16 @@ object Multimodal {
     items.mapPartitions { it =>
       it.grouped(BatchSize).flatMap(batch => decodeBatch(batch.toSeq))
     }.toDF()
+  }
+
+  val mediaFeatures = QueryDef.rowsOnly("media_features") { (s, d) =>
+    mediaFeaturesRaw(s, d)
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("width"), col("height"),
+        size(col("features")).as("n_features"),
+        md5(concat_ws(",",
+          expr("transform(features, x -> CAST(round(x, 9) AS STRING))")))
+          .as("features_digest"))
   }
 
   def all: Seq[QueryDef] = Seq(mediaFeatures)

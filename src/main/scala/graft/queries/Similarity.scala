@@ -155,13 +155,28 @@ object Similarity {
   // vector_avg ships one (count, sums) buffer per group per partition
   // through the shuffle — the map-side-combined centroid computation a
   // k-means/IVF refinement loop runs every iteration. Spec-checked
-  // against a driver-side average.
-  val centroids = QueryDef.rowsOnly("embedding_centroids") { (s, d) =>
+  // against a driver-side average (on the raw array form below).
+  /** Raw centroid frame with the `centroid` array column — the library
+    * surface and the spec subject. The driver-facing query projects it
+    * to scalars because the harness canonicalizer cannot sort array
+    * cells.
+    */
+  def centroidsRaw(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .groupBy(col("label"))
       .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding"))
         .as("centroid"),
         count(lit(1)).as("n_vectors"))
+
+  val centroids = QueryDef.rowsOnly("embedding_centroids") { (s, d) =>
+    centroidsRaw(s, d)
+      .select(col("label"), col("n_vectors"),
+        size(col("centroid")).as("dim"),
+        sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+          .as("centroid_norm"),
+        md5(concat_ws(",",
+          expr("transform(centroid, x -> CAST(round(x, 6) AS STRING))")))
+          .as("centroid_digest"))
       .orderBy(col("label"))
   }
 

@@ -179,7 +179,8 @@ object TextAnalysis {
     s"""WITH t AS (SELECT source, lang, n_chars,
       |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       |            FROM documents)
-      |SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(DISTINCT lang) AS n_langs,
       |  CAST(sum(len(list_distinct(w))) AS DOUBLE) / sum(len(w)) AS mean_uniq_ratio
       |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>

@@ -7,7 +7,7 @@ class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("media_features: one row per doc, real schema, deterministic stub") {
-    val df = SparkEntry.queries("media_features")(spark, sf)
+    val df = queries.Multimodal.mediaFeaturesRaw(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()
     val rows = df.collect()
     assert(rows.length == nDocs)
@@ -22,8 +22,17 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
     }
     // deterministic across runs (content-wise; row order is unspecified)
-    val again = SparkEntry.queries("media_features")(spark, sf).collect()
+    val again = queries.Multimodal.mediaFeaturesRaw(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("driver-facing media_features output has no array columns") {
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("media_features")(spark, sf)
+    assert(!df.schema.exists(_.dataType.isInstanceOf[ArrayType]))
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Int]("n_features") == 8))
   }
 
   test("GraftExtensions registers SQL functions") {

@@ -34,7 +34,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("embedding_centroids equals driver-side element-wise average") {
     import org.apache.spark.sql.functions._
-    val got = SparkEntry.queries("embedding_centroids")(spark, sf)
+    val got = queries.Similarity.centroidsRaw(spark, sf)
       .collect()
       .map(r => r.getAs[Int]("label") ->
         (r.getAs[scala.collection.Seq[Double]]("centroid"), r.getAs[Long]("n_vectors")))
@@ -52,6 +52,15 @@ class SimilaritySpec extends AnyFunSuite {
         assert(math.abs(e - g) < 1e-9, s"label $label")
       }
     }
+  }
+
+  test("driver-facing embedding_centroids output has no array columns") {
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("embedding_centroids")(spark, sf)
+    assert(!df.schema.exists(_.dataType.isInstanceOf[ArrayType]))
+    val rows = df.collect()
+    assert(rows.length == queries.Similarity.centroidsRaw(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Double]("centroid_norm") > 0.0))
   }
 
   test("knn_quantized (int8) recall vs float brute force is near-perfect") {
