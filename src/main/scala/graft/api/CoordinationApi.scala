@@ -57,6 +57,40 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     latestPerKey(events.filter(col("event_type") === namespace))
       .select(col("user_id").as("key"), col("value"), col("ts"))
 
+  /** Storage.fetch under the full put/update/delete CAS replay (A16 —
+    * the op-type convention documented at
+    * [[graft.queries.Coordination.kvStorageReplay]]): None if the key
+    * was never PUT, or its last put/delete boundary is a DELETE
+    * (update-if-present writes cannot re-create a deleted key). The
+    * namespace+key predicates reach the parquet scan; the driver folds
+    * only that key's own events, in log order — the sequential
+    * readable twin of the distributed A16 query (spec-checked equal).
+    */
+  def fetchCas(namespace: String, key: Long): Option[Double] = {
+    val rows = events
+      .filter(col("event_type") === namespace && col("user_id") === key)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    var present = false
+    var value = 0.0
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      (math.round(v * 100) % 10) match {
+        case 0                   => present = false          // delete
+        case op if op <= 3       => present = true; value = v // put
+        case _ if present        => value = v                 // update applies
+        case _                   => ()                        // update ignored
+      }
+    }
+    if (present) Some(value) else None
+  }
+
+  /** Delete-aware compacted KV table for a namespace (A16 filtered). */
+  def snapshotCas(namespace: String): DataFrame =
+    graft.queries.Coordination.kvStorageReplay.fn(spark, sfDir)
+      .filter(col("namespace") === namespace)
+      .select(col("key"), col("value"), col("ts"))
+
   /** Key listing for a namespace (the KeySetWatcher's poll body). */
   def keySet(namespace: String): DataFrame =
     events.filter(col("event_type") === namespace)
@@ -77,6 +111,15 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     graft.queries.Coordination.leaderTenures.fn(spark, sfDir)
       .filter(col("resource") === resource)
 
+  /** getLeader honoring `resign` (conditional DELETE of the election
+    * row, CassandraLeaderElection.scala:144-147): a candidate whose
+    * live session ended in a resign is not a contender.
+    */
+  def getLeaderResignAware(resource: String): Option[Long] =
+    graft.queries.Coordination.leaderElectionResign
+      .fn(spark, sfDir).filter(col("resource") === resource)
+      .select(col("leader")).collect().headOption.map(_.getLong(0))
+
   // ---- Group membership --------------------------------------------------
 
   /** membershipList(): members of `group` alive at log end (heartbeat
@@ -84,6 +127,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     */
   def membershipList(group: String): DataFrame =
     graft.queries.Coordination.groupMembership.fn(spark, sfDir)
+      .filter(col("grp") === group)
+      .select(col("member"), col("last_heartbeat"), col("sup_data"))
+
+  /** membershipList honoring `leave(id)`: a member whose latest record
+    * is a tombstone is out regardless of heartbeat recency (A17).
+    */
+  def membershipListLeaveAware(group: String): DataFrame =
+    graft.queries.Coordination.groupMembershipLeave.fn(spark, sfDir)
       .filter(col("grp") === group)
       .select(col("member"), col("last_heartbeat"), col("sup_data"))
 

@@ -71,23 +71,62 @@ object Coordination {
         col("value").as("first_value"), col("ts").as("first_ts"))
   }
 
+  /** Order-independent keyset digest: per-key Fingerprint64 summed
+    * mod 2⁶⁴ (signed-long form). Commutative + associative, so it
+    * map-side-combines like any sum and never materializes or sorts
+    * the key list — the extreme-cardinality path where the canonical
+    * md5-of-sorted-list digest's per-namespace sort becomes the bound.
+    * Both digests ship: md5 for watcher parity, hashsum for scale.
+    */
+  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+  private val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+  private def fpUnsigned(k: Column): Column = {
+    val fp = graft.functions.expressions.fingerprint64(k)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    when(fp < 0, fp + two64).otherwise(fp)
+  }
+  private def toSigned64(m: Column): Column =
+    when(m >= two63, m - two64).otherwise(m).cast("long")
+
+  /** DuckDB twin of the hashsum: HUGEINT fingerprint fold per key,
+    * summed mod 2⁶⁴, signed-cast (same idiom as the C4 oracle).
+    */
+  private val hashsumSql =
+    """list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |          list_transform(regexp_extract_all(k, '[\s\S]'),
+      |                         c -> CAST(ord(c) AS HUGEINT))),
+      |          (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+  private val signedSql = (m: String) =>
+    s"""CAST($m - CASE WHEN $m >= CAST('9223372036854775808' AS HUGEINT)
+      |                THEN CAST('18446744073709551616' AS HUGEINT)
+      |                ELSE 0 END AS BIGINT)""".stripMargin
+
   // --- A3: key-set listing per namespace (`SELECT key FROM <ns>`) --------
   // Digest = md5 of the lexicographically sorted distinct key list, the
-  // same canonical form the poll-based KeySetWatcher diffs against.
+  // same canonical form the poll-based KeySetWatcher diffs against,
+  // plus the commutative hashsum digest (no sort, map-side combined).
   val kvKeyset = QueryDef.oracled(
     "kv_keyset",
-    """WITH ks AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
-      |            FROM events)
-      |SELECT event_type AS namespace, count(*) AS n_keys,
-      |       md5(string_agg(k, ',' ORDER BY k)) AS keyset_digest
-      |FROM ks GROUP BY event_type ORDER BY namespace""".stripMargin) { (s, d) =>
+    s"""WITH ks AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+      |            FROM events),
+      |h AS (SELECT event_type, k, $hashsumSql AS hk FROM ks),
+      |g AS (SELECT event_type, count(*) AS n_keys,
+      |        md5(string_agg(k, ',' ORDER BY k)) AS keyset_digest,
+      |        sum(hk) % CAST('18446744073709551616' AS HUGEINT) AS m
+      |      FROM h GROUP BY event_type)
+      |SELECT event_type AS namespace, n_keys, keyset_digest,
+      |  ${signedSql("m")} AS keyset_hashsum
+      |FROM g ORDER BY namespace""".stripMargin) { (s, d) =>
     ev(s, d)
       .select(col("event_type"), col("user_id").cast("string").as("k"))
+      .distinct()
       .groupBy(col("event_type"))
-      .agg(collect_set(col("k")).as("ks"))
+      .agg(collect_set(col("k")).as("ks"),
+        sum(fpUnsigned(col("k"))).as("hsum"))
       .select(col("event_type").as("namespace"),
         size(col("ks")).as("n_keys").cast("long"),
-        md5(concat_ws(",", sort_array(col("ks")))).as("keyset_digest"))
+        md5(concat_ws(",", sort_array(col("ks")))).as("keyset_digest"),
+        toSigned64(col("hsum") % two64).as("keyset_hashsum"))
       .orderBy(col("namespace"))
   }
 
@@ -114,18 +153,23 @@ object Coordination {
 
   // --- A5: key-set change feed (KeySetChangeListener.keySetChanged) ------
   // Poll tick = day of event time; a tick fires when the canonical sorted
-  // key-set digest differs from the previous tick's.
+  // key-set digest differs from the previous tick's. The commutative
+  // hashsum ships alongside (change detection itself could lag-compare
+  // either; the md5 stays the watcher-parity canonical form).
   val keysetChangeFeed = QueryDef.oracled(
     "keyset_change_feed",
-    """WITH ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
+    s"""WITH ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
       |                   CAST(user_id AS VARCHAR) AS k FROM events),
+      |h AS (SELECT event_type, tick, k, $hashsumSql AS hk FROM ks),
       |d AS (SELECT event_type, tick,
       |             md5(string_agg(k, ',' ORDER BY k)) AS digest,
-      |             count(*) AS n_keys
-      |      FROM ks GROUP BY event_type, tick),
+      |             count(*) AS n_keys,
+      |             sum(hk) % CAST('18446744073709551616' AS HUGEINT) AS m
+      |      FROM h GROUP BY event_type, tick),
       |w AS (SELECT *, lag(digest) OVER (PARTITION BY event_type
       |                                  ORDER BY tick) AS prev FROM d)
-      |SELECT event_type AS namespace, tick, n_keys, digest
+      |SELECT event_type AS namespace, tick, n_keys, digest,
+      |       ${signedSql("m")} AS hashsum
       |FROM w WHERE prev IS NULL OR digest <> prev
       |ORDER BY namespace, tick""".stripMargin) { (s, d) =>
     ev(s, d)
@@ -133,15 +177,17 @@ object Coordination {
         col("user_id").cast("string").as("k"))
       .distinct()
       .groupBy(col("event_type"), col("tick"))
-      .agg(collect_set(col("k")).as("ks"))
+      .agg(collect_set(col("k")).as("ks"),
+        sum(fpUnsigned(col("k"))).as("hsum"))
       .select(col("event_type"), col("tick"),
         size(col("ks")).cast("long").as("n_keys"),
-        md5(concat_ws(",", sort_array(col("ks")))).as("digest"))
+        md5(concat_ws(",", sort_array(col("ks")))).as("digest"),
+        toSigned64(col("hsum") % two64).as("hashsum"))
       .withColumn("prev", lag(col("digest"), 1).over(
         Window.partitionBy(col("event_type")).orderBy(col("tick"))))
       .filter(col("prev").isNull || col("digest") =!= col("prev"))
       .select(col("event_type").as("namespace"), col("tick"), col("n_keys"),
-        col("digest"))
+        col("digest"), col("hashsum"))
       .orderBy(col("namespace"), col("tick"))
   }
 
@@ -299,7 +345,181 @@ object Coordination {
       .drop("rn")
   }
 
+  // ---- Tombstone / op-type convention ------------------------------------
+  // The reference has explicit removal ops — `resign` is a conditional
+  // DELETE of the election row (CassandraLeaderElection.scala:144-147),
+  // `leave(id)` removes a member, and Storage distinguishes put
+  // (unconditional) from update (write-if-present). The synthetic
+  // changelog carries no op-type column, so the replay defines a
+  // deterministic convention over the payload's cents digit —
+  // op10 = CAST(round(value*100) AS BIGINT) % 10:
+  //   op10 = 0    → DELETE/resign/leave  (~10% of events)
+  //   op10 ∈ 1..3 → PUT (unconditional write)
+  //   op10 ∈ 4..9 → UPDATE (write-if-present)
+  // Identical float64 arithmetic on both engines → bit-identical op
+  // assignment; all three delete-aware replays below are fully oracled.
+  private val opSql = "CAST(round(value*100) AS BIGINT) % 10"
+  private def op10: Column = (round(col("value") * 100).cast("long") % 10)
+
+  // --- A16: Storage replay under put/update/delete CAS semantics ----------
+  // Per key, the last PUT-or-DELETE is the "boundary": a final DELETE
+  // (or no PUT ever — updates alone can't create a key) leaves the key
+  // absent; otherwise the key exists from the boundary PUT onward and
+  // every later UPDATE applies, so the final value is the latest
+  // non-delete event at-or-after the boundary. One extra shuffle vs A1
+  // (boundary join) — both hash on (namespace, key).
+  val kvStorageReplay = QueryDef.oracled(
+    "kv_storage_replay",
+    s"""WITH e AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         $opSql AS op10
+      |  FROM events),
+      |b AS (
+      |  SELECT *, row_number() OVER (PARTITION BY namespace, key
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM e WHERE op10 <= 3),
+      |lastb AS (SELECT namespace, key, epoch_us(ts) AS bus, event_id AS bid,
+      |                 op10 AS bop
+      |          FROM b WHERE rn = 1),
+      |w AS (
+      |  SELECT e.namespace, e.key, e.ts, e.event_id, e.value,
+      |         row_number() OVER (PARTITION BY e.namespace, e.key
+      |            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |  FROM e JOIN lastb ON e.namespace = lastb.namespace AND e.key = lastb.key
+      |  WHERE e.op10 <> 0 AND lastb.bop <> 0
+      |    AND (epoch_us(e.ts) > lastb.bus
+      |         OR (epoch_us(e.ts) = lastb.bus AND e.event_id >= lastb.bid)))
+      |SELECT namespace, key, value, ts
+      |FROM w WHERE rn = 1 ORDER BY namespace, key""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("op10", op10)
+    val lastBoundary = e.filter(col("op10") <= 3)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("namespace"), col("key"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("namespace"), col("key"), unix_micros(col("ts")).as("bus"),
+        col("event_id").as("bid"), col("op10").as("bop"))
+    e.filter(col("op10") =!= 0)
+      .join(lastBoundary, Seq("namespace", "key"))
+      .filter(col("bop") =!= 0)
+      .filter(unix_micros(col("ts")) > col("bus") ||
+        (unix_micros(col("ts")) === col("bus") && col("event_id") >= col("bid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("namespace"), col("key"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("namespace"), col("key"), col("value"), col("ts"))
+      .orderBy(col("namespace"), col("key"))
+  }
+
+  // --- A17: leave-aware group membership ----------------------------------
+  // `leave(id)`: a member whose LATEST record is a tombstone is out,
+  // regardless of heartbeat recency; otherwise A8's TTL rule applies.
+  val groupMembershipLeave = QueryDef.oracled(
+    "group_membership_leave",
+    s"""WITH r AS (
+      |  SELECT event_type AS grp, user_id AS member, ts, value,
+      |         ($opSql = 0) AS del,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT grp, member, ts AS last_heartbeat, value AS sup_data
+      |FROM r, logend
+      |WHERE rn = 1 AND NOT del AND epoch_us(ts) >= e - 3600000000
+      |ORDER BY grp, member""".stripMargin) { (s, d) =>
+    val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
+    ev(s, d)
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1)
+      .filter(op10 =!= 0)
+      .crossJoin(broadcast(logEnd))
+      .filter(unix_micros(col("ts")) >= col("e") - TtlMicros)
+      .select(col("event_type").as("grp"), col("user_id").as("member"),
+        col("ts").as("last_heartbeat"), col("value").as("sup_data"))
+      .orderBy(col("grp"), col("member"))
+  }
+
+  // --- A18: resign-aware leader election end state -------------------------
+  // `resign` = conditional DELETE of the election row: it ends the
+  // holder's session at that instant (the next claim by anyone —
+  // including the resigner — is a fresh acquisition), and a candidate
+  // whose live session ended in a resign is not a contender at log end.
+  // Same sessionize-then-rank shape as A6 with two extra window terms.
+  val leaderElectionResign = QueryDef.oracled(
+    "leader_election_resign",
+    s"""WITH e AS (
+      |  SELECT event_type AS resource, user_id AS candidate, ts, event_id,
+      |         CASE WHEN $opSql = 0 THEN 1 ELSE 0 END AS del
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |                   OR lag(del) OVER w = 1
+      |                 THEN 1 ELSE 0 END AS new_s,
+      |            CASE WHEN lead(epoch_us(ts)) OVER w IS NULL
+      |                   OR lead(epoch_us(ts)) OVER w - epoch_us(ts) > 3600000000
+      |                   OR del = 1
+      |                 THEN 1 ELSE 0 END AS is_last
+      |  FROM e WINDOW w AS (PARTITION BY resource, candidate ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(new_s) OVER (PARTITION BY resource, candidate
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      |sess AS (
+      |  SELECT resource, candidate, sid, min(ts) AS session_start,
+      |         max(ts) AS session_end, count(*) AS n_heartbeats,
+      |         max(CASE WHEN is_last = 1 THEN del ELSE 0 END) AS resigned
+      |  FROM s GROUP BY resource, candidate, sid),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |live AS (SELECT sess.* FROM sess, logend
+      |         WHERE epoch_us(session_end) >= e - 3600000000 AND resigned = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY resource
+      |          ORDER BY session_start, candidate) AS rn FROM live)
+      |SELECT resource, candidate AS leader, session_start AS leader_since,
+      |       n_heartbeats AS n_renewals
+      |FROM r WHERE rn = 1 ORDER BY resource""".stripMargin) { (s, d) =>
+    val byCandidate = Window
+      .partitionBy(col("resource"), col("candidate"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = ev(s, d)
+      .select(col("event_type").as("resource"), col("user_id").as("candidate"),
+        col("ts"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(op10 === 0, 1).otherwise(0).as("del"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byCandidate))
+      .withColumn("prev_del", lag(col("del"), 1).over(byCandidate))
+      .withColumn("next_us", lead(col("us"), 1).over(byCandidate))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapMicros ||
+          col("prev_del") === 1, 1).otherwise(0))
+      .withColumn("is_last",
+        when(col("next_us").isNull ||
+          col("next_us") - col("us") > SessionGapMicros ||
+          col("del") === 1, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byCandidate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("resource"), col("candidate"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_heartbeats"),
+        max(when(col("is_last") === 1, col("del")).otherwise(0)).as("resigned"))
+    val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
+    sess.crossJoin(broadcast(logEnd))
+      .filter(unix_micros(col("session_end")) >= col("e") - TtlMicros &&
+        col("resigned") === 0)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("resource"))
+          .orderBy(col("session_start"), col("candidate"))))
+      .filter(col("rn") === 1)
+      .select(col("resource"), col("candidate").as("leader"),
+        col("session_start").as("leader_since"),
+        col("n_heartbeats").as("n_renewals"))
+      .orderBy(col("resource"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
-    leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact)
+    leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
+    kvStorageReplay, groupMembershipLeave, leaderElectionResign)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{expressions => F}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,22 +14,23 @@ import org.apache.spark.sql.functions._
   * corpus scan is embarrassingly parallel (no shuffle before the final
   * tiny top-k exchange) but reads everything — that's what E2/E3 prune.
   *
-  * E2 (SRP-LSH) buckets the corpus into 8 tables of 8-bit
+  * E2 (SRP-LSH) buckets the corpus into 16 tables of 8-bit seeded
   * signed-random-projection signatures; a query searches, per table,
-  * its own bucket plus all 1-bit-flip probes (multiprobe). E3 (IVF)
-  * assigns each vector to its nearest of
-  * 16 deterministic centroids; a query searches its nProbe=4 nearest
-  * lists. Both cut the scanned fraction to buckets/probes over total —
-  * the 100 TB path — and are recall-checked against E1 by spec.
+  * every bucket within hamming radius 2 of its own (multiprobe). E3
+  * (IVF) assigns each vector to its nearest of 16 deterministic
+  * centroids; a query searches its nProbe=6 nearest lists. Both cut
+  * the scanned fraction to buckets/probes over total — the 100 TB
+  * path — and are recall-≥0.9-checked against E1 by spec.
   */
 object Similarity {
 
   private val K = 5
   private val NQueries = 10
-  private val LshTables = 8   // L independent hash tables ...
-  private val LshBits = 8     // ... of B bits each (one 64-bit SRP sig)
+  private val LshTables = 16  // L independent hash tables of LshBits each,
+  private val LshBits = 8     // carved from ceil(L*B/64) seeded SRP sigs
+  private val LshProbeRadius = 2 // probe all buckets within hamming ≤ r
   private val NCentroids = 16
-  private val NProbe = 4
+  private val NProbe = 6
 
   /** Shared DuckDB cosine: strict left-fold in double — bit-identical
     * to graft.functions.CosineSim (SURVEY §5).
@@ -84,32 +85,50 @@ object Similarity {
   }
 
   // --- E2: SRP-LSH bucketed search (recall-checked vs E1 by spec) ---------
-  // L=8 tables × B=8 bits carved from one 64-bit SRP signature; a query
-  // probes, per table, its own bucket plus every 1-bit flip
-  // (multiprobe). Candidates = union over tables — the standard
-  // recall/cost dial (Gionis/Indyk/Motwani VLDB'99): more tables or
-  // probes → higher recall, more of the corpus touched.
+  // L=16 tables × B=8 bits carved from two seeded 64-bit SRP
+  // signatures; a query probes, per table, every bucket within hamming
+  // radius r=2 of its own (1 + 8 + 28 = 37 probes/table) — multiprobe
+  // LSH (Lv et al. VLDB'07) buys recall without extra tables.
+  // Candidates = union over tables; recall ≥ 0.9 asserted by spec —
+  // the standard recall/cost dial (Gionis/Indyk/Motwani VLDB'99):
+  // more tables or probes → higher recall, more of the corpus touched.
   val lsh = QueryDef.rowsOnly("knn_lsh") { (s, d) =>
-    val totalBits = LshTables * LshBits
+    val tablesPerSig = 64 / LshBits
+    val nSigs = (LshTables + tablesPerSig - 1) / tablesPerSig
+    val mask = (1 << LshBits) - 1
+    def sigsCol(c: Column): Column =
+      array((0 until nSigs).map(k => F.srp_sig_seeded(c, 64, k.toLong)): _*)
+    def bandExpr(t: String): String =
+      s"CAST(shiftrightunsigned(sigs[$t div $tablesPerSig], $LshBits * ($t % $tablesPerSig)) & $mask AS INT)"
     val corpus = Tables.embeddings(s, d)
-      .withColumn("sig", F.srp_sig(col("embedding"), totalBits))
-      .select(col("vec_id"), col("embedding").as("ea"), explode(expr(
+      .withColumn("sigs", sigsCol(col("embedding")))
+      .select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${LshTables - 1}),
-           |  t -> concat(t, ':', shiftright(sig, $LshBits * t) & ${(1 << LshBits) - 1}))""".stripMargin))
+           |  t -> t * ${mask + 1} + ${bandExpr("t")})""".stripMargin))
         .as("bucket"))
+    // all XOR masks of hamming weight ≤ r over LshBits bits,
+    // precomputed driver-side (37 ints for B=8, r=2)
+    val probeMasks = (0 until (1 << LshBits))
+      .filter(m => Integer.bitCount(m) <= LshProbeRadius)
     val probes = queriesDf(s, d)
-      .withColumn("qsig", F.srp_sig(col("qe"), totalBits))
+      .withColumn("sigs", sigsCol(col("qe")))
       .select(col("query_id"), col("qe"), explode(expr(
         s"""flatten(transform(sequence(0, ${LshTables - 1}), t ->
-           |  transform(sequence(0, $LshBits), j -> concat(t, ':',
-           |    CASE WHEN j = 0
-           |         THEN shiftright(qsig, $LshBits * t) & ${(1 << LshBits) - 1}
-           |         ELSE (shiftright(qsig, $LshBits * t) & ${(1 << LshBits) - 1}) ^ CAST(shiftleft(1, j - 1) AS BIGINT) END))))""".stripMargin))
+           |  transform(array(${probeMasks.mkString(",")}),
+           |    m -> t * ${mask + 1} + (${bandExpr("t")} ^ m))))""".stripMargin))
         .as("bucket"))
-    topK(broadcast(probes).join(corpus, Seq("bucket"))
+    // probe rows join the bucketed corpus on the int bucket key; the
+    // corpus side carries only (vec_id, bucket) — vectors are fetched
+    // after dedup so the 37× probe fan-out never amplifies vector bytes
+    val cand = broadcast(probes.select(col("query_id"), col("bucket")))
+      .join(corpus, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("vec_id"), col("ea"))
-      .distinct())
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    topK(cand
+      .join(queriesDf(s, d), Seq("query_id"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
   }
 
   // --- E3: IVF with one Lloyd refinement (recall-checked vs E1) -----------

@@ -31,6 +31,8 @@ case class KeyedEvent(
     event_id: Long, value: Double)
 case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
 case class HashedDoc(content_hash: String, doc_id: Long)
+case class HashedDocIngest(
+    content_hash: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
 case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
 case class FunnelStage(user_id: Long, stage: String)
 case class LeaderChange(
@@ -41,6 +43,15 @@ object Streaming {
 
   private val TtlMicros = 3600L * 1000000L
   private val nameCounter = new AtomicInteger(0)
+
+  /** Event-time state-retention horizon for the keyed stateful ops: a
+    * key silent for this long has its state dropped (timeout handlers
+    * emit nothing, so a bounded replay — where no key is ever silent
+    * that long — produces output identical to the unbounded form, while
+    * a live feed's state store stays finite). 30 days dwarfs every
+    * in-data gap and the 1 h leader TTL.
+    */
+  private val StateHorizonMs = 30L * 24 * 3600 * 1000
 
   /** Exact event-time micros of a Timestamp (getTime alone is millis —
     * would collapse sub-ms ordering the batch twins tiebreak on).
@@ -110,8 +121,9 @@ object Streaming {
   // flatMapGroupsWithState per (namespace, key): state = last seen
   // value; emit rows whose value differs. Batch-internal ordering is
   // enforced inside the group (event-time sort); on a live feed the
-  // watermark bounds how out-of-order the sort must tolerate. Output ≡
-  // A4 → same oracle SQL.
+  // watermark bounds how out-of-order the sort must tolerate and the
+  // event-time timeout drops state for keys silent past the horizon.
+  // Output ≡ A4 → same oracle SQL.
   val changeFeed = QueryDef.oracled(
     "stream_change_feed",
     """WITH w AS (
@@ -128,21 +140,28 @@ object Streaming {
         col("ts"), col("event_id"), col("value"))
       .as[KeyedEvent]
     val changed = typed
+      .withWatermark("ts", "1 hour")
       .groupByKey(e => (e.namespace, e.key))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (String, Long), it: Iterator[KeyedEvent],
          state: GroupState[Double]) => {
-          val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
-          var last: Option[Double] = state.getOption
-          // SQL equality semantics (NaN = NaN is true in Spark/DuckDB),
-          // not Scala's IEEE NaN != NaN — keeps parity with batch A4
-          def same(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
-          sorted.foreach { e =>
-            if (!last.exists(same(_, e.value))) { out += e; last = Some(e.value) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeyedEvent]
+            var last: Option[Double] = state.getOption
+            // SQL equality semantics (NaN = NaN is true in Spark/DuckDB),
+            // not Scala's IEEE NaN != NaN — keeps parity with batch A4
+            def same(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+            sorted.foreach { e =>
+              if (!last.exists(same(_, e.value))) { out += e; last = Some(e.value) }
+            }
+            last.foreach(state.update)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
           }
-          last.foreach(state.update)
-          out.iterator
         })
     runToMemory(s, changed.toDF(), OutputMode.Append)
       .orderBy(col("namespace"), col("key"), col("ts"), col("event_id"))
@@ -184,10 +203,13 @@ object Streaming {
         col("ts"), col("event_id"), col("value"))
       .as[KeyedEvent]
     val changes = typed
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.namespace)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (resource: String, it: Iterator[KeyedEvent],
          state: GroupState[LeaderState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[LeaderChange]
           var st = state.getOption
@@ -210,7 +232,14 @@ object Streaming {
             }
           }
           st.foreach(state.update)
+          // a resource with no claims past the horizon is forgotten —
+          // its next claim replays as a fresh acquisition, which is what
+          // an expired-and-purged election row means in the reference
+          if (sorted.nonEmpty)
+            state.setTimeoutTimestamp(
+              tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
           out.iterator
+          }
         })
     runToMemory(s, changes.toDF(), OutputMode.Append)
       .orderBy(col("resource"), col("ts"), col("event_id"))
@@ -238,14 +267,35 @@ object Streaming {
           .as("content_hash"),
         col("doc_id"))
       .as[HashedDoc]
+    // The document stream has no event-time column, so retention runs
+    // on INGEST time: stamp arrival, watermark it, and expire a hash
+    // silent past the horizon via EventTimeTimeout. (ProcessingTimeTimeout
+    // would express the same thing but keeps the trigger loop alive
+    // polling for timeouts — processAllAvailable never returns in the
+    // replay harness.) Dropping a hash after the horizon means a
+    // re-arriving duplicate would be re-admitted — the standard
+    // bounded-memory dedup-window tradeoff.
     val firstSeen = docs
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "1 second")
+      .as[HashedDocIngest]
       .groupByKey(_.content_hash)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[HashedDocIngest], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            state.update(true)
-            Iterator.single(it.minBy(_.doc_id))
+            val batch = it.toSeq
+            val horizon = batch.map(e => tsMicros(e.ingest_ts)).max / 1000L +
+              StateHorizonMs
+            if (state.exists) {
+              state.setTimeoutTimestamp(horizon) // slide the window
+              Iterator.empty
+            } else {
+              state.update(true)
+              state.setTimeoutTimestamp(horizon)
+              val m = batch.minBy(_.doc_id)
+              Iterator.single(HashedDoc(m.content_hash, m.doc_id))
+            }
           })
     runToMemory(s, firstSeen.toDF(), OutputMode.Append)
       .select(col("content_hash"), col("doc_id").as("keeper_doc_id"))
@@ -277,9 +327,12 @@ object Streaming {
         col("ts"), col("event_id"), col("value"))
       .as[KeyedEvent]
     val stages = typed
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, it: Iterator[KeyedEvent], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
@@ -298,7 +351,13 @@ object Streaming {
             }
           }
           state.update(st)
+          // a user inactive past the horizon stops occupying state; the
+          // funnel's answer for completed stages is already emitted
+          if (sorted.nonEmpty)
+            state.setTimeoutTimestamp(
+              tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
           out.iterator
+          }
         })
     val stageCounts = runToMemory(s, stages.toDF(), OutputMode.Append)
     stageCounts.agg(
@@ -311,7 +370,14 @@ object Streaming {
   // foreachBatch MERGE: each micro-batch folds into a parquet "table"
   // keyed by (topic, key), latest (ts, koffset) wins — the idempotent
   // Cassandra-upsert contract; re-delivery converges to the same state.
+  // The state table is hash-bucketed on (topic, key): a batch reads and
+  // dynamically overwrites ONLY the bucket partitions its keys hash to,
+  // so per-batch IO ∝ state in touched buckets, not total state (the
+  // full-state rewrite was O(state × batches)). Raise UpsertBuckets
+  // with state size so a typical batch touches a partition subset — a
+  // real Cassandra sink replaces all of this with per-key upserts.
   // Final table state ≡ A9's compaction → same oracle SQL.
+  private val UpsertBuckets = 16
   val etlUpsert = QueryDef.oracled(
     "stream_etl_upsert",
     s"""WITH ${graft.queries.Coordination.kafkaFrameSql},
@@ -327,29 +393,40 @@ object Streaming {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
+        val statePath = s"$stateDir/state"
+        val withBucket = batch.withColumn("bucket",
+          pmod(xxhash64(col("topic"), col("key")), lit(UpsertBuckets))
+            .cast("int"))
+        // bounded partition-pruning list (≤ UpsertBuckets ints), not a
+        // data collect
+        val touched = withBucket.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
         // only path-absence means "first batch" — any other read failure
         // must propagate, or the merge would silently discard all
         // previously upserted state
-        val fs0 = org.apache.hadoop.fs.FileSystem.get(
+        val fs = org.apache.hadoop.fs.FileSystem.get(
           sess.sparkContext.hadoopConfiguration)
         val existing =
-          if (fs0.exists(new org.apache.hadoop.fs.Path(s"$stateDir/state")))
-            sess.read.parquet(s"$stateDir/state")
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            // bucket is the partition column → this prunes to the
+            // touched subdirectories at the file-listing level
+            sess.read.parquet(statePath)
+              .filter(col("bucket").isin(touched: _*))
           else sess.createDataFrame(
-            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
-        existing.union(batch)
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            withBucket.schema)
+        existing.unionByName(withBucket)
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("topic"), col("key"))
               .orderBy(col("ts").desc, col("koffset").desc)))
           .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite").parquet(s"$stateDir/state_next")
-        // atomic-enough swap for the local stand-in; a real sink is the
-        // Cassandra upsert (naturally idempotent, no swap needed)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          sess.sparkContext.hadoopConfiguration)
-        val st = new org.apache.hadoop.fs.Path(s"$stateDir/state")
-        fs.delete(st, true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/state_next"), st)
+          .write.mode("overwrite")
+          // dynamic: replace only the partitions present in the written
+          // data (= the touched buckets); untouched buckets are not read
+          // or rewritten
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(statePath)
         ()
       }
       .start()
@@ -357,6 +434,8 @@ object Streaming {
     // materialize the (small) compacted state and remove the temp dir —
     // repeated runs otherwise accumulate full parquet copies
     val state = s.read.parquet(s"$stateDir/state")
+      .select(col("topic"), col("partition"), col("key"), col("value"),
+        col("ts"), col("koffset"))
     val rows = state.collect().toIndexedSeq
     val schema = state.schema
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))

@@ -45,6 +45,42 @@ class CoordinationApiSpec extends AnyFunSuite {
     assert(!api.isMember("click", 999999L))
   }
 
+  test("fetchCas sequential fold equals the distributed kv_storage_replay") {
+    val replay = SparkEntry.queries("kv_storage_replay")(spark, sf)
+      .filter(col("namespace") === "click").collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+    val allKeys = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    // every key: present in the replay iff fetchCas returns it, same value
+    allKeys.take(25).foreach { k =>
+      assert(api.fetchCas("click", k) == replay.get(k), s"key $k")
+    }
+    // deleted/never-put keys exist (replay has fewer keys than the raw set)
+    assert(replay.size < allKeys.length)
+    assert(api.snapshotCas("click").count() == replay.size)
+  }
+
+  test("resign-aware leader and leave-aware membership honor tombstones") {
+    val resign = SparkEntry.queries("leader_election_resign")(spark, sf)
+      .collect().map(r => r.getAs[String]("resource") -> r.getAs[Long]("leader"))
+      .toMap
+    resign.foreach { case (res, leader) =>
+      assert(api.getLeaderResignAware(res).contains(leader))
+    }
+    // leave-aware membership is a subset of plain TTL membership
+    val plain = SparkEntry.queries("group_membership")(spark, sf)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("member"))).toSet
+    val leave = SparkEntry.queries("group_membership_leave")(spark, sf)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("member"))).toSet
+    assert(leave.subsetOf(plain))
+    assert(leave.size < plain.size) // the convention produces real leaves
+    leave.headOption.foreach { case (g, _) =>
+      assert(api.membershipListLeaveAware(g).count() ==
+        leave.count(_._1 == g))
+    }
+  }
+
   test("valueChanges matches the feed for one namespace") {
     val viaApi = api.valueChanges("error").count()
     val viaQuery = SparkEntry.queries("value_change_feed")(spark, sf)

@@ -24,12 +24,12 @@ class SimilaritySpec extends AnyFunSuite {
     ranks.foreach(r => assert(r == (1 to 5)))
   }
 
-  test("knn_lsh recall vs brute force is substantial") {
+  test("knn_lsh recall vs brute force >= 0.9") {
     val got = neighbors("knn_lsh")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
     val recall = hits.toDouble / exact.values.map(_.size).sum
-    info(s"SRP-LSH recall@5 = $recall")
-    assert(recall >= 0.4, s"recall $recall too low")
+    info(s"SRP-LSH (16 tables x 8 bits, multiprobe r<=2) recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
   }
 
   test("embedding_centroids equals driver-side element-wise average") {
@@ -71,11 +71,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
-  test("knn_ivf recall vs brute force is substantial") {
+  test("knn_ivf recall vs brute force >= 0.9") {
     val got = neighbors("knn_ivf")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
     val recall = hits.toDouble / exact.values.map(_.size).sum
-    info(s"IVF nProbe=4/16 recall@5 = $recall")
-    assert(recall >= 0.4, s"recall $recall too low")
+    info(s"IVF nProbe=6/16 recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
   }
 }
