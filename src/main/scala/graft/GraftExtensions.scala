@@ -37,11 +37,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("dequantize_i8", "invert quantize_i8 at the same literal scale",
       es => DequantizeI8(es.head, evalScale(es(1)))),
     ("cosine_sim_i8", "cosine of two int8-quantized vectors",
-      es => CosineSimI8(es.head, es(1))))
+      es => CosineSimI8(es.head, es(1))),
+    ("srp_sig", "signed-random-projection LSH signature (literal nBits)",
+      es => SrpSig(es.head, evalInt(es(1)))),
+    ("srp_sig_seeded", "seeded SRP signature for multi-table LSH (literal nBits, seed)",
+      es => SrpSigSeeded(es.head, evalInt(es(1)), evalLong(es(2)))))
 
   private def evalScale(e: Expression): Float = {
     require(e.foldable, "quantization scale must be a literal")
     e.eval().asInstanceOf[Number].floatValue
+  }
+
+  private def evalInt(e: Expression): Int = {
+    require(e.foldable, "argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  private def evalLong(e: Expression): Long = {
+    require(e.foldable, "argument must be a literal")
+    e.eval().asInstanceOf[Number].longValue
   }
 
   override def apply(e: SparkSessionExtensions): Unit =

@@ -105,6 +105,41 @@ object Dedup {
     jaccardPairs(s, d, 0.8)
   }
 
+  /** 32-band × 4-row bucket-id list over a `sig` MinHash column —
+    * shared by D3 and the streaming ingest twin
+    * ([[graft.streaming.Streaming]] A19).
+    */
+  private[graft] val bandListExpr: String =
+    """transform(sequence(0, 31), b -> concat_ws(':',
+      |  cast(b AS STRING), cast(sig[4*b] AS STRING),
+      |  cast(sig[4*b+1] AS STRING), cast(sig[4*b+2] AS STRING),
+      |  cast(sig[4*b+3] AS STRING)))""".stripMargin
+
+  /** Exact-Jaccard ≥ τ verification of candidate (doc_a, doc_b) pairs
+    * against the full shingle sets — the post-LSH verify stage, shared
+    * with the streaming twin.
+    */
+  private[graft] def verifyPairs(s: SparkSession, d: String,
+      cand: DataFrame, tau: Double): DataFrame = {
+    val sets = shingled(s, d)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The D2 exact-Jaccard oracle at τ=0.8 — also the oracle of the LSH
+    * paths (D3, streaming A19), whose miss probability ≈ 5e-8 makes
+    * their output equal to the exact answer.
+    */
+  private[graft] val jaccard08OracleSql: String = jaccardPairsSql(0.8)
+
   // --- D3: MinHash + LSH, exact-verified ----------------------------------
   // 128-perm MinHash signatures (native MinHashSigs expression), 32
   // bands × 4 rows → P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8. Candidates
@@ -116,11 +151,7 @@ object Dedup {
     val sh = sets.filter(col("n") > 0)
       .withColumn("sig", F.minhash_sigs(col("shingles")))
     val bands = sh.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 31), b -> concat_ws(':',
-            |  cast(b AS STRING), cast(sig[4*b] AS STRING),
-            |  cast(sig[4*b+1] AS STRING), cast(sig[4*b+2] AS STRING),
-            |  cast(sig[4*b+3] AS STRING)))""".stripMargin)).as("bucket"))
+        explode(expr(bandListExpr)).as("bucket"))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -309,7 +340,71 @@ object Dedup {
       .limit(20)
   }
 
+  // --- D7: near-dup clusters (connected components over D2's pairs) -------
+  // The operator that turns a pair list into keep-one-per-cluster
+  // decisions: components of the τ=0.8 Jaccard graph, cluster id = min
+  // doc_id in the component (transitivity matters — A~B~C clusters
+  // together even when A~C alone misses τ). Spark side: iterative
+  // min-label propagation over the edge list; each sweep is one
+  // shuffle-join + groupBy, lineage cut by localCheckpoint, convergence
+  // checked with a one-scalar driver count. Sweeps needed = graph
+  // diameter — near-dup components are shallow (dups of a doc are dups
+  // of each other), so this converges in 2–3 sweeps; a deep-diameter
+  // graph would switch to large-star/small-star contraction
+  // (Kiveris et al., SOCC'14) for O(log n) rounds. Oracled by a
+  // recursive-CTE reachability fold in DuckDB.
+  val clusters = QueryDef.oracled(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |                 any_value(a.n) AS na, any_value(b.n) AS nb
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |dup AS (SELECT doc_a, doc_b FROM pairs
+      |        WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |      UNION ALL SELECT doc_b, doc_a FROM dup),
+      |reach AS (
+      |  SELECT DISTINCT a, a AS r FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b)
+      |SELECT a AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
+    // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
+    // corpus, here hundreds of rows at sf0.1) — keep the iteration
+    // frames on few partitions so per-sweep scheduling doesn't dominate;
+    // a billion-edge graph raises this with its parallelism
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").repartition(8, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var sweeps = 0
+    while (changed > 0 && sweeps < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("src", "id")
+      // the change flag rides in the checkpointed frame: convergence
+      // check is a scan of materialized data, not a recompute-join
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("ch"))
+        .localCheckpoint()
+      changed = next.filter(col("ch")).count()
+      labels = next.drop("ch")
+      sweeps += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
-    topShingles)
+    topShingles, clusters)
 }

@@ -33,6 +33,8 @@ case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
 case class HashedDoc(content_hash: String, doc_id: Long)
 case class HashedDocIngest(
     content_hash: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
+case class BandedDoc(doc_id: Long, bucket: String, ingest_ts: java.sql.Timestamp)
+case class CandidatePair(doc_a: Long, doc_b: Long)
 case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
 case class FunnelStage(user_id: Long, stage: String)
 case class LeaderChange(
@@ -366,6 +368,60 @@ object Streaming {
       sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
   }
 
+  // --- A19: streaming NEAR-dup ingest (MinHash-LSH state) ------------------
+  // The LLM-ingest shape of D3: documents arrive as a stream; each is
+  // banded into its 32 MinHash buckets and every bucket keeps the doc
+  // ids it has seen (state keyed BY BUCKET — hot-boilerplate buckets
+  // are one key each, so skew lands in the state store's hash
+  // partitioning, and the horizon timeout bounds every bucket's list on
+  // a live feed). A new arrival emits a candidate pair per co-bucketed
+  // predecessor; the exact-Jaccard ≥ 0.8 verification runs downstream
+  // as a batch stage over the candidate set — the standard
+  // cheap-streaming-filter + exact-batch-verify split. Output ≡ D2/D3
+  // (LSH miss ≈ 5e-8) → same oracle SQL.
+  val dedupMinhash = QueryDef.oracled(
+    "stream_dedup_minhash", graft.queries.Dedup.jaccard08OracleSql) { (s, d) =>
+    import s.implicits._
+    val path = s"$d/documents.parquet"
+    val banded = s.readStream.schema(s.read.parquet(path).schema)
+      .parquet(symlinkedDir(path, "documents.parquet"))
+      .withColumn("shingles",
+        graft.functions.expressions.shingles3(
+          graft.functions.expressions.tokenize_words(col("text"))))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", graft.functions.expressions.minhash_sigs(col("shingles")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "1 second")
+      .select(col("doc_id"),
+        explode(expr(graft.queries.Dedup.bandListExpr)).as("bucket"),
+        col("ingest_ts"))
+      .as[BandedDoc]
+    val cands = banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[BandedDoc], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = it.toSeq
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+            // doc_id order stands in for arrival order inside a batch
+            batch.map(_.doc_id).sorted.foreach { id =>
+              seen.foreach { prev =>
+                if (prev != id)
+                  out += CandidatePair(math.min(prev, id), math.max(prev, id))
+              }
+              seen = id :: seen
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              batch.map(e => tsMicros(e.ingest_ts)).max / 1000L + StateHorizonMs)
+            out.iterator
+          })
+    val candDf = runToMemory(s, cands.toDF(), OutputMode.Append).distinct()
+    graft.queries.Dedup.verifyPairs(s, d, candDf, 0.8)
+  }
+
   // --- A13: the connector end-to-end: stream → keyed upsert sink ----------
   // foreachBatch MERGE: each micro-batch folds into a parquet "table"
   // keyed by (topic, key), latest (ts, koffset) wins — the idempotent
@@ -446,5 +502,6 @@ object Streaming {
   }
 
   def all: Seq[QueryDef] = Seq(
-    changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel)
+    changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
+    dedupMinhash)
 }

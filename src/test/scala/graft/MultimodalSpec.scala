@@ -51,7 +51,9 @@ class MultimodalSpec extends AnyFunSuite {
           |  cosine_sim(array(float(1.0), float(0.0)), array(float(1.0), float(0.0))) AS cs,
           |  dot_product(array(float(2.0)), array(float(3.0))) AS dp,
           |  l2norm(array(float(3.0), float(4.0))) AS l2,
-          |  size(minhash_sigs(array('x', 'y'))) AS nmh""".stripMargin).head()
+          |  size(minhash_sigs(array('x', 'y'))) AS nmh,
+          |  srp_sig(array(float(1.0), float(-1.0)), 8) AS srp,
+          |  srp_sig_seeded(array(float(1.0), float(-1.0)), 8, 3) AS srps""".stripMargin).head()
       assert(r.getAs[Long]("f") == "hello".foldLeft(0L)((h, c) => h * 31 + c))
       assert(r.getAs[Int]("ns") == 2)
       assert(r.getAs[Double]("cs") == 1.0)

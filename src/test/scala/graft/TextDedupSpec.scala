@@ -76,6 +76,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("dedup_clusters equals driver-side union-find over the pair list") {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = SparkEntry.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == expected)
+  }
+
   test("approx_distinct_users within 5% of exact") {
     val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
