@@ -404,7 +404,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- D8: the compaction decision — which documents survive dedup --------
+  // The terminal op of the near-dup pipeline: every document keeps its
+  // cluster representative (min doc_id in its D7 component) or itself
+  // if it has no near-dup; `keep` marks the survivors a curator feeds
+  // downstream. Left-join of the corpus against the (tiny) cluster
+  // map — AQE broadcasts it; at 100 TB the dup-cluster map is still
+  // orders of magnitude smaller than the corpus, so the plan shape
+  // (big-scan ⋈ small-map) holds.
+  val keepers = QueryDef.oracled(
+    "corpus_keepers",
+    s"""WITH RECURSIVE $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |                 any_value(a.n) AS na, any_value(b.n) AS nb
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |dup AS (SELECT doc_a, doc_b FROM pairs
+      |        WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |      UNION ALL SELECT doc_b, doc_a FROM dup),
+      |reach AS (
+      |  SELECT DISTINCT a, a AS r FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b),
+      |cl AS (SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a)
+      |SELECT d.doc_id,
+      |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |       (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id) AS keep
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val cl = clusters.fn(s, d)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(cl.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        (col("cid").isNull || col("cid") === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
-    topShingles, clusters)
+    topShingles, clusters, keepers)
 }

@@ -368,6 +368,44 @@ object Streaming {
       sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
   }
 
+  // --- A20: streaming gap sessions via native session_window ---------------
+  // B10b's operator under the real streaming contract: append mode
+  // emits a session only once the watermark proves it closed (no event
+  // can extend it). Replayed to the end of a bounded log, that is
+  // exactly the set of sessions whose end + gap precedes the final
+  // watermark (= max event time at delay 0) — the oracle applies the
+  // same closed-session predicate to the batch sessionization. Open
+  // sessions at log end are the streaming/batch semantic difference,
+  // surfaced honestly instead of papered over.
+  val sessionWindows = QueryDef.oracled(
+    "stream_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      |agg AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |               count(*) AS n_events
+      |        FROM s GROUP BY user_id, sid),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM agg, logend
+      |WHERE epoch_us(session_end) + 1800000000 <= e
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    runToMemory(s, agg, OutputMode.Append)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // --- A19: streaming NEAR-dup ingest (MinHash-LSH state) ------------------
   // The LLM-ingest shape of D3: documents arrive as a stream; each is
   // banded into its 32 MinHash buckets and every bucket keeps the doc
@@ -503,5 +541,5 @@ object Streaming {
 
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
-    dedupMinhash)
+    dedupMinhash, sessionWindows)
 }
