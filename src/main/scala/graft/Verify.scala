@@ -10,6 +10,10 @@ object Verify {
     // optional trailing args: restrict to these query names (local
     // iteration only — the driver always runs the full set)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.get(cpus)
     new java.io.File(outDir).mkdirs()

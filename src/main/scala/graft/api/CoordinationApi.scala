@@ -74,12 +74,22 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     var present = false
     var value = 0.0
     rows.foreach { r =>
-      val v = r.getDouble(2)
-      (math.round(v * 100) % 10) match {
-        case 0                   => present = false          // delete
-        case op if op <= 3       => present = true; value = v // put
-        case _ if present        => value = v                 // update applies
-        case _                   => ()                        // update ignored
+      // null payloads carry no op digit — the distributed replay's
+      // round(NULL)%10 is NULL and falls out of every filter; skip
+      // identically here
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        // HALF_UP on the double, exactly Spark's/DuckDB's round():
+        // math.round (floor(x+0.5)) would diverge on negative .5 cents
+        val op = BigDecimal(v * 100)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toLong % 10
+        op match {
+          case 0                   => present = false          // delete
+          case o if o <= 3         => present = true; value = v // put
+          case _ if present        => value = v                 // update applies
+          case _                   => ()                        // update ignored
+        }
       }
     }
     if (present) Some(value) else None

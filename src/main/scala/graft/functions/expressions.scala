@@ -169,6 +169,28 @@ object expressions {
   def srp_sig(c: Column, nBits: Int): Column = toCol(SrpSig(ex(c), nBits))
   def srp_sig_seeded(c: Column, nBits: Int, seed: Long): Column =
     toCol(SrpSigSeeded(ex(c), nBits, seed))
+
+  /** The ceil(nTables·bandBits/64) seeded 64-bit SRP signatures that a
+    * multi-table band family carves from — materialize this ONCE as a
+    * projected column, then read bands with [[srpBandExpr]]. The
+    * bit-layout contract (table t = bits [B·(t mod 64/B)…) of sig
+    * t div (64/B)) lives only here and in srpBandExpr.
+    */
+  def srpSigsArray(vec: Column, nTables: Int, bandBits: Int): Column = {
+    val perSig = 64 / bandBits
+    val nSigs = (nTables + perSig - 1) / perSig
+    org.apache.spark.sql.functions.array(
+      (0 until nSigs).map(k => srp_sig_seeded(vec, 64, k.toLong)): _*)
+  }
+
+  /** SQL snippet: the bandBits-wide band value of table `t` (any SQL
+    * int expression) carved from the signature-array column `sigsCol`.
+    */
+  def srpBandExpr(sigsCol: String, t: String, bandBits: Int): String = {
+    val perSig = 64 / bandBits
+    s"CAST(shiftrightunsigned($sigsCol[($t) div $perSig], " +
+      s"$bandBits * (($t) % $perSig)) & ${(1 << bandBits) - 1} AS INT)"
+  }
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))

@@ -93,29 +93,24 @@ object Similarity {
   // the standard recall/cost dial (Gionis/Indyk/Motwani VLDB'99):
   // more tables or probes → higher recall, more of the corpus touched.
   val lsh = QueryDef.rowsOnly("knn_lsh") { (s, d) =>
-    val tablesPerSig = 64 / LshBits
-    val nSigs = (LshTables + tablesPerSig - 1) / tablesPerSig
     val mask = (1 << LshBits) - 1
-    def sigsCol(c: Column): Column =
-      array((0 until nSigs).map(k => F.srp_sig_seeded(c, 64, k.toLong)): _*)
-    def bandExpr(t: String): String =
-      s"CAST(shiftrightunsigned(sigs[$t div $tablesPerSig], $LshBits * ($t % $tablesPerSig)) & $mask AS INT)"
+    // bit carving is the shared F.srpSigsArray/srpBandExpr contract
     val corpus = Tables.embeddings(s, d)
-      .withColumn("sigs", sigsCol(col("embedding")))
+      .withColumn("sigs", F.srpSigsArray(col("embedding"), LshTables, LshBits))
       .select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${LshTables - 1}),
-           |  t -> t * ${mask + 1} + ${bandExpr("t")})""".stripMargin))
+           |  t -> t * ${mask + 1} + ${F.srpBandExpr("sigs", "t", LshBits)})""".stripMargin))
         .as("bucket"))
     // all XOR masks of hamming weight ≤ r over LshBits bits,
     // precomputed driver-side (37 ints for B=8, r=2)
     val probeMasks = (0 until (1 << LshBits))
       .filter(m => Integer.bitCount(m) <= LshProbeRadius)
     val probes = queriesDf(s, d)
-      .withColumn("sigs", sigsCol(col("qe")))
+      .withColumn("sigs", F.srpSigsArray(col("qe"), LshTables, LshBits))
       .select(col("query_id"), col("qe"), explode(expr(
         s"""flatten(transform(sequence(0, ${LshTables - 1}), t ->
            |  transform(array(${probeMasks.mkString(",")}),
-           |    m -> t * ${mask + 1} + (${bandExpr("t")} ^ m))))""".stripMargin))
+           |    m -> t * ${mask + 1} + (${F.srpBandExpr("sigs", "t", LshBits)} ^ m))))""".stripMargin))
         .as("bucket"))
     // probe rows join the bucketed corpus on the int bucket key; the
     // corpus side carries only (vec_id, bucket) — vectors are fetched

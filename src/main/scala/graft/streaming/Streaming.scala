@@ -479,10 +479,19 @@ object Streaming {
       |               ORDER BY ts DESC, koffset DESC) AS rn FROM kafka)
       |SELECT topic, partition, key, value, ts, koffset
       |FROM r WHERE rn = 1 ORDER BY topic, key""".stripMargin) { (s, d) =>
+    runUpsert(s, graft.queries.Coordination.kafkaShape(eventStream(s, d)))
+  }
+
+  /** The bucketed upsert sink over any Kafka-shaped stream — exposed so
+    * the spec can drive it with a MULTI-batch source (maxFilesPerTrigger
+    * splits), exercising the read-merge-overwrite branch the single-file
+    * harness replay never reaches.
+    */
+  private[graft] def runUpsert(s: SparkSession,
+      kafkaShaped: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_upsert_state").toString
-    val kafkaShaped = graft.queries.Coordination.kafkaShape(eventStream(s, d))
     val q = kafkaShaped.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>

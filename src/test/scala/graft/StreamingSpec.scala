@@ -53,4 +53,27 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("koffset"))).toSet
     assert(stream === batch)
   }
+
+  test("upsert sink merges correctly across MULTIPLE micro-batches") {
+    // the single-file harness replay runs one batch and never exercises
+    // the read-merge-overwrite branch; split the events into 4 files and
+    // force one file per trigger so batch 2+ must read back bucket
+    // state, merge, and dynamically overwrite only touched partitions
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_multibatch_src").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val shaped = graft.queries.Coordination.kafkaShape(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir))
+    val got = graft.streaming.Streaming.runUpsert(spark, shaped)
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[String]("key"),
+        r.getAs[Long]("koffset"))).toSet
+    val batch = SparkEntry.queries("etl_upsert_compact")(spark, sf)
+      .collect().map(r => (r.getAs[String]("topic"), r.getAs[String]("key"),
+        r.getAs[Long]("koffset"))).toSet
+    assert(got === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }
