@@ -17,4 +17,19 @@ object GraftCatalog {
     Tables.loaders.foreach { case (name, loader) =>
       loader(spark, dir).createOrReplaceTempView(name)
     }
+
+  /** Additionally expose every BATCH replay query as a `graft_<name>`
+    * temp view, so the whole operator surface composes from plain SQL
+    * (`SELECT * FROM graft_kv_snapshot WHERE namespace = 'click'`).
+    * Streaming queries are excluded: building their frame runs the
+    * micro-batch replay eagerly. Views are lazy logical plans except
+    * `graft_dedup_clusters`/`graft_corpus_keepers`, whose iterative
+    * label propagation materializes while registering.
+    */
+  def registerQueryViews(spark: SparkSession, dir: String): Unit =
+    SparkEntry.queries
+      .filter { case (name, _) => !name.startsWith("stream_") }
+      .foreach { case (name, fn) =>
+        fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+      }
 }

@@ -66,6 +66,10 @@ class MultimodalSpec extends AnyFunSuite {
         """SELECT count(*) AS n, count(DISTINCT fingerprint64(text)) AS nf
           |FROM documents""".stripMargin).head()
       assert(agg.getAs[Long]("n") > 0 && agg.getAs[Long]("nf") > 0)
+      // batch queries as SQL views (spot-check one cheap view)
+      GraftCatalog.registerQueryViews(s2, sf)
+      assert(s2.sql(
+        "SELECT count(*) AS n FROM graft_kv_snapshot").head().getAs[Long]("n") > 0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
