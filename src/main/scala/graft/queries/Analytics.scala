@@ -516,12 +516,30 @@ object Analytics {
   // itself). All statistics derive from exact integer window sums
   // (sum, sum of squares, row count), so the double arithmetic is
   // identical in both engines. Flags |z| ≥ 2.
-  val anomalies = QueryDef.oracled(
-    "events_hourly_anomalies",
-    """WITH hourly AS (
-      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
-      |  FROM events GROUP BY 1, 2),
-      |w AS (
+  /** Rolling 24h z-score stage over an `(event_type, hour, n)` hourly
+    * frame — shared by B19 and its streaming twin (the stream feeds
+    * closed hourly windows into the identical scoring math).
+    */
+  private[graft] def rollingAnomalies(hourly: DataFrame): DataFrame = {
+    val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val mean = col("s").cast("double") / 24
+    val variance = col("sq").cast("double") / 24 - mean * mean
+    hourly
+      .withColumn("s", sum(col("n")).over(win))
+      .withColumn("sq", sum(col("n") * col("n")).over(win))
+      .withColumn("m", count(lit(1)).over(win))
+      .filter(col("m") === 24 && variance > 0)
+      .withColumn("zscore", (col("n").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("zscore")) >= 2)
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        col("zscore"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** The shared scoring SQL over a `hourly(event_type, hour, n)` CTE. */
+  private[graft] val rollingAnomaliesSql =
+    """w AS (
       |  SELECT event_type, hour, n,
       |    sum(n)     OVER win AS s,
       |    sum(n * n) OVER win AS sq,
@@ -539,24 +557,18 @@ object Analytics {
       |        - (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24) > 0)
       |SELECT event_type, hour, n AS n_events, zscore
       |FROM z WHERE abs(zscore) >= 2
-      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
-    val win = Window.partitionBy(col("event_type")).orderBy(col("hour"))
-      .rowsBetween(-24, -1)
-    val hourly = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
-    val mean = col("s").cast("double") / 24
-    val variance = col("sq").cast("double") / 24 - mean * mean
-    hourly
-      .withColumn("s", sum(col("n")).over(win))
-      .withColumn("sq", sum(col("n") * col("n")).over(win))
-      .withColumn("m", count(lit(1)).over(win))
-      .filter(col("m") === 24 && variance > 0)
-      .withColumn("zscore", (col("n").cast("double") - mean) / sqrt(variance))
-      .filter(abs(col("zscore")) >= 2)
-      .select(col("event_type"), col("hour"), col("n").as("n_events"),
-        col("zscore"))
-      .orderBy(col("event_type"), col("hour"))
+      |ORDER BY event_type, hour""".stripMargin
+
+  val anomalies = QueryDef.oracled(
+    "events_hourly_anomalies",
+    s"""WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |$rollingAnomaliesSql""".stripMargin) { (s, d) =>
+    rollingAnomalies(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n")))
   }
 
   // --- B13: HLL sketch path (approx_count_distinct) ----------------------

@@ -219,5 +219,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def all: Seq[QueryDef] = Seq(bruteForce, lsh, ivf, centroids, quantized)
+  // --- E6: near-identical user activity profiles (behavioral twins) ------
+  // Similarity search over DERIVED features: each user's 24-dim
+  // hour-of-day activity histogram (exact integer counts, float-exact
+  // below 2²⁴), pairs with cosine ≥ 0.9 — the bot/sockpuppet-detection
+  // shape. Same SRP-band candidate generation as D5 (48 tables × 8
+  // bits ⇒ P(miss | cos=0.9) = (1−0.8564⁸)⁴⁸ ≈ 7e-8 per pair), exact
+  // cosine verify, so the output equals the brute-force oracle. The τ
+  // sits well above the dense all-positive-profile background
+  // (median pair cosine ≈ 0.75), unlike D5's τ — so here the bands
+  // genuinely prune.
+  private val ActTau = 0.9
+  private val ActTables = 48
+  private val ActBandBits = 8
+  val activityPairs = QueryDef.oracled(
+    "user_activity_pairs",
+    s"""WITH prof AS (
+      |  SELECT user_id,
+      |    [${(0 until 24).map(h =>
+             s"CAST(count(*) FILTER (WHERE hour(ts) = $h) AS FLOAT)")
+             .mkString(",\n      |     ")}] AS p
+      |  FROM events GROUP BY user_id),
+      |s AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |        ${cosSql("a.p", "b.p")} AS cosine
+      |      FROM prof a JOIN prof b ON a.user_id < b.user_id)
+      |SELECT user_a, user_b, cosine FROM s
+      |WHERE cosine >= $ActTau AND NOT isnan(cosine)
+      |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
+    val counts = (0 until 24).map(h =>
+      sum(when(hour(col("ts")) === h, 1).otherwise(0)).cast("float").as(s"c$h"))
+    val prof = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("user_id"),
+        array((0 until 24).map(h => col(s"c$h")): _*).as("p"))
+    val bands = prof
+      .withColumn("sigs", F.srpSigsArray(col("p"), ActTables, ActBandBits))
+      .select(col("user_id"), explode(expr(
+        s"""transform(sequence(0, ${ActTables - 1}), t ->
+           |  t * ${1 << ActBandBits} + ${F.srpBandExpr("sigs", "t", ActBandBits)})""".stripMargin))
+        .as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"))
+      .distinct()
+    cand
+      .join(prof.select(col("user_id").as("user_a"), col("p").as("pa")),
+        Seq("user_a"))
+      .join(prof.select(col("user_id").as("user_b"), col("p").as("pb")),
+        Seq("user_b"))
+      .withColumn("cosine", F.cosine_sim(col("pa"), col("pb")))
+      .filter(col("cosine") >= ActTau && !isnan(col("cosine")))
+      .select(col("user_a"), col("user_b"), col("cosine"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    bruteForce, lsh, ivf, centroids, quantized, activityPairs)
 }

@@ -368,6 +368,33 @@ object Streaming {
       sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
   }
 
+  // --- A21: streaming rolling-window anomaly feed --------------------------
+  // B19 under the streaming contract: the stream emits each hourly
+  // count once its window is watermark-closed (append mode), and the
+  // rolling 24h z-score runs as the downstream stage over that closed
+  // feed — the same split as A19's candidate/verify: cheap incremental
+  // aggregation in the stream, scoring over finalized rows. Scoring
+  // math is Analytics.rollingAnomalies verbatim; the oracle restricts
+  // B19's hourly CTE to the same closed-hour predicate (scores look
+  // only backward, so restricting the tail changes no surviving row).
+  val hourlyAnomalies = QueryDef.oracled(
+    "stream_hourly_anomalies",
+    s"""WITH h0 AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |hourly AS (SELECT h0.* FROM h0, logend
+      |           WHERE epoch_us(hour) + 3600000000 <= e),
+      |${graft.queries.Analytics.rollingAnomaliesSql}""".stripMargin) { (s, d) =>
+    val closedHourly = runToMemory(s,
+      eventStream(s, d).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("hour"), col("n")),
+      OutputMode.Append)
+    graft.queries.Analytics.rollingAnomalies(closedHourly)
+  }
+
   // --- A20: streaming gap sessions via native session_window ---------------
   // B10b's operator under the real streaming contract: append mode
   // emits a session only once the watermark proves it closed (no event
@@ -550,5 +577,5 @@ object Streaming {
 
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
-    dedupMinhash, sessionWindows)
+    dedupMinhash, sessionWindows, hourlyAnomalies)
 }
