@@ -171,6 +171,47 @@ object TextAnalysis {
         md5(col("cleaned")).as("clean_md5"))
   }
 
+  // --- C10: token budget by (source, lang) ---------------------------------
+  // The planning table a training run starts from: BPE-ish token mass
+  // per stratum, its share of the corpus, and the cumulative share in
+  // descending token order ("the top k strata cover X% of tokens").
+  // One shuffle to the (source, lang) aggregate; the single-row total
+  // broadcasts; the cumulative window runs over the tiny stratum frame.
+  val tokenBudget = QueryDef.oracled(
+    "corpus_token_budget",
+    """WITH t AS (SELECT source, lang,
+      |            len(regexp_extract_all(lower(text),
+      |                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')) AS toks
+      |            FROM documents),
+      |g AS (SELECT source, lang, count(*) AS n_docs,
+      |        CAST(sum(toks) AS BIGINT) AS n_tokens
+      |      FROM t GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM g)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / tt AS token_share,
+      |  CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+      |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tt
+      |    AS cum_share
+      |FROM g, tot
+      |ORDER BY n_tokens DESC, source, lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0))).as("toks"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).cast("double").as("tt"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tt")).as("token_share"),
+        (sum(col("n_tokens")).over(w).cast("double") / col("tt"))
+          .as("cum_share"))
+      .orderBy(col("n_tokens").desc, col("source"), col("lang"))
+  }
+
   // --- C6: per-source corpus statistics ------------------------------------
   // The rollup a data-curation dashboard reads: volume, language
   // spread and mean quality per source, one shuffle on source.
@@ -270,5 +311,5 @@ object TextAnalysis {
 
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
-      stratifiedSample, lengthHistogram, topTerms)
+      stratifiedSample, lengthHistogram, topTerms, tokenBudget)
 }

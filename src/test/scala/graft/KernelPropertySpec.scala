@@ -96,6 +96,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("srpSigSeeded: seed 0 equals srpSig; distinct seeds give independent families") {
+    val vecGen = Gen.listOfN(24, Gen.chooseNum(-4.0f, 4.0f))
+      .map(l => new GenericArrayData(l.toArray[Any]): ArrayData)
+    var agree = 0
+    var total = 0
+    forAll(vecGen, 60) { v =>
+      // the (seed, plane, dim) encoding degenerates to srpSig's at seed 0
+      assert(HashImpl.srpSigSeeded(v, 64, 0L) == HashImpl.srpSig(v, 64))
+      // determinism
+      assert(HashImpl.srpSigSeeded(v, 64, 7L) == HashImpl.srpSigSeeded(v, 64, 7L))
+      val a = HashImpl.srpSigSeeded(v, 64, 1L)
+      val b = HashImpl.srpSigSeeded(v, 64, 2L)
+      agree += 64 - java.lang.Long.bitCount(a ^ b)
+      total += 64
+    }
+    // independent hyperplane families agree on ~half the bits for the
+    // same vector (they are different projections, not copies)
+    val frac = agree.toDouble / total
+    assert(frac > 0.3 && frac < 0.7, s"cross-seed bit agreement $frac")
+  }
+
   test("simhash hamming distance grows with token divergence") {
     val base = (0 until 50).map(i => s"tok$i")
     val s0 = HashImpl.simhash64(arr(base))
