@@ -26,10 +26,15 @@ object GraftCatalog {
     * `graft_dedup_clusters`/`graft_corpus_keepers`, whose iterative
     * label propagation materializes while registering.
     */
-  def registerQueryViews(spark: SparkSession, dir: String): Unit =
+  def registerQueryViews(spark: SparkSession, dir: String): Unit = {
+    // exclusion derived from the streaming registry itself, not a
+    // naming convention — a mis-classified query would either run its
+    // whole micro-batch replay eagerly here or silently vanish
+    val streamingNames = graft.streaming.Streaming.all.map(_.name).toSet
     SparkEntry.queries
-      .filter { case (name, _) => !name.startsWith("stream_") }
+      .filter { case (name, _) => !streamingNames.contains(name) }
       .foreach { case (name, fn) =>
         fn(spark, dir).createOrReplaceTempView(s"graft_$name")
       }
+  }
 }

@@ -191,6 +191,14 @@ object expressions {
     s"CAST(shiftrightunsigned($sigsCol[($t) div $perSig], " +
       s"$bandBits * (($t) % $perSig)) & ${(1 << bandBits) - 1} AS INT)"
   }
+
+  /** SQL snippet: the full per-table bucket-id list
+    * (`t·2^bandBits + band(t)` for every table) over the signature
+    * array column — the one encoding every SRP band join keys on.
+    */
+  def srpBandBucketsExpr(sigsCol: String, nTables: Int, bandBits: Int): String =
+    s"""transform(sequence(0, ${nTables - 1}), t ->
+       |  t * ${1 << bandBits} + ${srpBandExpr(sigsCol, "t", bandBits)})""".stripMargin
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))

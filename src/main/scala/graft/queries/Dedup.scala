@@ -308,10 +308,9 @@ object Dedup {
     // is the shared F.srpSigsArray/srpBandExpr contract.
     val bands = e
       .withColumn("sigs", F.srpSigsArray(col("embedding"), EmbTables, EmbBandBits))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${EmbTables - 1}), t ->
-           |  t * ${1 << EmbBandBits} + ${F.srpBandExpr("sigs", "t", EmbBandBits)})""".stripMargin))
-        .as("bucket"))
+      .select(col("vec_id"),
+        explode(expr(F.srpBandBucketsExpr("sigs", EmbTables, EmbBandBits)))
+          .as("bucket"))
     val cand = bands.as("x").join(bands.as("y"), Seq("bucket"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

@@ -97,10 +97,9 @@ object Similarity {
     // bit carving is the shared F.srpSigsArray/srpBandExpr contract
     val corpus = Tables.embeddings(s, d)
       .withColumn("sigs", F.srpSigsArray(col("embedding"), LshTables, LshBits))
-      .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, ${LshTables - 1}),
-           |  t -> t * ${mask + 1} + ${F.srpBandExpr("sigs", "t", LshBits)})""".stripMargin))
-        .as("bucket"))
+      .select(col("vec_id"),
+        explode(expr(F.srpBandBucketsExpr("sigs", LshTables, LshBits)))
+          .as("bucket"))
     // all XOR masks of hamming weight ≤ r over LshBits bits,
     // precomputed driver-side (37 ints for B=8, r=2)
     val probeMasks = (0 until (1 << LshBits))
@@ -223,15 +222,19 @@ object Similarity {
   // Similarity search over DERIVED features: each user's 24-dim
   // hour-of-day activity histogram (exact integer counts, float-exact
   // below 2²⁴), pairs with cosine ≥ 0.9 — the bot/sockpuppet-detection
-  // shape. Same SRP-band candidate generation as D5 (48 tables × 8
-  // bits ⇒ P(miss | cos=0.9) = (1−0.8564⁸)⁴⁸ ≈ 7e-8 per pair), exact
-  // cosine verify, so the output equals the brute-force oracle. The τ
-  // sits well above the dense all-positive-profile background
-  // (median pair cosine ≈ 0.75), unlike D5's τ — so here the bands
-  // genuinely prune.
+  // shape. All-positive count profiles make the background DENSE
+  // (median pair cosine ≈ 0.75 — everyone is awake in the daytime;
+  // centering only lowers the median, not the tail), which defeats
+  // similarity hashing: SRP bands sized to not miss τ=0.9 pairs still
+  // pass >99% of pairs (measured at sf0.01), i.e. LSH here is pure
+  // overhead, not pruning. The honest scale shape is a BLOCK-GRID
+  // exact pair join over the aggregated profile DIMENSION (one row
+  // per user, ≪ the fact table): group-pair equi-join keys spread the
+  // unavoidable quadratic work evenly across the cluster with bounded
+  // per-task memory — no broadcast of the profile frame, no
+  // nested-loop join, and the grid width is the parallelism dial.
   private val ActTau = 0.9
-  private val ActTables = 48
-  private val ActBandBits = 8
+  private val ActGrid = 8
   val activityPairs = QueryDef.oracled(
     "user_activity_pairs",
     s"""WITH prof AS (
@@ -248,28 +251,32 @@ object Similarity {
       |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
     val counts = (0 until 24).map(h =>
       sum(when(hour(col("ts")) === h, 1).otherwise(0)).cast("float").as(s"c$h"))
+    // tiny (one row of 24 floats per user) — materialize once, feed
+    // both join sides (three lazy copies would re-scan events 3×)
     val prof = Tables.events(s, d).groupBy(col("user_id"))
       .agg(counts.head, counts.tail: _*)
       .select(col("user_id"),
         array((0 until 24).map(h => col(s"c$h")): _*).as("p"))
-    val bands = prof
-      .withColumn("sigs", F.srpSigsArray(col("p"), ActTables, ActBandBits))
-      .select(col("user_id"), explode(expr(
-        s"""transform(sequence(0, ${ActTables - 1}), t ->
-           |  t * ${1 << ActBandBits} + ${F.srpBandExpr("sigs", "t", ActBandBits)})""".stripMargin))
-        .as("bucket"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("bucket"))
-      .filter(col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("user_a"), col("y.user_id").as("user_b"))
-      .distinct()
-    cand
-      .join(prof.select(col("user_id").as("user_a"), col("p").as("pa")),
-        Seq("user_a"))
-      .join(prof.select(col("user_id").as("user_b"), col("p").as("pb")),
-        Seq("user_b"))
+      .localCheckpoint()
+    import s.implicits._
+    // the grid: one row per unordered group pair (gi ≤ gj)
+    val gridPairs = (for { i <- 0 until ActGrid; j <- i until ActGrid }
+      yield (i, j)).toDF("ga", "gb")
+    val a = prof.select(col("user_id").as("user_a"), col("p").as("pa"),
+      pmod(col("user_id"), lit(ActGrid)).cast("int").as("ga"))
+    val b = prof.select(col("user_id").as("user_b"), col("p").as("pb"),
+      pmod(col("user_id"), lit(ActGrid)).cast("int").as("gb"))
+    a.join(broadcast(gridPairs), Seq("ga"))
+      .join(b, Seq("gb"))
+      // cross-group pairs appear exactly once (min group drives ga);
+      // same-group pairs appear in both orders — keep one
+      .filter(col("ga") < col("gb") || col("user_a") < col("user_b"))
       .withColumn("cosine", F.cosine_sim(col("pa"), col("pb")))
       .filter(col("cosine") >= ActTau && !isnan(col("cosine")))
-      .select(col("user_a"), col("user_b"), col("cosine"))
+      // normalize to user_a < user_b (cosine is symmetric)
+      .select(least(col("user_a"), col("user_b")).as("user_a"),
+        greatest(col("user_a"), col("user_b")).as("user_b"),
+        col("cosine"))
   }
 
   def all: Seq[QueryDef] = Seq(

@@ -26,6 +26,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("batch queries register as SQL views") {
+    // on the SHARED session (a throwaway session would pin a second
+    // persisted shingle cache for the rest of the test JVM)
+    GraftCatalog.registerQueryViews(spark, sf)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft_kv_snapshot").head().getAs[Long]("n") > 0)
+    assert(spark.catalog.tableExists("graft_corpus_token_budget"))
+    assert(!spark.catalog.tableExists("graft_stream_change_feed"))
+  }
+
   test("driver-facing media_features output has no array columns") {
     import org.apache.spark.sql.types.ArrayType
     val df = SparkEntry.queries("media_features")(spark, sf)
@@ -66,10 +76,7 @@ class MultimodalSpec extends AnyFunSuite {
         """SELECT count(*) AS n, count(DISTINCT fingerprint64(text)) AS nf
           |FROM documents""".stripMargin).head()
       assert(agg.getAs[Long]("n") > 0 && agg.getAs[Long]("nf") > 0)
-      // batch queries as SQL views (spot-check one cheap view)
-      GraftCatalog.registerQueryViews(s2, sf)
-      assert(s2.sql(
-        "SELECT count(*) AS n FROM graft_kv_snapshot").head().getAs[Long]("n") > 0)
+      ()
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
