@@ -78,25 +78,25 @@ object Coordination {
     * md5-of-sorted-list digest's per-namespace sort becomes the bound.
     * Both digests ship: md5 for watcher parity, hashsum for scale.
     */
-  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
-  private val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
-  private def fpUnsigned(k: Column): Column = {
+  private[graft] val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+  private[graft] val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
+  private[graft] def fpUnsigned(k: Column): Column = {
     val fp = graft.functions.expressions.fingerprint64(k)
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))
     when(fp < 0, fp + two64).otherwise(fp)
   }
-  private def toSigned64(m: Column): Column =
+  private[graft] def toSigned64(m: Column): Column =
     when(m >= two63, m - two64).otherwise(m).cast("long")
 
   /** DuckDB twin of the hashsum: HUGEINT fingerprint fold per key,
     * summed mod 2⁶⁴, signed-cast (same idiom as the C4 oracle).
     */
-  private val hashsumSql =
+  private[graft] val hashsumSql =
     """list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |          list_transform(regexp_extract_all(k, '[\s\S]'),
       |                         c -> CAST(ord(c) AS HUGEINT))),
       |          (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
-  private val signedSql = (m: String) =>
+  private[graft] val signedSql = (m: String) =>
     s"""CAST($m - CASE WHEN $m >= CAST('9223372036854775808' AS HUGEINT)
       |                THEN CAST('18446744073709551616' AS HUGEINT)
       |                ELSE 0 END AS BIGINT)""".stripMargin

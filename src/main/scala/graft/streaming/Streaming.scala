@@ -368,6 +368,59 @@ object Streaming {
       sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
   }
 
+  // --- A22: streaming key-set change feed ----------------------------------
+  // A5 (KeySetChangeListener) under the streaming contract: daily key
+  // sets accumulate in a watermark-bounded windowed collect_set and
+  // emit once the day closes; the digest/compare stage (canonical
+  // sorted-md5 + commutative fingerprint hashsum, shared with A3/A5)
+  // runs downstream over the closed ticks. Oracle = A5 restricted to
+  // closed days — the lag chain over earlier ticks is unchanged by
+  // dropping the still-open tail.
+  val keysetFeed = QueryDef.oracled(
+    "stream_keyset_feed", {
+      import graft.queries.Coordination.{hashsumSql, signedSql}
+      s"""WITH logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+        |ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
+        |              CAST(user_id AS VARCHAR) AS k
+        |       FROM events, logend
+        |       WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= e),
+        |h AS (SELECT event_type, tick, k, $hashsumSql AS hk FROM ks),
+        |d AS (SELECT event_type, tick,
+        |             md5(string_agg(k, ',' ORDER BY k)) AS digest,
+        |             count(*) AS n_keys,
+        |             sum(hk) % CAST('18446744073709551616' AS HUGEINT) AS m
+        |      FROM h GROUP BY event_type, tick),
+        |w AS (SELECT *, lag(digest) OVER (PARTITION BY event_type
+        |                                  ORDER BY tick) AS prev FROM d)
+        |SELECT event_type AS namespace, tick, n_keys, digest,
+        |       ${signedSql("m")} AS hashsum
+        |FROM w WHERE prev IS NULL OR digest <> prev
+        |ORDER BY namespace, tick""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.{Coordination => C}
+    val closedDaily = runToMemory(s,
+      eventStream(s, d).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(collect_set(col("user_id").cast("string")).as("ks")),
+      OutputMode.Append)
+      .select(col("event_type"), col("window.start").as("tick"), col("ks"))
+    closedDaily
+      .select(col("event_type"), col("tick"),
+        size(col("ks")).cast("long").as("n_keys"),
+        md5(concat_ws(",", sort_array(col("ks")))).as("digest"),
+        C.toSigned64(aggregate(col("ks"),
+          lit(new java.math.BigDecimal(0)).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)),
+          (acc, k) => acc + C.fpUnsigned(k)) % C.two64).as("hashsum"))
+      .withColumn("prev", lag(col("digest"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("tick"))))
+      .filter(col("prev").isNull || col("digest") =!= col("prev"))
+      .select(col("event_type").as("namespace"), col("tick"), col("n_keys"),
+        col("digest"), col("hashsum"))
+      .orderBy(col("namespace"), col("tick"))
+  }
+
   // --- A21: streaming rolling-window anomaly feed --------------------------
   // B19 under the streaming contract: the stream emits each hourly
   // count once its window is watermark-closed (append mode), and the
@@ -577,5 +630,5 @@ object Streaming {
 
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
-    dedupMinhash, sessionWindows, hourlyAnomalies)
+    dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed)
 }

@@ -54,6 +54,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("stateful streaming runs unchanged on the RocksDB state store") {
+    // the production state-store provider (HDFSBackedStateStore is the
+    // local default); same keyed-state semantics, disk-backed — prove
+    // the operators run on it, not just claim they would
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = SparkEntry.queries("stream_dedup_exact")(spark, sf)
+        .collect().map(r => (r.getAs[String]("content_hash"),
+          r.getAs[Long]("keeper_doc_id"))).toSet
+      val batch = SparkEntry.queries("dedup_exact")(spark, sf)
+        .collect().map(r => (r.getAs[String]("content_hash"),
+          r.getAs[Long]("keeper_doc_id"))).toSet
+      assert(rocks === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("upsert sink merges correctly across MULTIPLE micro-batches") {
     // the single-file harness replay runs one batch and never exercises
     // the read-merge-overwrite branch; split the events into 4 files and
