@@ -151,16 +151,13 @@ object Coordination {
         col("ts"), col("event_id"), col("value"))
   }
 
-  // --- A5: key-set change feed (KeySetChangeListener.keySetChanged) ------
-  // Poll tick = day of event time; a tick fires when the canonical sorted
-  // key-set digest differs from the previous tick's. The commutative
-  // hashsum ships alongside (change detection itself could lag-compare
-  // either; the md5 stays the watcher-parity canonical form).
-  val keysetChangeFeed = QueryDef.oracled(
-    "keyset_change_feed",
-    s"""WITH ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
-      |                   CAST(user_id AS VARCHAR) AS k FROM events),
-      |h AS (SELECT event_type, tick, k, $hashsumSql AS hk FROM ks),
+  /** Shared digest/lag/compare tail over a `ks(event_type, tick, k)`
+    * CTE — the single SQL source of the keyset-feed semantics, used by
+    * A5 and the streaming twin (A22) so the digest details (separator,
+    * hashsum, tiebreak) cannot drift apart.
+    */
+  private[graft] val keysetFeedTailSql =
+    s"""h AS (SELECT event_type, tick, k, $hashsumSql AS hk FROM ks),
       |d AS (SELECT event_type, tick,
       |             md5(string_agg(k, ',' ORDER BY k)) AS digest,
       |             count(*) AS n_keys,
@@ -171,24 +168,44 @@ object Coordination {
       |SELECT event_type AS namespace, tick, n_keys, digest,
       |       ${signedSql("m")} AS hashsum
       |FROM w WHERE prev IS NULL OR digest <> prev
-      |ORDER BY namespace, tick""".stripMargin) { (s, d) =>
-    ev(s, d)
-      .select(col("event_type"), date_trunc("day", col("ts")).as("tick"),
-        col("user_id").cast("string").as("k"))
-      .distinct()
-      .groupBy(col("event_type"), col("tick"))
-      .agg(collect_set(col("k")).as("ks"),
-        sum(fpUnsigned(col("k"))).as("hsum"))
+      |ORDER BY namespace, tick""".stripMargin
+
+  /** The Spark twin of [[keysetFeedTailSql]]: digest + lag-compare over
+    * an `(event_type, tick, ks: array<string>)` frame.
+    */
+  private[graft] def keysetDigestStage(daily: DataFrame): DataFrame =
+    daily
       .select(col("event_type"), col("tick"),
         size(col("ks")).cast("long").as("n_keys"),
         md5(concat_ws(",", sort_array(col("ks")))).as("digest"),
-        toSigned64(col("hsum") % two64).as("hashsum"))
+        toSigned64(aggregate(col("ks"),
+          lit(java.math.BigDecimal.ZERO)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          (acc, k) => acc + fpUnsigned(k)) % two64).as("hashsum"))
       .withColumn("prev", lag(col("digest"), 1).over(
         Window.partitionBy(col("event_type")).orderBy(col("tick"))))
       .filter(col("prev").isNull || col("digest") =!= col("prev"))
       .select(col("event_type").as("namespace"), col("tick"), col("n_keys"),
         col("digest"), col("hashsum"))
       .orderBy(col("namespace"), col("tick"))
+
+  // --- A5: key-set change feed (KeySetChangeListener.keySetChanged) ------
+  // Poll tick = day of event time; a tick fires when the canonical sorted
+  // key-set digest differs from the previous tick's. The commutative
+  // hashsum ships alongside (change detection itself could lag-compare
+  // either; the md5 stays the watcher-parity canonical form).
+  val keysetChangeFeed = QueryDef.oracled(
+    "keyset_change_feed",
+    s"""WITH ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
+      |                   CAST(user_id AS VARCHAR) AS k FROM events),
+      |$keysetFeedTailSql""".stripMargin) { (s, d) =>
+    keysetDigestStage(
+      ev(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("tick"),
+          col("user_id").cast("string").as("k"))
+        .distinct()
+        .groupBy(col("event_type"), col("tick"))
+        .agg(collect_set(col("k")).as("ks")))
   }
 
   /** Shared TTL-gap sessionization: each (resource, candidate)'s events

@@ -377,48 +377,20 @@ object Streaming {
   // closed days — the lag chain over earlier ticks is unchanged by
   // dropping the still-open tail.
   val keysetFeed = QueryDef.oracled(
-    "stream_keyset_feed", {
-      import graft.queries.Coordination.{hashsumSql, signedSql}
-      s"""WITH logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
-        |ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
-        |              CAST(user_id AS VARCHAR) AS k
-        |       FROM events, logend
-        |       WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= e),
-        |h AS (SELECT event_type, tick, k, $hashsumSql AS hk FROM ks),
-        |d AS (SELECT event_type, tick,
-        |             md5(string_agg(k, ',' ORDER BY k)) AS digest,
-        |             count(*) AS n_keys,
-        |             sum(hk) % CAST('18446744073709551616' AS HUGEINT) AS m
-        |      FROM h GROUP BY event_type, tick),
-        |w AS (SELECT *, lag(digest) OVER (PARTITION BY event_type
-        |                                  ORDER BY tick) AS prev FROM d)
-        |SELECT event_type AS namespace, tick, n_keys, digest,
-        |       ${signedSql("m")} AS hashsum
-        |FROM w WHERE prev IS NULL OR digest <> prev
-        |ORDER BY namespace, tick""".stripMargin
-    }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    import graft.queries.{Coordination => C}
+    "stream_keyset_feed",
+    s"""WITH logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |ks AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS tick,
+      |              CAST(user_id AS VARCHAR) AS k
+      |       FROM events, logend
+      |       WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= e),
+      |${graft.queries.Coordination.keysetFeedTailSql}""".stripMargin) { (s, d) =>
     val closedDaily = runToMemory(s,
       eventStream(s, d).withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(collect_set(col("user_id").cast("string")).as("ks")),
       OutputMode.Append)
       .select(col("event_type"), col("window.start").as("tick"), col("ks"))
-    closedDaily
-      .select(col("event_type"), col("tick"),
-        size(col("ks")).cast("long").as("n_keys"),
-        md5(concat_ws(",", sort_array(col("ks")))).as("digest"),
-        C.toSigned64(aggregate(col("ks"),
-          lit(new java.math.BigDecimal(0)).cast(
-            org.apache.spark.sql.types.DecimalType(38, 0)),
-          (acc, k) => acc + C.fpUnsigned(k)) % C.two64).as("hashsum"))
-      .withColumn("prev", lag(col("digest"), 1).over(
-        Window.partitionBy(col("event_type")).orderBy(col("tick"))))
-      .filter(col("prev").isNull || col("digest") =!= col("prev"))
-      .select(col("event_type").as("namespace"), col("tick"), col("n_keys"),
-        col("digest"), col("hashsum"))
-      .orderBy(col("namespace"), col("tick"))
+    graft.queries.Coordination.keysetDigestStage(closedDaily)
   }
 
   // --- A21: streaming rolling-window anomaly feed --------------------------

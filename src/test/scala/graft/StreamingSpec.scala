@@ -63,6 +63,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // flatMapGroupsWithState-shaped state ...
       val rocks = SparkEntry.queries("stream_dedup_exact")(spark, sf)
         .collect().map(r => (r.getAs[String]("content_hash"),
           r.getAs[Long]("keeper_doc_id"))).toSet
@@ -70,6 +71,15 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getAs[String]("content_hash"),
           r.getAs[Long]("keeper_doc_id"))).toSet
       assert(rocks === batch)
+      // ... and windowed-aggregation state (collect_set buffers) too
+      val feedRocks = SparkEntry.queries("stream_keyset_feed")(spark, sf)
+        .collect().map(r => (r.getAs[String]("namespace"),
+          r.getAs[java.sql.Timestamp]("tick"), r.getAs[String]("digest"))).toSet
+      spark.conf.unset(key)
+      val feedDefault = SparkEntry.queries("stream_keyset_feed")(spark, sf)
+        .collect().map(r => (r.getAs[String]("namespace"),
+          r.getAs[java.sql.Timestamp]("tick"), r.getAs[String]("digest"))).toSet
+      assert(feedRocks === feedDefault)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
