@@ -104,7 +104,7 @@ object Streaming {
     // parallelism; state is keyed, so the semantics don't change).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(8, prev.toInt).toString)
+      math.min(4, prev.toInt).toString)
     val q =
       try frame.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
