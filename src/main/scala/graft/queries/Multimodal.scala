@@ -15,6 +15,10 @@ case class MediaFeatures(
     doc_id: Long, format: String, n_bytes: Int,
     width: Int, height: Int, features: Array[Double])
 
+/** One sampled frame: byte window of the payload at a fixed offset. */
+case class MediaFrame(
+    doc_id: Long, frame_idx: Int, frame_offset: Long, frame: Array[Byte])
+
 /** Multimodal plumbing (SURVEY §2.F1): image/audio/video as opaque
   * binary columns with typed metadata, decoded batch-wise inside the
   * executors.
@@ -88,5 +92,53 @@ object Multimodal {
           .as("features_digest"))
   }
 
-  def all: Seq[QueryDef] = Seq(mediaFeatures)
+  // --- F2: frame sampling -------------------------------------------------
+  private val FramesPerItem = 4
+  private val FrameBytes = 256
+
+  /** Deterministic frame sampler standing in for an ffmpeg-style
+    * keyframe extraction: k fixed-size byte windows at evenly spaced
+    * offsets of the opaque payload. One-to-many row fan-out with the
+    * same batched-decode plumbing as F1; a real implementation replaces
+    * ONLY the window arithmetic with actual frame boundaries.
+    */
+  private def sampleFrames(batch: Seq[MediaItem]): Seq[MediaFrame] =
+    batch.flatMap { m =>
+      val n = m.payload.length
+      val k = math.min(FramesPerItem, math.max(1, n / FrameBytes))
+      (0 until k).map { i =>
+        // evenly spaced, clamped so the last window fits
+        val off = math.min((n.toLong * i) / k, math.max(0, n - FrameBytes).toLong)
+        val len = math.min(FrameBytes, n - off.toInt)
+        MediaFrame(m.doc_id, i, off,
+          java.util.Arrays.copyOfRange(m.payload, off.toInt, off.toInt + len))
+      }
+    }
+
+  /** Raw frame rows (binary column) — the library surface; the
+    * driver-facing query projects scalars.
+    */
+  def mediaFramesRaw(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val items = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("media/"), col("source")).as("format"),
+        octet_length(encode(col("text"), "UTF-8")).cast("int").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaItem]
+      .repartition(col("doc_id"))
+    items.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => sampleFrames(batch.toSeq))
+    }.toDF()
+  }
+
+  val mediaFrames = QueryDef.rowsOnly("media_frame_sample") { (s, d) =>
+    mediaFramesRaw(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+        octet_length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames)
 }

@@ -26,6 +26,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("media_frame_sample: bounded windows, deterministic, no array/binary in driver output") {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    val raw = queries.Multimodal.mediaFramesRaw(spark, sf)
+    val rows = raw.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val frame = r.getAs[Array[Byte]]("frame")
+      assert(frame.length <= 256 && frame.length > 0)
+      assert(r.getAs[Long]("frame_offset") >= 0)
+    }
+    // ≤4 frames per doc, indices dense from 0
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { fs =>
+      val idx = fs.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idx.length <= 4 && idx.sameElements(idx.indices))
+    }
+    val driver = SparkEntry.queries("media_frame_sample")(spark, sf)
+    assert(!driver.schema.exists(f =>
+      f.dataType.isInstanceOf[ArrayType] || f.dataType == BinaryType))
+    assert(driver.count() == rows.length)
+  }
+
   test("batch queries register as SQL views") {
     // on the SHARED session (a throwaway session would pin a second
     // persisted shingle cache for the rest of the test JVM)
