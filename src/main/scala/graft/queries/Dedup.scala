@@ -432,7 +432,9 @@ object Dedup {
   // downstream. Left-join of the corpus against the (tiny) cluster
   // map — AQE broadcasts it; at 100 TB the dup-cluster map is still
   // orders of magnitude smaller than the corpus, so the plan shape
-  // (big-scan ⋈ small-map) holds.
+  // (big-scan ⋈ small-map) holds. Standalone, this recomputes D7's
+  // propagation; a warehouse deployment writes the cluster map once
+  // (a staging table) and this query joins against it.
   val keepers = QueryDef.oracled(
     "corpus_keepers",
     s"""WITH RECURSIVE $clusterCteSql

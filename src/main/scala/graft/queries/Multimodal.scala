@@ -65,19 +65,27 @@ object Multimodal {
     * to scalars (dims + digest) because the harness canonicalizer
     * cannot sort array cells.
     */
-  def mediaFeaturesRaw(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** The shared synthetic-media item source: doc text bytes as opaque
+    * payload, format from source, decode work balanced across
+    * executors regardless of source skew. Single definition so F1 and
+    * F2 cannot drift onto divergent item sets.
+    */
+  private def mediaItems(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaItem] = {
     import s.implicits._
-    val items = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        // synthetic media: the doc text bytes as payload, format from source
         concat(lit("media/"), col("source")).as("format"),
         octet_length(encode(col("text"), "UTF-8")).cast("int").as("n_bytes"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaItem]
-      // balance decode work across executors regardless of source skew
       .repartition(col("doc_id"))
-    items.mapPartitions { it =>
+  }
+
+  def mediaFeaturesRaw(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    mediaItems(s, d).mapPartitions { it =>
       it.grouped(BatchSize).flatMap(batch => decodeBatch(batch.toSeq))
     }.toDF()
   }
@@ -105,7 +113,8 @@ object Multimodal {
   private def sampleFrames(batch: Seq[MediaItem]): Seq[MediaFrame] =
     batch.flatMap { m =>
       val n = m.payload.length
-      val k = math.min(FramesPerItem, math.max(1, n / FrameBytes))
+      // empty payload → zero frames (a 0-byte "frame" is not a frame)
+      val k = if (n == 0) 0 else math.min(FramesPerItem, math.max(1, n / FrameBytes))
       (0 until k).map { i =>
         // evenly spaced, clamped so the last window fits
         val off = math.min((n.toLong * i) / k, math.max(0, n - FrameBytes).toLong)
@@ -121,14 +130,7 @@ object Multimodal {
   def mediaFramesRaw(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val items = Tables.documents(s, d)
-      .select(col("doc_id"),
-        concat(lit("media/"), col("source")).as("format"),
-        octet_length(encode(col("text"), "UTF-8")).cast("int").as("n_bytes"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaItem]
-      .repartition(col("doc_id"))
-    items.mapPartitions { it =>
+    mediaItems(s, d).mapPartitions { it =>
       it.grouped(BatchSize).flatMap(batch => sampleFrames(batch.toSeq))
     }.toDF()
   }
