@@ -469,6 +469,17 @@ object Streaming {
   // as a batch stage over the candidate set — the standard
   // cheap-streaming-filter + exact-batch-verify split. Output ≡ D2/D3
   // (LSH miss ≈ 5e-8) → same oracle SQL.
+  //
+  // Hot-bucket cap (the streaming analogue of D2b's DF cap): a bucket
+  // whose seen-list reaches MaxBucketDocs saturates — it stops
+  // accumulating and emitting. A saturated bucket is boilerplate (many
+  // dissimilar docs sharing one band value), whose pairs are almost all
+  // false positives; a genuine near-dup pair agrees on ~26 of 32 bands
+  // (j=0.8), so losing a few saturated ones leaves its detection odds
+  // intact. Bounds both per-key state and the O(|bucket|) emission per
+  // arrival. Never reached on the test corpus (max co-bucket count ≪
+  // cap) — the oracle still sees the exact answer.
+  private val MaxBucketDocs = 128
   val dedupMinhash = QueryDef.oracled(
     "stream_dedup_minhash", graft.queries.Dedup.jaccard08OracleSql) { (s, d) =>
     import s.implicits._
@@ -494,14 +505,18 @@ object Streaming {
           else {
             val batch = it.toSeq
             var seen = state.getOption.getOrElse(Nil)
+            var nSeen = seen.size
             val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
             // doc_id order stands in for arrival order inside a batch
             batch.map(_.doc_id).sorted.foreach { id =>
-              seen.foreach { prev =>
-                if (prev != id)
-                  out += CandidatePair(math.min(prev, id), math.max(prev, id))
-              }
-              seen = id :: seen
+              if (nSeen < MaxBucketDocs) {
+                seen.foreach { prev =>
+                  if (prev != id)
+                    out += CandidatePair(math.min(prev, id), math.max(prev, id))
+                }
+                seen = id :: seen
+                nSeen += 1
+              } // else: saturated boilerplate bucket — stop tracking
             }
             state.update(seen)
             state.setTimeoutTimestamp(
