@@ -63,6 +63,28 @@ class SimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Double]("centroid_norm") > 0.0))
   }
 
+  test("srpBandBucketsExpr carves exactly the bits srpSigSeeded lays out") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{expressions => F}
+    val (nTables, bandBits) = (24, 4) // non-trivial: 1.5 sigs worth
+    val got = Tables.embeddings(spark, sf).limit(20)
+      .withColumn("sigs", F.srpSigsArray(col("embedding"), nTables, bandBits))
+      .select(col("sigs"),
+        expr(F.srpBandBucketsExpr("sigs", nTables, bandBits)).as("buckets"))
+      .collect()
+    got.foreach { r =>
+      val sigs = r.getAs[scala.collection.Seq[Long]]("sigs")
+      val buckets = r.getAs[scala.collection.Seq[Int]]("buckets")
+      assert(buckets.length == nTables)
+      val perSig = 64 / bandBits
+      (0 until nTables).foreach { t =>
+        val band = ((sigs(t / perSig) >>> (bandBits * (t % perSig)))
+          & ((1 << bandBits) - 1)).toInt
+        assert(buckets(t) == t * (1 << bandBits) + band, s"table $t")
+      }
+    }
+  }
+
   test("knn_quantized (int8) recall vs float brute force is near-perfect") {
     val got = neighbors("knn_quantized")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
