@@ -223,18 +223,159 @@ object Similarity {
   // hour-of-day activity histogram (exact integer counts, float-exact
   // below 2²⁴), pairs with cosine ≥ 0.9 — the bot/sockpuppet-detection
   // shape. All-positive count profiles make the background DENSE
-  // (median pair cosine ≈ 0.75 — everyone is awake in the daytime;
-  // centering only lowers the median, not the tail), which defeats
-  // similarity hashing: SRP bands sized to not miss τ=0.9 pairs still
-  // pass >99% of pairs (measured at sf0.01), i.e. LSH here is pure
-  // overhead, not pruning. The honest scale shape is a BLOCK-GRID
-  // exact pair join over the aggregated profile DIMENSION (one row
-  // per user, ≪ the fact table): group-pair equi-join keys spread the
-  // unavoidable quadratic work evenly across the cluster with bounded
-  // per-task memory — no broadcast of the profile frame, no
-  // nested-loop join, and the grid width is the parallelism dial.
+  // (median pair cosine ≈ 0.75 — everyone is awake in the daytime)
+  // and nearly ISOTROPIC (top second-moment eigenvalue after the mean
+  // direction carries < 8% of variance), which defeats every
+  // enumeration-level pruning we measured at sf0.01: SRP bands sized
+  // to not miss τ=0.9 still pass > 99% of pairs, per-coordinate /
+  // pivot window joins pass 100% (any 1-Lipschitz scalar's spread
+  // ≈ 0.3 < the τ=0.9 distance threshold √0.2 ≈ 0.447), and k-means
+  // triangle-inequality cell pruning passes ≥ 95%. Pair ENUMERATION
+  // is therefore honestly quadratic — as is the OUTPUT itself on this
+  // background (0.25% of all pairs qualify) — and the block grid
+  // spreads it evenly with bounded per-task memory.
+  //
+  // What CAN be cut exactly is the heavy per-pair work: a Cauchy-
+  // Schwarz upper bound on a k-dim orthonormal projection,
+  //   cos(a,b) = ⟨Pa,Pb⟩ + ⟨ra,rb⟩ ≤ ⟨Pa,Pb⟩ + ‖ra‖·‖rb‖,
+  // prunes 86% of pairs at sf0.01 (k=12) from full-vector scoring
+  // and, being a bound, provably never drops a qualifying pair. The
+  // basis is the top-k eigenvectors of the corpus second-moment
+  // (Gram) matrix: one distributed vector_avg aggregation over
+  // per-row outer products (24×24 doubles — a constant-size result),
+  // eigendecomposed on the driver by a deterministic cyclic Jacobi
+  // sweep. The grid shuffle then carries only (user_id, 12-float
+  // projection, residual norm) — half the profile bytes — and the 14%
+  // survivors re-fetch raw profiles by equi-join for exact scoring.
   private val ActTau = 0.9
-  private val ActGrid = 8
+  private val ActPcaK = 12
+  // fp safety margin on the bound: float projections/dots round at
+  // ~1e-6; a pair is only ever EXTRA-evaluated by widening, never lost
+  private val ActBoundMargin = 1e-4
+  /** Grid width: smallest G whose G(G+1)/2 unordered block pairs cover
+    * the session's shuffle parallelism (the dial a cluster deployment
+    * turns via spark.sql.shuffle.partitions — 32 local → G=8).
+    */
+  private def actGrid(s: SparkSession): Int = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    math.max(2, math.ceil((math.sqrt(8.0 * sp + 1) - 1) / 2).toInt)
+  }
+
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * d×d matrix (fixed sweep order, fixed tolerance — same input,
+    * same output, every run). Returns the top-k eigenvectors by
+    * descending eigenvalue, rows unit-norm, mutually orthogonal to
+    * ~1e-12 (the Cauchy-Schwarz bound needs orthonormality, which
+    * Jacobi delivers by construction; eigenvalue ORDER only affects
+    * pruning power, not correctness).
+    */
+  private[graft] def jacobiTopK(g: Array[Array[Double]], k: Int): Array[Array[Float]] = {
+    val d = g.length
+    val a = Array.tabulate(d, d)((i, j) => g(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-24) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (0 until d).sortBy(j => -a(j)(j)).take(k)
+      .map(j => Array.tabulate(d)(i => v(i)(j).toFloat)).toArray
+  }
+  /** One (user_id, 24-float raw profile `p`, unit profile `x`) row per
+    * user — tiny relative to the fact table; materialized once and fed
+    * to the Gram pass, the projection pass, and both re-fetch sides
+    * (four lazy copies would re-scan events 4×).
+    */
+  private[graft] def activityProfiles(s: SparkSession, d: String): DataFrame = {
+    val counts = (0 until 24).map(h =>
+      sum(when(hour(col("ts")) === h, 1).otherwise(0)).cast("float").as(s"c$h"))
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("user_id"),
+        array((0 until 24).map(h => col(s"c$h")): _*).as("p"))
+      .withColumn("nrm", F.l2norm(col("p")))
+      .withColumn("x", expr("transform(p, v -> CAST(v / nrm AS FLOAT))"))
+      .drop("nrm")
+      .localCheckpoint()
+  }
+
+  /** Grid-enumerated pairs surviving the exact Cauchy-Schwarz bound —
+    * the pre-full-cosine candidate set (spec-measured < 50% of all
+    * pairs; 14% at sf0.01). `prof` must be [[activityProfiles]].
+    */
+  private[graft] def activityCandidatePairs(s: SparkSession, prof: DataFrame): DataFrame = {
+    // second-moment (Gram) matrix: ONE distributed aggregation whose
+    // result is a constant 24×24 doubles — the only driver collect
+    val gram = prof
+      .withColumn("xx", expr(
+        "flatten(transform(x, a -> transform(x, b -> CAST(a * b AS FLOAT))))"))
+      .agg(graft.functions.VectorAvgAgg.vector_avg(col("xx")).as("g"))
+      .head().getSeq[Double](0)
+    val basis = jacobiTopK(Array.tabulate(24, 24)((i, j) => gram(i * 24 + j)), ActPcaK)
+    val feat = prof
+      .withColumn("proj", array(
+        basis.map(row => F.dot_product(col("x"), typedlit(row)).cast("float")): _*))
+      // ‖r‖² = ⟨x,x⟩ − ⟨Px,Px⟩ (not 1 − ⟨Px,Px⟩: x is float-rounded,
+      // so use its actual norm — keeps the bound valid to fp noise)
+      .withColumn("resid", sqrt(greatest(lit(0.0),
+        F.dot_product(col("x"), col("x")) - F.dot_product(col("proj"), col("proj")))))
+      .select(col("user_id"), col("proj"), col("resid"))
+    val grid = actGrid(s)
+    import s.implicits._
+    // the grid: one row per unordered group pair (gi ≤ gj)
+    val gridPairs = (for { i <- 0 until grid; j <- i until grid }
+      yield (i, j)).toDF("ga", "gb")
+    val a = feat.select(col("user_id").as("user_a"), col("proj").as("proja"),
+      col("resid").as("resida"),
+      pmod(col("user_id"), lit(grid)).cast("int").as("ga"))
+    val b = feat.select(col("user_id").as("user_b"), col("proj").as("projb"),
+      col("resid").as("residb"),
+      pmod(col("user_id"), lit(grid)).cast("int").as("gb"))
+    a.join(broadcast(gridPairs), Seq("ga"))
+      .join(b, Seq("gb"))
+      // cross-group pairs appear exactly once (min group drives ga);
+      // same-group pairs appear in both orders — keep one
+      .filter(col("ga") < col("gb") || col("user_a") < col("user_b"))
+      // cos(a,b) ≤ ⟨Pa,Pb⟩ + ‖ra‖‖rb‖: below τ−margin can't qualify
+      .filter(F.dot_product(col("proja"), col("projb"))
+        + col("resida") * col("residb") >= ActTau - ActBoundMargin)
+      .select(col("user_a"), col("user_b"))
+  }
+
   val activityPairs = QueryDef.oracled(
     "user_activity_pairs",
     s"""WITH prof AS (
@@ -249,28 +390,13 @@ object Similarity {
       |SELECT user_a, user_b, cosine FROM s
       |WHERE cosine >= $ActTau AND NOT isnan(cosine)
       |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
-    val counts = (0 until 24).map(h =>
-      sum(when(hour(col("ts")) === h, 1).otherwise(0)).cast("float").as(s"c$h"))
-    // tiny (one row of 24 floats per user) — materialize once, feed
-    // both join sides (three lazy copies would re-scan events 3×)
-    val prof = Tables.events(s, d).groupBy(col("user_id"))
-      .agg(counts.head, counts.tail: _*)
-      .select(col("user_id"),
-        array((0 until 24).map(h => col(s"c$h")): _*).as("p"))
-      .localCheckpoint()
-    import s.implicits._
-    // the grid: one row per unordered group pair (gi ≤ gj)
-    val gridPairs = (for { i <- 0 until ActGrid; j <- i until ActGrid }
-      yield (i, j)).toDF("ga", "gb")
-    val a = prof.select(col("user_id").as("user_a"), col("p").as("pa"),
-      pmod(col("user_id"), lit(ActGrid)).cast("int").as("ga"))
-    val b = prof.select(col("user_id").as("user_b"), col("p").as("pb"),
-      pmod(col("user_id"), lit(ActGrid)).cast("int").as("gb"))
-    a.join(broadcast(gridPairs), Seq("ga"))
-      .join(b, Seq("gb"))
-      // cross-group pairs appear exactly once (min group drives ga);
-      // same-group pairs appear in both orders — keep one
-      .filter(col("ga") < col("gb") || col("user_a") < col("user_b"))
+    val prof = activityProfiles(s, d)
+    // survivors re-fetch raw profiles by equi-join (AQE broadcasts the
+    // tiny sides locally; hash join at scale) — the grid shuffle never
+    // carries the 24-float profiles, only (id, 12-float proj, resid)
+    activityCandidatePairs(s, prof)
+      .join(prof.select(col("user_id").as("user_a"), col("p").as("pa")), Seq("user_a"))
+      .join(prof.select(col("user_id").as("user_b"), col("p").as("pb")), Seq("user_b"))
       .withColumn("cosine", F.cosine_sim(col("pa"), col("pb")))
       .filter(col("cosine") >= ActTau && !isnan(col("cosine")))
       // normalize to user_a < user_b (cosine is symmetric)

@@ -100,4 +100,43 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVF nProbe=6/16 recall@5 = $recall")
     assert(recall >= 0.9, s"recall $recall too low")
   }
+
+  // sf0.01: the smallest SF with qualifying pairs (28), so both the
+  // pruning measurement and the lossless-bound check have teeth
+  test("user_activity_pairs: CS bound prunes >50% of pairs yet loses none") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val prof = queries.Similarity.activityProfiles(spark, dir)
+    val n = prof.count()
+    val total = n * (n - 1) / 2
+    val cand = queries.Similarity.activityCandidatePairs(spark, prof).count()
+    info(s"cheap-bound candidates: $cand of $total pairs " +
+      f"(${cand.toDouble / total * 100}%.1f%% fully scored)")
+    assert(cand.toDouble / total < 0.5,
+      s"bound no longer prunes: $cand of $total pairs fully scored")
+    // losslessness: query output == unpruned all-pairs reference
+    val got = SparkEntry.queries("user_activity_pairs")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b"))).toSet
+    val ref = prof.select(col("user_id").as("ua"), col("p").as("pa"))
+      .join(prof.select(col("user_id").as("ub"), col("p").as("pb")),
+        col("ua") < col("ub"))
+      .withColumn("cos", graft.functions.expressions.cosine_sim(col("pa"), col("pb")))
+      .filter(col("cos") >= 0.9 && !isnan(col("cos")))
+      .collect().map(r => (r.getAs[Long]("ua"), r.getAs[Long]("ub"))).toSet
+    assert(got == ref, s"pruned result diverges from all-pairs reference")
+    assert(got.size == 28)
+  }
+
+  test("jacobiTopK returns an orthonormal basis (bound validity)") {
+    // symmetric PSD test matrix with a known dominant structure
+    val d = 24
+    val m = Array.tabulate(d, d)((i, j) =>
+      1.0 / (1.0 + i + j) + (if (i == j) 2.0 + 0.1 * i else 0.0))
+    val v = queries.Similarity.jacobiTopK(m, 12)
+    for (a <- v.indices; b <- a until v.length) {
+      val dot = (0 until d).map(i => v(a)(i).toDouble * v(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6, s"rows $a,$b dot=$dot")
+    }
+  }
 }
