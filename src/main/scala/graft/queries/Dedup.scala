@@ -191,7 +191,10 @@ object Dedup {
   // which boilerplate-capping makes vanishingly rare; the spec checks
   // equality with D2 on the test corpus.
   private val MaxDf = 100
-  val ngramJaccardCapped = QueryDef.rowsOnly("dedup_ngram_jaccard_capped") { (s, d) =>
+  // output ≡ D2 (spec-checked) → oracled by the same exact-Jaccard SQL,
+  // the argument that already oracles the LSH paths (D3, A19)
+  val ngramJaccardCapped = QueryDef.oracled(
+    "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
     val sets = shingled(s, d) // cached+persisted by the shared loader
     val ex = sets
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))

@@ -181,14 +181,37 @@ object Similarity {
         .as("centroid"),
         count(lit(1)).as("n_vectors"))
 
-  val centroids = QueryDef.rowsOnly("embedding_centroids") { (s, d) =>
+  // Scalar-only driver projection, fully integerized: micro-unit BIGINT
+  // norm and an md5 over micro-unit BIGINT coordinates sidestep every
+  // float→string formatting divergence between engines, so the
+  // element-wise means (order-independent to the last bit: float
+  // addends in double accumulators round exactly) oracle bit-exact.
+  val centroids = QueryDef.oracled(
+    "embedding_centroids",
+    """WITH u AS (
+      |  SELECT label, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings),
+      |m AS (SELECT label, ord, sum(CAST(x AS DOUBLE)) / count(*) AS c
+      |      FROM u GROUP BY 1, 2),
+      |g AS (SELECT label, list(c ORDER BY ord) AS centroid FROM m GROUP BY label),
+      |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+      |SELECT n.label, n.n_vectors,
+      |  CAST(len(g.centroid) AS BIGINT) AS dim,
+      |  CAST(round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(g.centroid, x -> x * x)), (a, b) -> a + b)) * 1000000) AS BIGINT) AS norm_micro,
+      |  md5(array_to_string(list_transform(g.centroid,
+      |      x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')) AS centroid_digest
+      |FROM n JOIN g ON n.label = g.label
+      |ORDER BY n.label""".stripMargin) { (s, d) =>
     centroidsRaw(s, d)
       .select(col("label"), col("n_vectors"),
-        size(col("centroid")).as("dim"),
-        sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
-          .as("centroid_norm"),
+        size(col("centroid")).cast("bigint").as("dim"),
+        expr("""CAST(round(sqrt(aggregate(centroid, CAST(0 AS DOUBLE),
+                  (acc, x) -> acc + x * x)) * 1000000) AS BIGINT)""")
+          .as("norm_micro"),
         md5(concat_ws(",",
-          expr("transform(centroid, x -> CAST(round(x, 6) AS STRING))")))
+          expr("transform(centroid, x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING))")))
           .as("centroid_digest"))
       .orderBy(col("label"))
   }

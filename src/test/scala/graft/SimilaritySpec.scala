@@ -60,7 +60,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!df.schema.exists(_.dataType.isInstanceOf[ArrayType]))
     val rows = df.collect()
     assert(rows.length == queries.Similarity.centroidsRaw(spark, sf).count())
-    rows.foreach(r => assert(r.getAs[Double]("centroid_norm") > 0.0))
+    rows.foreach(r => assert(r.getAs[Long]("norm_micro") > 0L))
   }
 
   test("srpBandBucketsExpr carves exactly the bits srpSigSeeded lays out") {
