@@ -109,12 +109,16 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
   // ---- Leader election ---------------------------------------------------
 
   /** getLeader after full log replay with TTL semantics: the live
-    * candidate whose current session started first (CAS order).
+    * candidate whose current session started first (CAS order), WITH
+    * the winning claim's supplemental payload — the reference returns
+    * the pair, not just the owner
+    * (leader/election/CassandraLeaderElection.scala:64-69).
     */
-  def getLeader(resource: String): Option[Long] =
+  def getLeader(resource: String): Option[(Long, Double)] =
     graft.queries.Coordination.leaderElectionReplay
       .fn(spark, sfDir).filter(col("resource") === resource)
-      .select(col("leader")).collect().headOption.map(_.getLong(0))
+      .select(col("leader"), col("sup_data")).collect().headOption
+      .map(r => (r.getLong(0), r.getDouble(1)))
 
   /** Every leadership tenure of a resource over the log. */
   def tenures(resource: String): DataFrame =
@@ -125,10 +129,11 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * row, CassandraLeaderElection.scala:144-147): a candidate whose
     * live session ended in a resign is not a contender.
     */
-  def getLeaderResignAware(resource: String): Option[Long] =
+  def getLeaderResignAware(resource: String): Option[(Long, Double)] =
     graft.queries.Coordination.leaderElectionResign
       .fn(spark, sfDir).filter(col("resource") === resource)
-      .select(col("leader")).collect().headOption.map(_.getLong(0))
+      .select(col("leader"), col("sup_data")).collect().headOption
+      .map(r => (r.getLong(0), r.getDouble(1)))
 
   // ---- Group membership --------------------------------------------------
 

@@ -222,7 +222,7 @@ object Coordination {
       .orderBy(col("ts"), col("event_id"))
     ev(s, d)
       .select(col("event_type").as("resource"), col("user_id").as("candidate"),
-        col("ts"), col("event_id"), unix_micros(col("ts")).as("us"))
+        col("ts"), col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(byCandidate))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
@@ -231,20 +231,25 @@ object Coordination {
         byCandidate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("resource"), col("candidate"), col("sid"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_heartbeats"))
+        count(lit(1)).as("n_heartbeats"),
+        // the claim row's payload at the latest renew — the reference's
+        // getLeader returns (owner, sup_data), not just the owner
+        // (leader/election/CassandraLeaderElection.scala:64-69)
+        max_by(col("value"), array(col("us"), col("event_id"))).as("sup_data"))
   }
 
   private val sessionsSql =
     """sess AS (
       |  SELECT resource, candidate, sid,
       |         min(ts) AS session_start, max(ts) AS session_end,
-      |         count(*) AS n_heartbeats
+      |         count(*) AS n_heartbeats,
+      |         last(value ORDER BY ts, event_id) AS sup_data
       |  FROM (
       |    SELECT *, sum(new_s) OVER (PARTITION BY resource, candidate
       |                               ORDER BY ts, event_id
       |                               ROWS UNBOUNDED PRECEDING) AS sid
       |    FROM (
-      |      SELECT event_type AS resource, user_id AS candidate, ts, event_id,
+      |      SELECT event_type AS resource, user_id AS candidate, ts, event_id, value,
       |             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
       |                  THEN 1 ELSE 0 END AS new_s
@@ -265,7 +270,7 @@ object Coordination {
       |r AS (SELECT *, row_number() OVER (PARTITION BY resource
       |                ORDER BY session_start, candidate) AS rn FROM live)
       |SELECT resource, candidate AS leader, session_start AS leader_since,
-      |       n_heartbeats AS n_renewals
+      |       n_heartbeats AS n_renewals, sup_data
       |FROM r WHERE rn = 1 ORDER BY resource""".stripMargin) { (s, d) =>
     val sess = sessions(s, d)
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
@@ -277,7 +282,7 @@ object Coordination {
       .filter(col("rn") === 1)
       .select(col("resource"), col("candidate").as("leader"),
         col("session_start").as("leader_since"),
-        col("n_heartbeats").as("n_renewals"))
+        col("n_heartbeats").as("n_renewals"), col("sup_data"))
       .orderBy(col("resource"))
   }
 
@@ -469,7 +474,7 @@ object Coordination {
   val leaderElectionResign = QueryDef.oracled(
     "leader_election_resign",
     s"""WITH e AS (
-      |  SELECT event_type AS resource, user_id AS candidate, ts, event_id,
+      |  SELECT event_type AS resource, user_id AS candidate, ts, event_id, value,
       |         CASE WHEN $opSql = 0 THEN 1 ELSE 0 END AS del
       |  FROM events),
       |g AS (
@@ -487,7 +492,8 @@ object Coordination {
       |sess AS (
       |  SELECT resource, candidate, sid, min(ts) AS session_start,
       |         max(ts) AS session_end, count(*) AS n_heartbeats,
-      |         max(CASE WHEN is_last = 1 THEN del ELSE 0 END) AS resigned
+      |         max(CASE WHEN is_last = 1 THEN del ELSE 0 END) AS resigned,
+      |         last(value ORDER BY ts, event_id) AS sup_data
       |  FROM s GROUP BY resource, candidate, sid),
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
       |live AS (SELECT sess.* FROM sess, logend
@@ -495,14 +501,14 @@ object Coordination {
       |r AS (SELECT *, row_number() OVER (PARTITION BY resource
       |          ORDER BY session_start, candidate) AS rn FROM live)
       |SELECT resource, candidate AS leader, session_start AS leader_since,
-      |       n_heartbeats AS n_renewals
+      |       n_heartbeats AS n_renewals, sup_data
       |FROM r WHERE rn = 1 ORDER BY resource""".stripMargin) { (s, d) =>
     val byCandidate = Window
       .partitionBy(col("resource"), col("candidate"))
       .orderBy(col("ts"), col("event_id"))
     val sess = ev(s, d)
       .select(col("event_type").as("resource"), col("user_id").as("candidate"),
-        col("ts"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"), col("event_id"), col("value"), unix_micros(col("ts")).as("us"),
         when(op10 === 0, 1).otherwise(0).as("del"))
       .withColumn("prev_us", lag(col("us"), 1).over(byCandidate))
       .withColumn("prev_del", lag(col("del"), 1).over(byCandidate))
@@ -520,7 +526,8 @@ object Coordination {
       .groupBy(col("resource"), col("candidate"), col("sid"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_heartbeats"),
-        max(when(col("is_last") === 1, col("del")).otherwise(0)).as("resigned"))
+        max(when(col("is_last") === 1, col("del")).otherwise(0)).as("resigned"),
+        max_by(col("value"), array(col("us"), col("event_id"))).as("sup_data"))
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
     sess.crossJoin(broadcast(logEnd))
       .filter(unix_micros(col("session_end")) >= col("e") - TtlMicros &&
@@ -531,7 +538,7 @@ object Coordination {
       .filter(col("rn") === 1)
       .select(col("resource"), col("candidate").as("leader"),
         col("session_start").as("leader_since"),
-        col("n_heartbeats").as("n_renewals"))
+        col("n_heartbeats").as("n_renewals"), col("sup_data"))
       .orderBy(col("resource"))
   }
 

@@ -34,10 +34,11 @@ class CoordinationApiSpec extends AnyFunSuite {
 
   test("getLeader matches the replay query; membership is consistent") {
     val replay = SparkEntry.queries("leader_election_replay")(spark, sf)
-      .collect().map(r => r.getAs[String]("resource") -> r.getAs[Long]("leader"))
+      .collect().map(r => r.getAs[String]("resource") ->
+        (r.getAs[Long]("leader"), r.getAs[Double]("sup_data")))
       .toMap
-    replay.foreach { case (res, leader) =>
-      assert(api.getLeader(res).contains(leader))
+    replay.foreach { case (res, pair) =>
+      assert(api.getLeader(res).contains(pair))
     }
     val members = SparkEntry.queries("group_membership")(spark, sf)
       .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("member")))
@@ -63,10 +64,11 @@ class CoordinationApiSpec extends AnyFunSuite {
 
   test("resign-aware leader and leave-aware membership honor tombstones") {
     val resign = SparkEntry.queries("leader_election_resign")(spark, sf)
-      .collect().map(r => r.getAs[String]("resource") -> r.getAs[Long]("leader"))
+      .collect().map(r => r.getAs[String]("resource") ->
+        (r.getAs[Long]("leader"), r.getAs[Double]("sup_data")))
       .toMap
-    resign.foreach { case (res, leader) =>
-      assert(api.getLeaderResignAware(res).contains(leader))
+    resign.foreach { case (res, pair) =>
+      assert(api.getLeaderResignAware(res).contains(pair))
     }
     // leave-aware membership is a subset of plain TTL membership
     val plain = SparkEntry.queries("group_membership")(spark, sf)
