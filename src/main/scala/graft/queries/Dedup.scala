@@ -37,15 +37,12 @@ object Dedup {
     * block cache plays that role. One copy, session lifetime, LRU
     * evictable (MEMORY_AND_DISK).
     */
-  private val shingledCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def shingled(s: SparkSession, d: String): DataFrame =
-    shingledCache.computeIfAbsent((s, d), { _ =>
+    graft.FrameCache.getOrPersist(s, s"dedup.shingled:$d") {
       Tables.documents(s, d)
         .withColumn("shingles", F.shingles3(F.tokenize_words(col("text"))))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val shingleSql =
     """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -196,13 +193,17 @@ object Dedup {
   val ngramJaccardCapped = QueryDef.oracled(
     "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
     val sets = shingled(s, d) // cached+persisted by the shared loader
-    val ex = sets
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxDf).select(col("sh"))
-    val idx = ex.join(broadcast(hot), Seq("sh"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the capped index feeds both pair-join sides — shared-cached like
+    // the shingle frame (ONE copy per (session, dir), evicted with the
+    // session), so repeated invocations never pile up persisted copies
+    val idx = graft.FrameCache.getOrPersist(s, s"dedup.cappedIdx:$d:$MaxDf") {
+      val ex = sets
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxDf).select(col("sh"))
+      ex.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     // shared-capped-shingle counts per pair — the cheap aggregate path
     val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -391,10 +392,13 @@ object Dedup {
     val pairs = jaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
     // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
     // corpus, here hundreds of rows at sf0.1) — keep the iteration
-    // frames on few partitions so per-sweep scheduling doesn't dominate;
-    // a billion-edge graph raises this with its parallelism
+    // frames on a fraction of the session's shuffle parallelism so
+    // per-sweep scheduling doesn't dominate; a billion-edge deployment
+    // turns the same one dial (spark.sql.shuffle.partitions)
+    val sweepParts = math.max(2,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(8, col("dst"))
+      .toDF("src", "dst").repartition(sweepParts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()

@@ -68,6 +68,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("repeated capped-jaccard runs hold one shared index copy (no pile-up)") {
+    SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sf).count()
+    val rdds1 = spark.sparkContext.getPersistentRDDs.size
+    val frames1 = FrameCache.size(spark)
+    SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sf).count()
+    SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds1,
+      "persisted RDD count grew across invocations")
+    assert(FrameCache.size(spark) == frames1,
+      "FrameCache entry count grew across invocations")
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard at tau=0.8") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
