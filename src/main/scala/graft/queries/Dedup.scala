@@ -286,6 +286,43 @@ object Dedup {
   private val EmbTau = 0.45
   private val EmbTables = 96
   private val EmbBandBits = 4
+  /** Banded SRP candidate pairs over any (vec_id, embedding) frame —
+    * the (τ, tables, bandBits) family one configuration of which is
+    * D5. Bands carry only (vec_id, int bucket) through the shuffle;
+    * fan-out per vector = `tables`.
+    */
+  private[graft] def embeddingCandidates(e: DataFrame,
+      tables: Int, bandBits: Int): DataFrame = {
+    val bands = e
+      .withColumn("sigs", F.srpSigsArray(col("embedding"), tables, bandBits))
+      .select(col("vec_id"),
+        explode(expr(F.srpBandBucketsExpr("sigs", tables, bandBits)))
+          .as("bucket"))
+    bands.as("x").join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Candidates + exact cosine-≥-τ verification with vector re-fetch
+    * by equi-join. τ≥0.8 near-dup corpora run the cheap configuration
+    * (16 tables × 16-bit bands: 6× smaller fan-out, ~2¹²× harder
+    * per-band pruning than D5's τ=0.45 96×4) — spec-exercised on a
+    * planted-duplicate corpus.
+    */
+  private[graft] def embeddingNearDup(e: DataFrame, tau: Double,
+      tables: Int, bandBits: Int): DataFrame =
+    embeddingCandidates(e, tables, bandBits)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
+      .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
+      // NaN (zero-norm degenerate vector) sorts above every number in
+      // both engines and would pass the threshold — exclude explicitly
+      .filter(col("cosine") >= tau && !isnan(col("cosine")))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+
   val embedding = QueryDef.oracled(
     "dedup_embedding",
     """WITH p AS (
@@ -305,30 +342,11 @@ object Dedup {
       |FROM p WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.45
       |  AND NOT isnan(dot/(sqrt(na)*sqrt(nb)))
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
     // bands carry only (vec_id, int bucket) through the shuffle — the
     // 64-float vectors are re-fetched by equi-join on the candidate ids
     // (a 96× band fan-out must not amplify vector bytes). Bit carving
     // is the shared F.srpSigsArray/srpBandExpr contract.
-    val bands = e
-      .withColumn("sigs", F.srpSigsArray(col("embedding"), EmbTables, EmbBandBits))
-      .select(col("vec_id"),
-        explode(expr(F.srpBandBucketsExpr("sigs", EmbTables, EmbBandBits)))
-          .as("bucket"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
-        Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
-        Seq("vec_b"))
-      .withColumn("cosine", F.cosine_sim(col("ea"), col("eb")))
-      // NaN (zero-norm degenerate vector) sorts above every number in
-      // both engines and would pass the threshold — exclude explicitly
-      .filter(col("cosine") >= EmbTau && !isnan(col("cosine")))
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    embeddingNearDup(Tables.embeddings(s, d), EmbTau, EmbTables, EmbBandBits)
   }
 
   // --- D6: boilerplate detector -------------------------------------------

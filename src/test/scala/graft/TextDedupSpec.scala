@@ -80,6 +80,34 @@ class TextDedupSpec extends AnyFunSuite {
       "FrameCache entry count grew across invocations")
   }
 
+  test("tau=0.8 embedding dedup (16x16 bands): exact on planted dups, sharper pruning") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // deterministic near-dups of 10 vectors (per-coordinate ±2% ripple
+    // → cosine ≈ 0.9996 to the original, untouched vs everything else)
+    val dups = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.02 * ((i % 3) - 1)) AS FLOAT))")
+          .as("embedding"))
+    val corpus = base.unionAll(dups).localCheckpoint()
+    val got = queries.Dedup.embeddingNearDup(corpus, 0.8, 16, 16)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ref = corpus.select(col("vec_id").as("va"), col("embedding").as("pa"))
+      .join(corpus.select(col("vec_id").as("vb"), col("embedding").as("pb")),
+        col("va") < col("vb"))
+      .withColumn("cos", graft.functions.expressions.cosine_sim(col("pa"), col("pb")))
+      .filter(col("cos") >= 0.8 && !isnan(col("cos")))
+      .collect().map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+    assert(ref.nonEmpty, "planted duplicates missing from the reference")
+    assert(got == ref, "banded near-dup diverges from brute force at tau=0.8")
+    // the cheap configuration's fan-out is 16 bands/vector (vs 96) and
+    // each 16-bit band prunes ~2^12 times harder than a 4-bit one
+    val cCheap = queries.Dedup.embeddingCandidates(base, 16, 16).count()
+    val cD5 = queries.Dedup.embeddingCandidates(base, 96, 4).count()
+    info(s"candidate pairs: 16x16-band = $cCheap vs 96x4-band = $cD5")
+    assert(cCheap < cD5 / 4, s"16-bit bands should prune far harder ($cCheap vs $cD5)")
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard at tau=0.8") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
