@@ -182,4 +182,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     graft.queries.Coordination.keysetChangeFeed.fn(spark, sfDir)
       .filter(col("namespace") === namespace)
       .select(col("tick"), col("n_keys"), col("digest"))
+
+  /** Per-tick key sets of a namespace — the KeySetWatcher's fetcher
+    * body (one row per (tick, key); same tick/key shape as the A5
+    * feed's `ks` stage). Drives [[ListenerRegistry.replayKeySetChanges]].
+    */
+  def keySetsByTick(namespace: String): DataFrame =
+    events.filter(col("event_type") === namespace)
+      .select(date_trunc("day", col("ts")).as("tick"),
+        col("user_id").cast("string").as("k"))
+      .distinct()
 }

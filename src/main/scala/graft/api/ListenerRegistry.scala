@@ -1,0 +1,131 @@
+package graft.api
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+/** Callback fired when a watched key's value changes (None = the
+  * winning write carried a null payload).
+  */
+trait ValueChangeListener { def valueChanged(value: Option[Double]): Unit }
+
+/** Callback fired when a watched namespace's key set changes. */
+trait KeySetChangeListener { def keySetChanged(keySet: Set[String]): Unit }
+
+/** The reference registry's attach/detach bookkeeping
+  * (listener/registry/CacheListenerRegistry.scala:83-173) re-expressed
+  * over the replay feeds: per-key listener lists under one lock, the
+  * FIRST add of a key attaches its watcher, the LAST remove detaches
+  * it, and additional listeners piggyback on the existing watcher.
+  *
+  * The reference's watcher is a polling thread against live Cassandra;
+  * polling threads are scoped out here (SURVEY §6 — no broker in the
+  * container), so a watcher is attach-state and `replay*` plays a
+  * namespace's materialized change feed through every attached
+  * listener in feed order — the same valueChanged/keySetChanged
+  * delivery the poller would produce, including the compare-to-cached
+  * dedup of KeySetWatcher.run. Delivery is necessarily driver-side
+  * (callbacks are local closures) and bounded by the watched keys'
+  * feed rows — the point-API cost model of fetch/fetchCas.
+  */
+final class ListenerRegistry(api: CoordinationApi) {
+
+  private val lock = new Object
+  private val valueListeners =
+    mutable.HashMap.empty[(String, Long), mutable.ListBuffer[ValueChangeListener]]
+  private val keySetListeners =
+    mutable.HashMap.empty[String, mutable.ListBuffer[KeySetChangeListener]]
+  // presence here == a live ScheduledFuture in the reference
+  private val valueWatchers = mutable.HashSet.empty[(String, Long)]
+  private val keySetWatchers = mutable.HashSet.empty[String]
+
+  def addValueChangeListener(namespace: String, key: Long,
+      listener: ValueChangeListener): Unit = lock.synchronized {
+    val ls = valueListeners.getOrElseUpdate((namespace, key),
+      mutable.ListBuffer.empty)
+    ls += listener
+    if (ls.size == 1) valueWatchers += ((namespace, key))
+  }
+
+  def removeValueChangeListener(namespace: String, key: Long,
+      listener: ValueChangeListener): Unit = lock.synchronized {
+    valueListeners.get((namespace, key)).foreach { ls =>
+      ls -= listener
+      if (ls.isEmpty) {
+        valueListeners.remove((namespace, key))
+        valueWatchers -= ((namespace, key))
+      }
+    }
+  }
+
+  def addKeySetChangeListener(namespace: String,
+      listener: KeySetChangeListener): Unit = lock.synchronized {
+    val ls = keySetListeners.getOrElseUpdate(namespace, mutable.ListBuffer.empty)
+    ls += listener
+    if (ls.size == 1) keySetWatchers += namespace
+  }
+
+  def removeKeySetChangeListener(namespace: String,
+      listener: KeySetChangeListener): Unit = lock.synchronized {
+    keySetListeners.get(namespace).foreach { ls =>
+      ls -= listener
+      if (ls.isEmpty) {
+        keySetListeners.remove(namespace)
+        keySetWatchers -= namespace
+      }
+    }
+  }
+
+  def hasValueWatcher(namespace: String, key: Long): Boolean =
+    lock.synchronized(valueWatchers.contains((namespace, key)))
+  def hasKeySetWatcher(namespace: String): Boolean =
+    lock.synchronized(keySetWatchers.contains(namespace))
+
+  /** Play the namespace's value-change feed (A4 semantics, first
+    * sighting included) through the attached per-key listeners in feed
+    * order. Returns delivered rows.
+    */
+  def replayValueChanges(namespace: String): Long = {
+    val watched = lock.synchronized(
+      valueWatchers.collect { case (ns, k) if ns == namespace => k }.toSet)
+    if (watched.isEmpty) return 0L
+    val rows = api.valueChanges(namespace)
+      .filter(col("key").isin(watched.toSeq: _*))
+      .orderBy(col("ts"), col("event_id")).collect()
+    rows.foreach { r =>
+      val key = r.getAs[Long]("key")
+      val v = if (r.isNullAt(r.fieldIndex("value"))) None
+              else Some(r.getAs[Double]("value"))
+      val ls = lock.synchronized(
+        valueListeners.get((namespace, key)).map(_.toList).getOrElse(Nil))
+      ls.foreach(_.valueChanged(v))
+    }
+    rows.length.toLong
+  }
+
+  /** Play the namespace's per-tick key sets through the attached
+    * listeners, firing only when the set differs from the cached one —
+    * KeySetWatcher.run's compare-and-fire body, replayed. Returns the
+    * number of change firings (== the A5 feed's row count for the
+    * namespace).
+    */
+  def replayKeySetChanges(namespace: String): Long = {
+    if (!hasKeySetWatcher(namespace)) return 0L
+    val ticks = api.keySetsByTick(namespace).collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("tick"))
+      .view.mapValues(_.map(_.getAs[String]("k")).toSet)
+      .toSeq.sortBy(_._1.getTime)
+    var watchable = Option.empty[Set[String]]
+    var fired = 0L
+    ticks.foreach { case (_, ks) =>
+      if (!watchable.contains(ks)) {
+        watchable = Some(ks)
+        val ls = lock.synchronized(
+          keySetListeners.get(namespace).map(_.toList).getOrElse(Nil))
+        ls.foreach(_.keySetChanged(ks))
+        fired += 1
+      }
+    }
+    fired
+  }
+}

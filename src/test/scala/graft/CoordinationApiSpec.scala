@@ -89,4 +89,53 @@ class CoordinationApiSpec extends AnyFunSuite {
       .filter(col("namespace") === "error").count()
     assert(viaApi == viaQuery)
   }
+
+  test("listener registry: attach fires the feed in order, detach goes quiet") {
+    import graft.api.{KeySetChangeListener, ListenerRegistry, ValueChangeListener}
+    val reg = new ListenerRegistry(api)
+    val ns = "click"
+    val feed = api.valueChanges(ns)
+      .orderBy(col("ts"), col("event_id")).collect()
+    // the busiest key gives the ordering check teeth
+    val key = feed.groupBy(_.getAs[Long]("key")).maxBy(_._2.length)._1
+    val expected = feed.filter(_.getAs[Long]("key") == key)
+      .map(_.getAs[Double]("value")).toSeq
+    assert(expected.size >= 2)
+
+    val got = scala.collection.mutable.Buffer.empty[Option[Double]]
+    val got2 = scala.collection.mutable.Buffer.empty[Option[Double]]
+    val l1 = new ValueChangeListener {
+      def valueChanged(v: Option[Double]): Unit = got += v }
+    val l2 = new ValueChangeListener {
+      def valueChanged(v: Option[Double]): Unit = got2 += v }
+
+    assert(!reg.hasValueWatcher(ns, key))
+    reg.addValueChangeListener(ns, key, l1)
+    assert(reg.hasValueWatcher(ns, key))          // first add attaches
+    reg.addValueChangeListener(ns, key, l2)       // second piggybacks
+    reg.replayValueChanges(ns)
+    assert(got.flatten.toSeq == expected, "feed order/content diverged")
+    assert(got2.flatten.toSeq == expected, "second listener missed rows")
+
+    reg.removeValueChangeListener(ns, key, l2)
+    assert(reg.hasValueWatcher(ns, key))          // one listener left
+    reg.removeValueChangeListener(ns, key, l1)
+    assert(!reg.hasValueWatcher(ns, key))         // last remove detaches
+    got.clear()
+    assert(reg.replayValueChanges(ns) == 0L && got.isEmpty)
+
+    // keyset watcher: one firing per A5 feed row for the namespace
+    val ksGot = scala.collection.mutable.Buffer.empty[Set[String]]
+    val kl = new KeySetChangeListener {
+      def keySetChanged(ks: Set[String]): Unit = ksGot += ks }
+    assert(reg.replayKeySetChanges(ns) == 0L)     // nothing attached yet
+    reg.addKeySetChangeListener(ns, kl)
+    assert(reg.hasKeySetWatcher(ns))
+    val fired = reg.replayKeySetChanges(ns)
+    assert(fired == api.keySetChanges(ns).count(),
+      "compare-and-fire count diverges from the A5 feed")
+    assert(ksGot.size == fired)
+    reg.removeKeySetChangeListener(ns, kl)
+    assert(!reg.hasKeySetWatcher(ns))
+  }
 }
