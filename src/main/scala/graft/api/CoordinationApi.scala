@@ -80,10 +80,17 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
       if (!r.isNullAt(2)) {
         val v = r.getDouble(2)
         // HALF_UP on the double, exactly Spark's/DuckDB's round():
-        // math.round (floor(x+0.5)) would diverge on negative .5 cents
-        val op = BigDecimal(v * 100)
-          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-          .toLong % 10
+        // math.round (floor(x+0.5)) would diverge on negative .5 cents.
+        // Non-finite payloads take non-ANSI CAST's values (NaN → 0 =
+        // delete, ±Inf saturate to Long.Min/Max) — BigDecimal would
+        // throw where the distributed twin has defined behavior
+        val op =
+          if (v.isNaN) 0L
+          else if (v * 100 >= Long.MaxValue.toDouble) Long.MaxValue % 10
+          else if (v * 100 <= Long.MinValue.toDouble) Long.MinValue % 10
+          else BigDecimal(v * 100)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toLong % 10
         op match {
           case 0                   => present = false          // delete
           case o if o <= 3         => present = true; value = v // put

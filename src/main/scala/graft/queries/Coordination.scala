@@ -375,9 +375,13 @@ object Coordination {
   // changelog carries no op-type column, so the replay defines a
   // deterministic convention over the payload's cents digit —
   // op10 = CAST(round(value*100) AS BIGINT) % 10:
-  //   op10 = 0    → DELETE/resign/leave  (~10% of events)
-  //   op10 ∈ 1..3 → PUT (unconditional write)
-  //   op10 ∈ 4..9 → UPDATE (write-if-present)
+  //   op10 = 0     → DELETE/resign/leave  (~10% of events)
+  //   op10 ∈ 1..3  → PUT (unconditional write)
+  //   op10 ∈ 4..9  → UPDATE (write-if-present)
+  //   op10 ∈ -9..-1 → PUT: % preserves sign in BOTH engines, so a
+  //     negative payload's digit lands below the op10 <= 3 cut and
+  //     every replay (and the fetchCas twin) classifies it as a put —
+  //     negatives never delete and never gate on presence, by design.
   // Identical float64 arithmetic on both engines → bit-identical op
   // assignment; all three delete-aware replays below are fully oracled.
   private val opSql = "CAST(round(value*100) AS BIGINT) % 10"

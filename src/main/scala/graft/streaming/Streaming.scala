@@ -425,8 +425,10 @@ object Streaming {
   // emits a session only once the watermark proves it closed (no event
   // can extend it). Replayed to the end of a bounded log, that is
   // exactly the set of sessions whose end + gap precedes the final
-  // watermark (= max event time at delay 0) — the oracle applies the
-  // same closed-session predicate to the batch sessionization. Open
+  // watermark (= max event time at delay 0, FLOORED TO MILLISECONDS —
+  // Spark tracks watermarks in ms while session ends keep event-time
+  // microseconds, so the oracle floors its comparison identically or a
+  // same-millisecond log end would make it expect withheld sessions). Open
   // sessions at log end are the streaming/batch semantic difference,
   // surfaced honestly instead of papered over.
   val sessionWindows = QueryDef.oracled(
@@ -445,7 +447,7 @@ object Streaming {
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
       |SELECT user_id, session_start, session_end, n_events
       |FROM agg, logend
-      |WHERE epoch_us(session_end) + 1800000000 <= e
+      |WHERE epoch_us(session_end) + 1800000000 <= e // 1000 * 1000
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
     val agg = eventStream(s, d)
       .withWatermark("ts", "0 seconds")
