@@ -242,13 +242,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // ---- uint64 arithmetic in DuckDB (HUGEINT mod 2⁶⁴) ---------------------
+  // The same wraparound idiom as the C4 fingerprint oracle, extended
+  // with the three ops splitmix64 needs: logical shift-right, xor
+  // (via signed-BIGINT xor round-trip), and multiply mod 2⁶⁴ (32-bit
+  // limb decomposition — a full uint64×uint64 product would overflow
+  // the signed 128-bit HUGEINT).
+  private val two32 = "CAST(4294967296 AS HUGEINT)"
+  private val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private def u64MulSql(a: String, b: String): String =
+    s"(($a) % $two32 * (($b) % $two32)" +
+      s" + ((($a) // $two32 * (($b) % $two32) + ($a) % $two32 * (($b) // $two32)) % $two32) * $two32) % $two64"
+  private def u64SignedSql(a: String): String =
+    s"CAST($a - CASE WHEN $a >= CAST('9223372036854775808' AS HUGEINT) THEN $two64 ELSE 0 END AS BIGINT)"
+  private def u64XorSql(a: String, b: String): String = {
+    val x = s"xor(${u64SignedSql(a)}, ${u64SignedSql(b)})"
+    s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN $two64 ELSE CAST(0 AS HUGEINT) END)"
+  }
+  private def u64ShrSql(a: String, n: Int): String = s"(($a) // ${1L << n})"
+
   // --- D4: SimHash banded near-dup ----------------------------------------
   // 64-bit SimHash (native SimHash64 expression) over the token
   // multiset; 4 bands × 16 bits guarantee recall for hamming ≤ 3
-  // (pigeonhole: ≤3 differing bits leave ≥1 identical band). Checked by
-  // spec against brute-force hamming; not SQL-oracled (the hash is
-  // graft-internal).
-  val simhash = QueryDef.rowsOnly("dedup_simhash") { (s, d) =>
+  // (pigeonhole: ≤3 differing bits leave ≥1 identical band) — so the
+  // banded output EQUALS brute-force hamming ≤ 3 (also spec-checked),
+  // and the oracle replays the full kernel in DuckDB uint64 SQL:
+  // fingerprint64 char fold → splitmix64 avalanche (the three
+  // constants below are its public-domain increment/multipliers) →
+  // per-bit votes → brute-force pair hamming.
+  val simhash = QueryDef.oracled(
+    "dedup_simhash", {
+      val z2 = u64MulSql(u64XorSql("z1", u64ShrSql("z1", 30)),
+        "CAST('13787848793156543929' AS HUGEINT)")
+      val z3 = u64MulSql(u64XorSql("z2", u64ShrSql("z2", 27)),
+        "CAST('10723151780598845931' AS HUGEINT)")
+      val h = u64XorSql("z3", u64ShrSql("z3", 31))
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(regexp_extract_all(tok, '[\\s\\S]'), c -> CAST(ord(c) AS HUGEINT))),
+        |      (a, c) -> (a*31 + c) % $two64) AS h0
+        |  FROM toks),
+        |s1 AS (SELECT doc_id, (h0 + CAST('11400714819323198485' AS HUGEINT)) % $two64 AS z1 FROM fp),
+        |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
+        |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
+        |s4 AS (SELECT doc_id, $h AS h FROM s3),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN h // CAST(power(2, b) AS HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM s4, range(0, 64) t(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id, ${u64SignedSql("sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")} AS s
+        |  FROM votes GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
     val sigs = Tables.documents(s, d)
       .withColumn("t", tokens(col("text")))
       .select(col("doc_id"), F.simhash64(col("t")).as("sig"))
