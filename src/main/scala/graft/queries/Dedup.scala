@@ -403,6 +403,51 @@ object Dedup {
     embeddingNearDup(Tables.embeddings(s, d), EmbTau, EmbTables, EmbBandBits)
   }
 
+  // --- D9: benchmark decontamination --------------------------------------
+  // The eval-leakage gate every pre-training corpus runs before
+  // training: how much of each train document's shingle set appears
+  // anywhere in the held-out benchmark? Benchmark here = doc_id % 20
+  // (a deterministic ~5% holdout); contaminated = containment ≥ 0.5
+  // (near-dup-grade overlap — the 13-gram-window rules of
+  // GPT-3/Gopher-style decontamination, applied at this corpus's
+  // 3-gram granularity). Benchmark suites are small by nature, so the
+  // distinct benchmark shingle set BROADCASTS and the train side is
+  // one explode + semi-join + count — no shuffle of the corpus beyond
+  // the per-doc aggregate. Joins on the shingle STRING (not the
+  // 64-bit hash): a hash collision must not mark a clean document.
+  val decontaminate = QueryDef.oracled(
+    "corpus_decontaminate",
+    s"""WITH $shingleSql,
+      |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+      |train AS (SELECT doc_id, s, len(s) AS n FROM sh
+      |          WHERE doc_id % 20 <> 0 AND len(s) > 0),
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM train),
+      |hits AS (SELECT doc_id, count(*) AS n_hit FROM ex
+      |         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n AS containment,
+      |  (CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n >= 0.5) AS contaminated
+      |FROM train t LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sets = shingled(s, d)
+    val bench = sets.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val train = sets
+      .filter(pmod(col("doc_id"), lit(20)) =!= 0 && col("n") > 0)
+    val hits = train
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), col("n"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"),
+        col("n").cast("bigint").as("n_shingles"),
+        col("n_hit").cast("bigint").as("n_hit"),
+        (col("n_hit").cast("double") / col("n")).as("containment"),
+        (col("n_hit").cast("double") / col("n") >= 0.5).as("contaminated"))
+  }
+
   // --- D6: boilerplate detector -------------------------------------------
   // Top shingles by document frequency — exactly the hot keys D2b's
   // DF-cap drops; as a first-class report it's the "find the
@@ -533,5 +578,5 @@ object Dedup {
 
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
-    topShingles, clusters, keepers)
+    topShingles, clusters, keepers, decontaminate)
 }

@@ -309,7 +309,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // --- C11: deterministic leakage-free train/val/test split ---------------
+  // Every pipeline needs a split that (a) is reproducible with no RNG
+  // state and (b) sends byte-identical documents to the SAME split —
+  // hashing the CONTENT (not doc_id) gives both: an exact duplicate
+  // that survived upstream dedup can never straddle train and test.
+  // bucket = unsigned(fingerprint64(text)) % 100 → 98/1/1. Map-only,
+  // no shuffle; the unsigned widening reuses the Decimal(38,0) idiom
+  // of the A3 hashsum (Coordination.fpUnsigned).
+  val trainSplit = QueryDef.oracled(
+    "corpus_train_split",
+    """WITH h AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(text, '[\s\S]'),
+      |                     c -> CAST(ord(c) AS HUGEINT))),
+      |    (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(h % 100 AS INTEGER) AS bucket,
+      |  CASE WHEN h % 100 < 98 THEN 'train'
+      |       WHEN h % 100 = 98 THEN 'val' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        (graft.queries.Coordination.fpUnsigned(col("text")) % 100).cast("int"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test").as("split"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
-      stratifiedSample, lengthHistogram, topTerms, tokenBudget)
+      stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit)
 }

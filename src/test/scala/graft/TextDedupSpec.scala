@@ -108,6 +108,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cCheap < cD5 / 4, s"16-bit bands should prune far harder ($cCheap vs $cD5)")
   }
 
+  test("decontaminate semantics and content-keyed split are deterministic") {
+    val rows = SparkEntry.queries("corpus_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (c >= 0.5))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_shingles"))
+    }
+    val split = SparkEntry.queries("corpus_train_split")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[String]("split")))
+    split.foreach { case (_, b, sp) =>
+      assert(b >= 0 && b < 100)
+      assert(sp == (if (b < 98) "train" else if (b == 98) "val" else "test"))
+    }
+    // reproducible with no RNG state: a second run assigns identically
+    val again = SparkEntry.queries("corpus_train_split")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[String]("split")))
+    assert(split.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("minhash-LSH output equals exact ngram-jaccard at tau=0.8") {
     val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
