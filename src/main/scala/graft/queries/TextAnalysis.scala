@@ -338,7 +338,43 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  // --- C12: intra-document repetition scoring -----------------------------
+  // The Gopher-family repetition filters (Rae et al. 2021, "Scaling
+  // Language Models", Table A1) at this corpus's granularity: the
+  // fraction of token and 3-gram OCCURRENCES that are repeats of an
+  // earlier occurrence in the same document. Pure map-side arithmetic
+  // (no shuffle at all); `flagged` is the curation dial, set at 0.05
+  // for this synthetic corpus (its max dup-3-gram fraction is ~0.07).
+  val repetition = QueryDef.oracled(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |             FROM documents),
+      |g AS (SELECT doc_id, t,
+      |        [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS tg
+      |      FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_token_frac,
+      |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_3gram_frac,
+      |  (CAST(1 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) >= 0.05) AS flagged
+      |FROM g WHERE len(t) >= 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("t", F.tokenize_words(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("tg", expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("dup_token_frac"),
+        (lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")))
+          .as("dup_3gram_frac"),
+        (lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")) >= 0.05)
+          .as("flagged"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
-      stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit)
+      stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
+      repetition)
 }
