@@ -242,25 +242,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  // ---- uint64 arithmetic in DuckDB (HUGEINT mod 2⁶⁴) ---------------------
-  // The same wraparound idiom as the C4 fingerprint oracle, extended
-  // with the three ops splitmix64 needs: logical shift-right, xor
-  // (via signed-BIGINT xor round-trip), and multiply mod 2⁶⁴ (32-bit
-  // limb decomposition — a full uint64×uint64 product would overflow
-  // the signed 128-bit HUGEINT).
-  private val two32 = "CAST(4294967296 AS HUGEINT)"
-  private val two64 = "CAST('18446744073709551616' AS HUGEINT)"
-  private def u64MulSql(a: String, b: String): String =
-    s"(($a) % $two32 * (($b) % $two32)" +
-      s" + ((($a) // $two32 * (($b) % $two32) + ($a) % $two32 * (($b) // $two32)) % $two32) * $two32) % $two64"
-  private def u64SignedSql(a: String): String =
-    s"CAST($a - CASE WHEN $a >= CAST('9223372036854775808' AS HUGEINT) THEN $two64 ELSE 0 END AS BIGINT)"
-  private def u64XorSql(a: String, b: String): String = {
-    val x = s"xor(${u64SignedSql(a)}, ${u64SignedSql(b)})"
-    s"(CAST($x AS HUGEINT) + CASE WHEN $x < 0 THEN $two64 ELSE CAST(0 AS HUGEINT) END)"
-  }
-  private def u64ShrSql(a: String, n: Int): String = s"(($a) // ${1L << n})"
-
   // --- D4: SimHash banded near-dup ----------------------------------------
   // 64-bit SimHash (native SimHash64 expression) over the token
   // multiset; 4 bands × 16 bits guarantee recall for hamming ≤ 3
@@ -272,11 +253,8 @@ object Dedup {
   // per-bit votes → brute-force pair hamming.
   val simhash = QueryDef.oracled(
     "dedup_simhash", {
-      val z2 = u64MulSql(u64XorSql("z1", u64ShrSql("z1", 30)),
-        "CAST('13787848793156543929' AS HUGEINT)")
-      val z3 = u64MulSql(u64XorSql("z2", u64ShrSql("z2", 27)),
-        "CAST('10723151780598845931' AS HUGEINT)")
-      val h = u64XorSql("z3", u64ShrSql("z3", 31))
+      val (_, z2, z3, h) = U64Sql.mix64Stages("h0")
+      val two64 = U64Sql.two64
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
         |  FROM documents),
@@ -294,7 +272,7 @@ object Dedup {
         |  SELECT doc_id, b, sum(CASE WHEN h // CAST(power(2, b) AS HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
         |  FROM s4, range(0, 64) t(b) GROUP BY doc_id, b),
         |sig AS (
-        |  SELECT doc_id, ${u64SignedSql("sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")} AS s
+        |  SELECT doc_id, ${U64Sql.signed("sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")} AS s
         |  FROM votes GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

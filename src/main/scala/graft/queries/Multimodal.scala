@@ -90,13 +90,47 @@ object Multimodal {
     }.toDF()
   }
 
-  val mediaFeatures = QueryDef.rowsOnly("media_features") { (s, d) =>
+  // Driver projection fully integerized (nano-unit BIGINT digest — the
+  // same float-formatting-free idiom as embedding_centroids), which
+  // lets the deterministic stub oracle bit-exactly: the fake dims are
+  // splitmix64 replayed in uint64 SQL, the histogram is an ord()>>5
+  // count (the corpus is ASCII, so UTF-8 bytes == codepoints), and a
+  // real decoder swap would downgrade this row to rows+spec, by design.
+  val mediaFeatures = QueryDef.oracled(
+    "media_features", {
+      val (z1, z2, z3, h) = graft.queries.U64Sql.mix64Stages("h0")
+      s"""WITH s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM documents),
+        |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
+        |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
+        |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
+        |mix AS (SELECT doc_id, $h AS h FROM s3),
+        |chars AS (SELECT doc_id, ord(unnest(regexp_extract_all(text, '[\\s\\S]'))) // 32 AS bin
+        |          FROM documents),
+        |binc AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, length(text) AS n, b
+        |         FROM documents CROSS JOIN range(0, 8) t(b)),
+        |feat AS (SELECT g.doc_id, g.b,
+        |           CAST(coalesce(bc.c, 0) AS DOUBLE) / greatest(1, g.n) AS f
+        |         FROM grid g LEFT JOIN binc bc ON g.doc_id = bc.doc_id AND g.b = bc.bin),
+        |fd AS (SELECT doc_id,
+        |         md5(string_agg(CAST(CAST(round(f * 1000000000) AS BIGINT) AS VARCHAR),
+        |                        ',' ORDER BY b)) AS features_digest
+        |       FROM feat GROUP BY doc_id)
+        |SELECT d.doc_id, 'media/' || d.source AS format,
+        |  CAST(length(d.text) AS INTEGER) AS n_bytes,
+        |  CAST(64 + m.h % 64 AS INTEGER) AS width,
+        |  CAST(64 + (m.h // 64) % 64 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS n_features,
+        |  fd.features_digest
+        |FROM documents d JOIN mix m USING (doc_id) JOIN fd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
     mediaFeaturesRaw(s, d)
       .select(col("doc_id"), col("format"), col("n_bytes"),
         col("width"), col("height"),
         size(col("features")).as("n_features"),
         md5(concat_ws(",",
-          expr("transform(features, x -> CAST(round(x, 9) AS STRING))")))
+          expr("transform(features, x -> CAST(CAST(round(x * 1000000000) AS BIGINT) AS STRING))")))
           .as("features_digest"))
   }
 
@@ -135,7 +169,25 @@ object Multimodal {
     }.toDF()
   }
 
-  val mediaFrames = QueryDef.rowsOnly("media_frame_sample") { (s, d) =>
+  // The window arithmetic is pure integer math over the payload length,
+  // so the oracle replays it exactly; frame bytes are text substrings
+  // (ASCII corpus), so md5 over the VARCHAR window hashes the same
+  // bytes Spark's binary md5 sees. A real keyframe extractor swap would
+  // downgrade this row to rows+spec, by design.
+  val mediaFrames = QueryDef.oracled(
+    "media_frame_sample",
+    s"""WITH items AS (SELECT doc_id, length(text) AS n, text FROM documents),
+      |k AS (SELECT *, CASE WHEN n = 0 THEN 0
+      |                     ELSE least($FramesPerItem, greatest(1, n // $FrameBytes)) END AS k
+      |      FROM items),
+      |fr AS (SELECT doc_id, n, text, k, i,
+      |         least(n * i // k, greatest(0, n - $FrameBytes)) AS off
+      |       FROM k CROSS JOIN range(0, $FramesPerItem) t(i) WHERE i < k)
+      |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |  CAST(off AS BIGINT) AS frame_offset,
+      |  CAST(least($FrameBytes, n - off) AS INTEGER) AS frame_bytes,
+      |  md5(substr(text, CAST(off + 1 AS INTEGER), CAST(least($FrameBytes, n - off) AS INTEGER))) AS frame_md5
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     mediaFramesRaw(s, d)
       .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
         octet_length(col("frame")).as("frame_bytes"),
