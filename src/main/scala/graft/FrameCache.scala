@@ -9,31 +9,39 @@ import org.apache.spark.storage.StorageLevel
   * inverted indexes) — one persisted copy per (session, key), reused
   * by every consumer, LRU-evictable (MEMORY_AND_DISK).
   *
-  * Entries are unpersisted and dropped when the owning session's
-  * context ends (SparkListener on application end), so a long-lived
-  * JVM that stops sessions or iterates over many data dirs neither
-  * accumulates disk blocks the LRU can't evict nor pins dead
-  * SparkSessions through strong map keys.
+  * Entries are unpersisted and dropped when the owning CONTEXT ends
+  * (SparkListener on application end) or when a caller evicts a
+  * session explicitly. Sessions sharing one SparkContext via
+  * newSession() are NOT individually collected — Spark has no
+  * session-end event, and a DataFrame value pins its session anyway —
+  * so per-job-session deployments call evict(session) when the job
+  * retires; the listener remains the backstop that clears everything
+  * at context stop.
   */
 private[graft] object FrameCache {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkListener]()
 
   def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    if (hooked.add(s)) {
-      s.sparkContext.addSparkListener(new SparkListener {
+    hooked.computeIfAbsent(s, { _ =>
+      val l = new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
           evict(s)
-      })
-    }
+      }
+      s.sparkContext.addSparkListener(l)
+      l
+    })
     cache.computeIfAbsent((s, key),
       _ => build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** Drop (and unpersist) every entry owned by `s`. */
+  /** Drop (and unpersist) every entry owned by `s`, and detach its
+    * context listener (a later getOrPersist re-registers one — never
+    * two for the same live session).
+    */
   def evict(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     cache.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
@@ -43,7 +51,9 @@ private[graft] object FrameCache {
         try df.unpersist(blocking = false) catch { case _: Throwable => () }
       }
     }
-    hooked.remove(s)
+    Option(hooked.remove(s)).foreach { l =>
+      try s.sparkContext.removeSparkListener(l) catch { case _: Throwable => () }
+    }
   }
 
   /** Number of live entries owned by `s` (spec observability). */

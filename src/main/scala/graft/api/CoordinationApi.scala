@@ -121,11 +121,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * the pair, not just the owner
     * (leader/election/CassandraLeaderElection.scala:64-69).
     */
-  def getLeader(resource: String): Option[(Long, Double)] =
+  def getLeader(resource: String): Option[(Long, Option[Double])] =
     graft.queries.Coordination.leaderElectionReplay
       .fn(spark, sfDir).filter(col("resource") === resource)
       .select(col("leader"), col("sup_data")).collect().headOption
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      // sup_data is nullable (a claim may carry a null payload, like
+      // the reference's nullable Cassandra column) — never getDouble it
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
 
   /** Every leadership tenure of a resource over the log. */
   def tenures(resource: String): DataFrame =
@@ -136,11 +139,12 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * row, CassandraLeaderElection.scala:144-147): a candidate whose
     * live session ended in a resign is not a contender.
     */
-  def getLeaderResignAware(resource: String): Option[(Long, Double)] =
+  def getLeaderResignAware(resource: String): Option[(Long, Option[Double])] =
     graft.queries.Coordination.leaderElectionResign
       .fn(spark, sfDir).filter(col("resource") === resource)
       .select(col("leader"), col("sup_data")).collect().headOption
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
 
   // ---- Group membership --------------------------------------------------
 
@@ -195,8 +199,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * feed's `ks` stage). Drives [[ListenerRegistry.replayKeySetChanges]].
     */
   def keySetsByTick(namespace: String): DataFrame =
-    events.filter(col("event_type") === namespace)
-      .select(date_trunc("day", col("ts")).as("tick"),
-        col("user_id").cast("string").as("k"))
-      .distinct()
+    graft.queries.Coordination.keysetTicks(spark, sfDir)
+      .filter(col("event_type") === namespace)
+      .select(col("tick"), col("k"))
 }

@@ -200,13 +200,22 @@ object Coordination {
       |                   CAST(user_id AS VARCHAR) AS k FROM events),
       |$keysetFeedTailSql""".stripMargin) { (s, d) =>
     keysetDigestStage(
-      ev(s, d)
-        .select(col("event_type"), date_trunc("day", col("ts")).as("tick"),
-          col("user_id").cast("string").as("k"))
-        .distinct()
+      keysetTicks(s, d)
         .groupBy(col("event_type"), col("tick"))
         .agg(collect_set(col("k")).as("ks")))
   }
+
+  /** The A5 `ks` stage: one row per (namespace, tick, key) — the single
+    * Spark-side source of the tick/key derivation, shared by the feed
+    * above and the ListenerRegistry fetcher
+    * ([[graft.api.CoordinationApi.keySetsByTick]]) so the two cannot
+    * drift (the SQL side shares keysetFeedTailSql the same way).
+    */
+  private[graft] def keysetTicks(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("tick"),
+        col("user_id").cast("string").as("k"))
+      .distinct()
 
   /** Shared TTL-gap sessionization: each (resource, candidate)'s events
     * split into sessions wherever the gap exceeds the TTL — exactly the

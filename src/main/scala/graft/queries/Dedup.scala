@@ -183,10 +183,17 @@ object Dedup {
   // than MaxDf documents (boilerplate) are dropped from the *index*
   // before the pair join — the O(df²) blowup lives entirely in those
   // hot keys — and surviving candidate pairs are re-verified against
-  // the FULL shingle sets, so reported Jaccard is exact. A τ=0.8 pair
-  // can only be missed if every one of its shared shingles is hot,
-  // which boilerplate-capping makes vanishingly rare; the spec checks
-  // equality with D2 on the test corpus.
+  // the FULL shingle sets, so reported Jaccard is exact. Completeness
+  // boundary, stated precisely: a τ=0.8 pair is missed iff EVERY
+  // shingle it shares is hot — i.e. a near-duplicate cluster wider
+  // than MaxDf documents, whose shared shingles are all df > MaxDf by
+  // membership alone. That is the deliberate cost model of the
+  // DF-capped path (boilerplate ≠ content duplication; exact dups are
+  // D1's job upstream, and a deployment sizes MaxDf above its largest
+  // legitimate dup cluster). The spec checks equality with D2 on the
+  // corpus, and the oracle (= D2's exact SQL) holds at every driver SF
+  // — both turn red, by design, if a corpus ever violates the cost
+  // model rather than silently under-reporting.
   private val MaxDf = 100
   // output ≡ D2 (spec-checked) → oracled by the same exact-Jaccard SQL,
   // the argument that already oracles the LSH paths (D3, A19)
@@ -271,9 +278,16 @@ object Dedup {
         |votes AS (
         |  SELECT doc_id, b, sum(CASE WHEN h // CAST(power(2, b) AS HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
         |  FROM s4, range(0, 64) t(b) GROUP BY doc_id, b),
-        |sig AS (
+        |sg AS (
         |  SELECT doc_id, ${U64Sql.signed("sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")} AS s
         |  FROM votes GROUP BY doc_id),
+        |-- token-less documents (no [a-z0-9] at all) vanish from the
+        |-- unnest chain but simhash64(empty) = 0 on the engine side:
+        |-- keep them with sig 0 or an all-punctuation pair would be
+        |-- present in Spark output and absent here
+        |sig AS (
+        |  SELECT d.doc_id, coalesce(sg.s, CAST(0 AS BIGINT)) AS s
+        |  FROM documents d LEFT JOIN sg USING (doc_id)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming

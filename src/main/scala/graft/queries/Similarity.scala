@@ -183,9 +183,13 @@ object Similarity {
 
   // Scalar-only driver projection, fully integerized: micro-unit BIGINT
   // norm and an md5 over micro-unit BIGINT coordinates sidestep every
-  // float→string formatting divergence between engines, so the
-  // element-wise means (order-independent to the last bit: float
-  // addends in double accumulators round exactly) oracle bit-exact.
+  // float→string formatting divergence between engines. The
+  // element-wise means compare bit-exact because float addends round
+  // exactly in double accumulators WHILE the running sum stays within
+  // 2²⁹ of the addend's exponent (true for this well-scaled synthetic
+  // distribution; a corpus with ~1e-9 coordinates among O(1) values
+  // could round order-dependently) — and the micro-unit rounding
+  // additionally absorbs sub-1e-6 noise away from bucket boundaries.
   val centroids = QueryDef.oracled(
     "embedding_centroids",
     """WITH u AS (

@@ -35,7 +35,8 @@ class CoordinationApiSpec extends AnyFunSuite {
   test("getLeader matches the replay query; membership is consistent") {
     val replay = SparkEntry.queries("leader_election_replay")(spark, sf)
       .collect().map(r => r.getAs[String]("resource") ->
-        (r.getAs[Long]("leader"), r.getAs[Double]("sup_data")))
+        (r.getAs[Long]("leader"),
+          Option(r.get(r.fieldIndex("sup_data"))).map(_.asInstanceOf[Double])))
       .toMap
     replay.foreach { case (res, pair) =>
       assert(api.getLeader(res).contains(pair))
@@ -65,7 +66,8 @@ class CoordinationApiSpec extends AnyFunSuite {
   test("resign-aware leader and leave-aware membership honor tombstones") {
     val resign = SparkEntry.queries("leader_election_resign")(spark, sf)
       .collect().map(r => r.getAs[String]("resource") ->
-        (r.getAs[Long]("leader"), r.getAs[Double]("sup_data")))
+        (r.getAs[Long]("leader"),
+          Option(r.get(r.fieldIndex("sup_data"))).map(_.asInstanceOf[Double])))
       .toMap
     resign.foreach { case (res, pair) =>
       assert(api.getLeaderResignAware(res).contains(pair))

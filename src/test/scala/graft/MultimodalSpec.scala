@@ -66,6 +66,19 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Int]("n_features") == 8))
   }
 
+  // the F1/F2 oracles equate UTF-8 bytes with codepoints (ord()-binned
+  // histogram, substr frame windows); that holds only on an all-ASCII
+  // corpus — fail HERE, loudly, if the generator ever emits multi-byte
+  // text, instead of flipping two driver oracles red
+  test("media oracles' byte==codepoint (ASCII) assumption holds on the corpus") {
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii non-ASCII documents break F1/F2 oracle byte-vs-codepoint parity")
+  }
+
   test("GraftExtensions registers SQL functions") {
     spark.sparkContext // ensure shared context exists
     SparkSession.clearActiveSession()
