@@ -1,36 +1,56 @@
 package graft
 
 /** Driver-run benchmark: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. Each query gets a warm-up execution (codegen,
-  * JIT, file listing) and the reported time is the min of two timed
-  * runs — steady-state throughput, not allocator noise from whatever
-  * query happened to run before it in the shared JVM.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (round 4, pinned so the driver's record and SURVEY's
+  * table can never diverge again): every query executes THREE times
+  * and the reported figure is the MEDIAN. The first run carries all
+  * first-touch costs (codegen, JIT, file listing, shared-intermediate
+  * population in FrameCache — the staging-table warm-up a warehouse
+  * pays once); the median discards it unless the query is genuinely
+  * that slow twice, which is exactly the regression signal we want.
+  * Min-of-2 (rounds 1–3) hid bimodal behavior: one lucky run masked a
+  * consistently slow one.
+  *
+  * Values are rounded to milliseconds so the full 72-query map stays
+  * well under the driver's stdout-tail capture window — BENCH_r03's
+  * record was clipped mid-line and unparseable (`parsed: null`)
+  * because full double reprs pushed the line past it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.get(cpus)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // materialize the FULL plan: .count() would let the optimizer
-      // prune every projection expression (a map-only query would time
-      // as a metadata read); toRdd executes the physical plan as-is
+      // prune the very projections being measured; toRdd executes the
+      // physical plan as-is
       fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
-        timeOnce(fn)                       // warm-up (not reported)
-        math.min(timeOnce(fn), timeOnce(fn))
+        val raw = Seq.fill(runs)(timeOnce(fn))
+        // per-run times to stderr on demand — the variance instrument
+        // that pins down whether a slow median is consistent cost or a
+        // one-off (first-touch, GC) the median already discards
+        if (debug) System.err.println(
+          f"[bench] $name runs=${raw.map(x => f"$x%.2f").mkString(",")}")
+        val ts = raw.sorted
+        ts(ts.size / 2) // median
       } catch { case _: Throwable => -1.0 }
       System.gc()
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
