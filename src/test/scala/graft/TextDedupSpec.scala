@@ -80,6 +80,30 @@ class TextDedupSpec extends AnyFunSuite {
       "FrameCache entry count grew across invocations")
   }
 
+  test("cluster map is staged once: corpus_keepers reuses D7's FrameCache copy") {
+    SparkEntry.queries("dedup_clusters")(spark, sf).count()
+    val frames1 = FrameCache.size(spark)
+    val rdds1 = spark.sparkContext.getPersistentRDDs.size
+    // keepers joins the staged map; a second D7 run reads it back — if
+    // either re-ran the propagation, the sweep's localCheckpoints would
+    // grow the persisted-RDD census
+    SparkEntry.queries("corpus_keepers")(spark, sf).count()
+    SparkEntry.queries("dedup_clusters")(spark, sf).count()
+    assert(FrameCache.size(spark) == frames1,
+      "cluster-map FrameCache entry duplicated")
+    assert(spark.sparkContext.getPersistentRDDs.size == rdds1,
+      "persisted RDD count grew — propagation re-ran instead of reusing the staged map")
+    // and the decisions agree with the map
+    val cl = queries.Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = SparkEntry.queries("corpus_keepers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    keep.foreach { case (doc, cid, k) =>
+      assert(cid == cl.getOrElse(doc, doc))
+      assert(k == (cid == doc))
+    }
+  }
+
   test("tau=0.8 embedding dedup (16x16 bands): exact on planted dups, sharper pruning") {
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
