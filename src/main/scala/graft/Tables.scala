@@ -42,6 +42,25 @@ object Tables {
       n -> (if (n == "events") events _ else load(_: SparkSession, _: String, n))
     }.toMap
 
+  /** Ingest-spread for map-KERNEL-HEAVY consumers: when the parquet
+    * scan yields far fewer partitions than the session's parallelism
+    * (the local test files are single-row-group, so the map side would
+    * run on one core), hash-repartition on the row key to the full
+    * executor width. Only worth it above expensive kernels
+    * (shingle/minhash/SRP signature computation — measured 4–12×
+    * faster) — for cheap map work the extra exchange of the raw rows
+    * costs more than the single-task compute it saves, so this is
+    * opt-in per consumer, NOT applied to every load. At warehouse
+    * scale scans split natively into thousands of partitions and the
+    * guard keeps it a no-op; hash-by-key is deterministic, so results
+    * are unaffected.
+    */
+  private[graft] def spread(df: DataFrame, s: SparkSession, key: String): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -39,7 +39,11 @@ object Dedup {
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"dedup.shingled:$d") {
-      Tables.documents(s, d)
+      // ingest-spread before the tokenize+shingle kernel: the cached
+      // partitions inherit the full executor width, so EVERY dedup-
+      // family consumer (pair joins, verifies, signatures) reads a
+      // wide frame instead of the one-partition local scan
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
         .withColumn("shingles", F.shingles3(F.tokenize_words(col("text"))))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
     }
@@ -391,8 +395,11 @@ object Dedup {
     // bands carry only (vec_id, int bucket) through the shuffle — the
     // 64-float vectors are re-fetched by equi-join on the candidate ids
     // (a 96× band fan-out must not amplify vector bytes). Bit carving
-    // is the shared F.srpSigsArray/srpBandExpr contract.
-    embeddingNearDup(Tables.embeddings(s, d), EmbTau, EmbTables, EmbBandBits)
+    // is the shared F.srpSigsArray/srpBandExpr contract. Ingest-spread:
+    // the 96-table SRP signature kernel is the dominant map cost and
+    // must not run on the single local scan partition.
+    embeddingNearDup(Tables.spread(Tables.embeddings(s, d), s, "vec_id"),
+      EmbTau, EmbTables, EmbBandBits)
   }
 
   // --- D9: benchmark decontamination --------------------------------------

@@ -103,15 +103,31 @@ object Streaming {
     // Size it to the harness (a cluster deployment raises it with its
     // parallelism; state is keyed, so the semantics don't change).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val streamParts =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
     s.conf.set("spark.sql.shuffle.partitions",
-      math.min(4, prev.toInt).toString)
+      math.min(streamParts, prev.toInt).toString)
+    val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+    def phase[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (dbg) System.err.println(
+        f"[stream] $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val q =
-      try frame.writeStream.outputMode(mode)
-        .format("memory").queryName(name).start()
+      try phase("start")(frame.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start())
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
+    try phase("process")(q.processAllAvailable())
+    finally {
+      if (dbg) q.recentProgress.foreach(p => System.err.println(
+        s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}"))
+      phase("stop")(q.stop())
+    }
     val table = s.table(name)
-    val rows = table.collect().toIndexedSeq
+    val rows = phase("collect")(table.collect().toIndexedSeq)
     s.catalog.dropTempView(name)
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -165,8 +181,9 @@ object Streaming {
             out.iterator
           }
         })
+    // no presentation sort: the gate canonicalizes row order, and the
+    // batch twins ship O(N) outputs unsorted (SURVEY §8)
     runToMemory(s, changed.toDF(), OutputMode.Append)
-      .orderBy(col("namespace"), col("key"), col("ts"), col("event_id"))
   }
 
   // --- A11: continuous hourly rollup, streaming twin of B9 ----------------
@@ -187,7 +204,6 @@ object Streaming {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
     runToMemory(s, agg, OutputMode.Complete)
-      .orderBy(col("hour"), col("event_type"))
   }
 
 
@@ -244,7 +260,6 @@ object Streaming {
           }
         })
     runToMemory(s, changes.toDF(), OutputMode.Append)
-      .orderBy(col("resource"), col("ts"), col("event_id"))
   }
 
   // --- A14: streaming exact dedup (first-seen wins) -----------------------
@@ -264,6 +279,9 @@ object Streaming {
     val path = s"$d/documents.parquet"
     val docs = s.readStream.schema(s.read.parquet(path).schema)
       .parquet(symlinkedDir(path, "documents.parquet"))
+      // ingest-spread (see stream_dedup_minhash): normalize+md5 of the
+      // full text runs wide instead of on the one scan partition
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(
         md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
           .as("content_hash"),
@@ -301,7 +319,6 @@ object Streaming {
           })
     runToMemory(s, firstSeen.toDF(), OutputMode.Append)
       .select(col("content_hash"), col("doc_id").as("keeper_doc_id"))
-      .orderBy(col("keeper_doc_id"))
   }
 
   // --- A15: the funnel as a live per-user state machine --------------------
@@ -457,7 +474,6 @@ object Streaming {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
     runToMemory(s, agg, OutputMode.Append)
-      .orderBy(col("user_id"), col("session_start"))
   }
 
   // --- A19: streaming NEAR-dup ingest (MinHash-LSH state) ------------------
@@ -488,6 +504,12 @@ object Streaming {
     val path = s"$d/documents.parquet"
     val banded = s.readStream.schema(s.read.parquet(path).schema)
       .parquet(symlinkedDir(path, "documents.parquet"))
+      // the local single-row-group file arrives as one scan partition;
+      // fan the micro-batch out BEFORE the tokenize/shingle/minhash
+      // kernels so they use the full executor width (same ingest-spread
+      // rationale as Tables.documents — a splittable production feed
+      // already arrives wide)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("shingles",
         graft.functions.expressions.shingles3(
           graft.functions.expressions.tokenize_words(col("text"))))
@@ -614,7 +636,6 @@ object Streaming {
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      .orderBy(col("topic"), col("key"))
   }
 
   def all: Seq[QueryDef] = Seq(
