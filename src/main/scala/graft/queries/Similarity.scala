@@ -227,7 +227,40 @@ object Similarity {
   // Scale 0.5 covers the synthetic embedding range (|x| ≲ 0.5);
   // recall vs the float baseline is spec-checked.
   private val QuantScale = 0.5f
-  val quantized = QueryDef.rowsOnly("knn_quantized") { (s, d) =>
+  // Fully deterministic (fixed-scale float rounding + integer
+  // accumulation), so the whole kernel replays in DuckDB: the
+  // quantizer is Java's Math.round(float) = floor(f + 0.5f) with every
+  // intermediate held in FLOAT (DuckDB FLOAT arithmetic matches IEEE
+  // single-precision op-for-op), the clamp is greatest/least, and the
+  // scoring is exact BIGINT dot/norm folds with one double division —
+  // bit-identical to HashImpl.quantizeI8/cosineII.
+  private val quantizedOracleSql: String = {
+    val qz = s"""list_transform(embedding, x ->
+      |    GREATEST(-127, LEAST(127, CAST(floor(
+      |      CAST(CAST(CAST(x AS FLOAT) * CAST(127 AS FLOAT) AS FLOAT)
+      |           / CAST($QuantScale AS FLOAT) AS FLOAT)
+      |      + CAST(0.5 AS FLOAT)) AS BIGINT))))""".stripMargin
+    s"""WITH qz AS (SELECT vec_id, $qz AS qv FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < $NQueries),
+      |p AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_zip(q.qq, c.qv), x -> x[1] * x[2])), (a,b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(q.qq, x -> x * x)), (a,b) -> a + b) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(c.qv, x -> x * x)), (a,b) -> a + b) AS nb
+      |  FROM q JOIN qz c ON c.vec_id <> q.query_id),
+      |s AS (SELECT query_id, vec_id,
+      |        CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+      |      FROM p),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf)
+      |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+      |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+  val quantized = QueryDef.oracled("knn_quantized", quantizedOracleSql) { (s, d) =>
     val corpus = Tables.embeddings(s, d)
       .select(col("vec_id"), F.quantize_i8(col("embedding"), QuantScale).as("qa"))
     val qs = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
