@@ -202,4 +202,13 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     graft.queries.Coordination.keysetTicks(spark, sfDir)
       .filter(col("event_type") === namespace)
       .select(col("tick"), col("k"))
+
+  /** LeaderChangeListener replay: every onLeaderChange firing for a
+    * resource over the log (A23 feed — the fold shared with the live
+    * A12 operator). Drives [[ListenerRegistry.replayLeaderChanges]].
+    */
+  def leaderChanges(resource: String): DataFrame =
+    graft.queries.Coordination.leaderChangeFeed.fn(spark, sfDir)
+      .filter(col("resource") === resource)
+      .select(col("ts"), col("event_id"), col("new_leader"), col("prev_leader"))
 }

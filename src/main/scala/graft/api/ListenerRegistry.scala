@@ -12,6 +12,23 @@ trait ValueChangeListener { def valueChanged(value: Option[Double]): Unit }
 /** Callback fired when a watched namespace's key set changes. */
 trait KeySetChangeListener { def keySetChanged(keySet: Set[String]): Unit }
 
+/** Callback fired when a watched resource's leadership changes —
+  * mirrors `LeaderChangeListener.onLeaderChange(newValue)` of the
+  * reference (CassandraLeaderElection.scala:149-159, fired at
+  * :129-135). The replay feed carries acquisitions (a leader lapse is
+  * only OBSERVED at the next claim, exactly as in the reference's
+  * TTL-expiring Cassandra row), so `newLeader` is always defined here;
+  * the Option mirrors the reference signature, where a live poll can
+  * also see the no-leader window.
+  */
+trait LeaderChangeListener { def onLeaderChange(newLeader: Option[Long]): Unit }
+
+/** Callback fired when a watched group's membership changes — the
+  * `GroupMembershipClient.Listener.onGroupChange(membership)` shape of
+  * the reference README, membership typed to graft's Long member ids.
+  */
+trait GroupMembershipListener { def onGroupChange(membership: Set[Long]): Unit }
+
 /** The reference registry's attach/detach bookkeeping
   * (listener/registry/CacheListenerRegistry.scala:83-173) re-expressed
   * over the replay feeds: per-key listener lists under one lock, the
@@ -35,9 +52,15 @@ final class ListenerRegistry(api: CoordinationApi) {
     mutable.HashMap.empty[(String, Long), mutable.ListBuffer[ValueChangeListener]]
   private val keySetListeners =
     mutable.HashMap.empty[String, mutable.ListBuffer[KeySetChangeListener]]
+  private val leaderListeners =
+    mutable.HashMap.empty[String, mutable.ListBuffer[LeaderChangeListener]]
+  private val groupListeners =
+    mutable.HashMap.empty[String, mutable.ListBuffer[GroupMembershipListener]]
   // presence here == a live ScheduledFuture in the reference
   private val valueWatchers = mutable.HashSet.empty[(String, Long)]
   private val keySetWatchers = mutable.HashSet.empty[String]
+  private val leaderWatchers = mutable.HashSet.empty[String]
+  private val groupWatchers = mutable.HashSet.empty[String]
 
   def addValueChangeListener(namespace: String, key: Long,
       listener: ValueChangeListener): Unit = lock.synchronized {
@@ -76,10 +99,57 @@ final class ListenerRegistry(api: CoordinationApi) {
     }
   }
 
+  /** addListener(LeaderChangeListener) of the reference
+    * (CassandraLeaderElection.scala:149-153), per resource; the first
+    * add attaches the watcher, extras piggyback.
+    */
+  def addLeaderChangeListener(resource: String,
+      listener: LeaderChangeListener): Unit = lock.synchronized {
+    val ls = leaderListeners.getOrElseUpdate(resource, mutable.ListBuffer.empty)
+    ls += listener
+    if (ls.size == 1) leaderWatchers += resource
+  }
+
+  /** removeListener (CassandraLeaderElection.scala:155-159); the last
+    * remove detaches the watcher.
+    */
+  def removeLeaderChangeListener(resource: String,
+      listener: LeaderChangeListener): Unit = lock.synchronized {
+    leaderListeners.get(resource).foreach { ls =>
+      ls -= listener
+      if (ls.isEmpty) {
+        leaderListeners.remove(resource)
+        leaderWatchers -= resource
+      }
+    }
+  }
+
+  def addGroupMembershipListener(group: String,
+      listener: GroupMembershipListener): Unit = lock.synchronized {
+    val ls = groupListeners.getOrElseUpdate(group, mutable.ListBuffer.empty)
+    ls += listener
+    if (ls.size == 1) groupWatchers += group
+  }
+
+  def removeGroupMembershipListener(group: String,
+      listener: GroupMembershipListener): Unit = lock.synchronized {
+    groupListeners.get(group).foreach { ls =>
+      ls -= listener
+      if (ls.isEmpty) {
+        groupListeners.remove(group)
+        groupWatchers -= group
+      }
+    }
+  }
+
   def hasValueWatcher(namespace: String, key: Long): Boolean =
     lock.synchronized(valueWatchers.contains((namespace, key)))
   def hasKeySetWatcher(namespace: String): Boolean =
     lock.synchronized(keySetWatchers.contains(namespace))
+  def hasLeaderWatcher(resource: String): Boolean =
+    lock.synchronized(leaderWatchers.contains(resource))
+  def hasGroupWatcher(group: String): Boolean =
+    lock.synchronized(groupWatchers.contains(group))
 
   /** Play the namespace's value-change feed (A4 semantics, first
     * sighting included) through the attached per-key listeners in feed
@@ -123,6 +193,49 @@ final class ListenerRegistry(api: CoordinationApi) {
         val ls = lock.synchronized(
           keySetListeners.get(namespace).map(_.toList).getOrElse(Nil))
         ls.foreach(_.keySetChanged(ks))
+        fired += 1
+      }
+    }
+    fired
+  }
+
+  /** Play the resource's leader-change feed (A23, the onLeaderChange
+    * firing loop of CassandraLeaderElection.scala:129-135) through the
+    * attached listeners in feed order. Returns the number of firings
+    * (== the feed's row count for the resource).
+    */
+  def replayLeaderChanges(resource: String): Long = {
+    if (!hasLeaderWatcher(resource)) return 0L
+    val rows = api.leaderChanges(resource)
+      .orderBy(col("ts"), col("event_id")).collect()
+    rows.foreach { r =>
+      val ls = lock.synchronized(
+        leaderListeners.get(resource).map(_.toList).getOrElse(Nil))
+      ls.foreach(_.onLeaderChange(Some(r.getAs[Long]("new_leader"))))
+    }
+    rows.length.toLong
+  }
+
+  /** Play the group's per-tick membership through the attached
+    * listeners — onGroupChange(membership) of the reference README —
+    * firing only when the member set differs from the cached one (the
+    * same compare-and-fire dedup as the key-set watcher, typed to
+    * member ids). Returns the number of firings.
+    */
+  def replayGroupChanges(group: String): Long = {
+    if (!hasGroupWatcher(group)) return 0L
+    val ticks = api.keySetsByTick(group).collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("tick"))
+      .view.mapValues(_.map(_.getAs[String]("k").toLong).toSet)
+      .toSeq.sortBy(_._1.getTime)
+    var cached = Option.empty[Set[Long]]
+    var fired = 0L
+    ticks.foreach { case (_, members) =>
+      if (!cached.contains(members)) {
+        cached = Some(members)
+        val ls = lock.synchronized(
+          groupListeners.get(group).map(_.toList).getOrElse(Nil))
+        ls.foreach(_.onGroupChange(members))
         fired += 1
       }
     }

@@ -295,6 +295,75 @@ object Coordination {
       .orderBy(col("resource"))
   }
 
+  // --- A23: the LeaderChangeListener feed (batch replay) ------------------
+  // Every onLeaderChange firing over the log (CassandraLeaderElection
+  // .scala:129-135): the CAS acquire/renew/expire machine emits a row
+  // per leadership change — the fold is Streaming.leaderFold, shared
+  // verbatim with the live A12 operator. Parallel unit = resource (the
+  // machine is inherently sequential per election row, exactly like the
+  // reference's single Cassandra partition per resource); the shuffle
+  // key is the resource, no driver state.
+  //
+  // The oracle replays the machine in pure SQL: per-candidate TTL-gap
+  // sessions give every claim's heartbeat-chain end; a successor table
+  // (ASOF join: first event strictly past sess_end + TTL) precomputes
+  // "who acquires after this leader's chain lapses"; the acquisition
+  // chain is then a linear recursive walk over exact keys — O(changes)
+  // iterations of O(1) joins, not a per-iteration log scan.
+  private[graft] val leaderChangeFeedSql: String =
+    """WITH RECURSIVE
+      |ev AS MATERIALIZED (
+      |  SELECT event_type AS res, user_id AS cand, epoch_us(ts) AS us,
+      |         event_id AS eid, ts,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                       OR us - lag(us) OVER w > 3600000000
+      |                     THEN 1 ELSE 0 END AS nf
+      |      FROM ev WINDOW w AS (PARTITION BY res, cand ORDER BY us, eid)),
+      |sess AS (SELECT *, sum(nf) OVER (PARTITION BY res, cand ORDER BY us, eid
+      |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      |se AS (SELECT res, cand, us, eid, rn,
+      |              max(us) OVER (PARTITION BY res, cand, sid) + 3600000000 AS thresh
+      |       FROM sess),
+      |mx AS (SELECT res, us, max(rn) AS mrn FROM ev GROUP BY res, us),
+      |nx0 AS (SELECT s.res, s.cand, s.us, s.eid, m.mrn + 1 AS nrn
+      |        FROM se s ASOF JOIN mx m ON s.res = m.res AND s.thresh >= m.us),
+      |nxt AS MATERIALIZED (
+      |  SELECT n.res, n.cand, n.us, n.eid,
+      |         e.us AS nus, e.eid AS neid, e.cand AS ncand, e.ts AS nts
+      |  FROM nx0 n LEFT JOIN ev e ON e.res = n.res AND e.rn = n.nrn),
+      |init AS (SELECT res, us, eid, cand AS leader, CAST(-1 AS BIGINT) AS prev, ts
+      |         FROM ev WHERE rn = 1),
+      |acq AS (
+      |  SELECT * FROM init
+      |  UNION ALL
+      |  SELECT n.res, n.nus, n.neid, n.ncand AS leader, a.leader AS prev, n.nts
+      |  FROM acq a
+      |  JOIN nxt n ON n.res = a.res AND n.cand = a.leader
+      |            AND n.us = a.us AND n.eid = a.eid
+      |  WHERE n.neid IS NOT NULL)
+      |SELECT res AS resource, ts, eid AS event_id, leader AS new_leader,
+      |       prev AS prev_leader
+      |FROM acq ORDER BY resource, us, event_id""".stripMargin
+
+  val leaderChangeFeed = QueryDef.oracled(
+    "leader_change_feed", leaderChangeFeedSql) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.{KeyedEvent, Streaming}
+    ev(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent]
+      .groupByKey(_.namespace)
+      .flatMapGroups { (res: String, it: Iterator[KeyedEvent]) =>
+        val sorted = it.toSeq.sortBy(e => (Streaming.tsMicros(e.ts), e.event_id))
+        Streaming.leaderFold(res, sorted, None)._1.iterator
+      }
+      .toDF()
+  }
+
   // --- A7: leadership tenures over time ----------------------------------
   val leaderTenures = QueryDef.oracled(
     "leader_tenures",
@@ -558,5 +627,6 @@ object Coordination {
   def all: Seq[QueryDef] = Seq(
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
-    kvStorageReplay, groupMembershipLeave, leaderElectionResign)
+    kvStorageReplay, groupMembershipLeave, leaderElectionResign,
+    leaderChangeFeed)
 }

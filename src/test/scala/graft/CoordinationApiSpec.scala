@@ -140,4 +140,66 @@ class CoordinationApiSpec extends AnyFunSuite {
     reg.removeKeySetChangeListener(ns, kl)
     assert(!reg.hasKeySetWatcher(ns))
   }
+
+  test("leader-change listeners: attach replays the A23 feed, detach goes quiet") {
+    import graft.api.{LeaderChangeListener, ListenerRegistry}
+    val reg = new ListenerRegistry(api)
+    val res = "click"
+    val feed = api.leaderChanges(res)
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(_.getAs[Long]("new_leader")).toSeq
+    assert(feed.size >= 2, "need a resource with real leadership churn")
+
+    val got = scala.collection.mutable.Buffer.empty[Option[Long]]
+    val got2 = scala.collection.mutable.Buffer.empty[Option[Long]]
+    val l1 = new LeaderChangeListener {
+      def onLeaderChange(v: Option[Long]): Unit = got += v }
+    val l2 = new LeaderChangeListener {
+      def onLeaderChange(v: Option[Long]): Unit = got2 += v }
+
+    assert(reg.replayLeaderChanges(res) == 0L)    // nothing attached yet
+    reg.addLeaderChangeListener(res, l1)
+    assert(reg.hasLeaderWatcher(res))             // first add attaches
+    reg.addLeaderChangeListener(res, l2)          // second piggybacks
+    val fired = reg.replayLeaderChanges(res)
+    assert(fired == feed.size, "firing count diverges from the A23 feed")
+    assert(got.flatten.toSeq == feed, "feed order/content diverged")
+    assert(got2.flatten.toSeq == feed, "second listener missed rows")
+
+    reg.removeLeaderChangeListener(res, l2)
+    assert(reg.hasLeaderWatcher(res))             // one listener left
+    reg.removeLeaderChangeListener(res, l1)
+    assert(!reg.hasLeaderWatcher(res))            // last remove detaches
+    got.clear()
+    assert(reg.replayLeaderChanges(res) == 0L && got.isEmpty)
+  }
+
+  test("group-membership listeners: per-tick snapshots fire on change only") {
+    import graft.api.{GroupMembershipListener, ListenerRegistry}
+    val reg = new ListenerRegistry(api)
+    val grp = "signup"
+    val got = scala.collection.mutable.Buffer.empty[Set[Long]]
+    val gl = new GroupMembershipListener {
+      def onGroupChange(m: Set[Long]): Unit = got += m }
+
+    assert(reg.replayGroupChanges(grp) == 0L)     // nothing attached yet
+    reg.addGroupMembershipListener(grp, gl)
+    assert(reg.hasGroupWatcher(grp))
+    val fired = reg.replayGroupChanges(grp)
+    // same compare-and-fire dedup as the key-set watcher, typed —
+    // firing count must equal the string-keyed replay's
+    assert(fired == api.keySetChanges(grp).count(),
+      "membership firing count diverges from the A5 feed")
+    assert(got.size == fired)
+    // every fired snapshot is the tick's member set: ids round-trip
+    // through the typed interface (join/leave = set delta between ticks)
+    assert(got.sliding(2).forall {
+      case scala.collection.mutable.Buffer(a, b) => a != b
+      case _ => true
+    }, "consecutive identical snapshots should have been deduped")
+    reg.removeGroupMembershipListener(grp, gl)
+    assert(!reg.hasGroupWatcher(grp))
+    got.clear()
+    assert(reg.replayGroupChanges(grp) == 0L && got.isEmpty)
+  }
 }
