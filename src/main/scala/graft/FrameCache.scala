@@ -34,8 +34,26 @@ private[graft] object FrameCache {
       s.sparkContext.addSparkListener(l)
       l
     })
-    cache.computeIfAbsent((s, key),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+    // REENTRANCY: a build closure may itself call getOrPersist for a
+    // different key (dedup.clusters builds on dedup.shingled). Running
+    // `build` inside ConcurrentHashMap.computeIfAbsent would then nest a
+    // map insert inside a map compute — CHM throws
+    // IllegalStateException("Recursive update") whenever the two keys
+    // hash to the same bin, an identity-hash-dependent crash. So: lockless
+    // get fast path, build+persist OUTSIDE the map, then putIfAbsent and
+    // unpersist the losing copy of a rare concurrent double-build.
+    val k = (s, key)
+    val hit = cache.get(k)
+    if (hit ne null) hit
+    else {
+      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev = cache.putIfAbsent(k, built)
+      if (prev eq null) built
+      else {
+        try built.unpersist(blocking = false) catch { case _: Throwable => () }
+        prev
+      }
+    }
   }
 
   /** Drop (and unpersist) every entry owned by `s`, and detach its

@@ -201,20 +201,23 @@ object Dedup {
   private val MaxDf = 100
   // output ≡ D2 (spec-checked) → oracled by the same exact-Jaccard SQL,
   // the argument that already oracles the LSH paths (D3, A19)
-  val ngramJaccardCapped = QueryDef.oracled(
-    "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
-    val sets = shingled(s, d) // cached+persisted by the shared loader
-    // the capped index feeds both pair-join sides — shared-cached like
-    // the shingle frame (ONE copy per (session, dir), evicted with the
-    // session), so repeated invocations never pile up persisted copies
-    val idx = graft.FrameCache.getOrPersist(s, s"dedup.cappedIdx:$d:$MaxDf") {
-      val ex = sets
+  // the capped index feeds both pair-join sides — shared-cached like
+  // the shingle frame (ONE copy per (session, dir), evicted with the
+  // session), so repeated invocations never pile up persisted copies
+  private def cappedIndex(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"dedup.cappedIdx:$d:$MaxDf") {
+      val ex = shingled(s, d)
         .select(col("doc_id"), explode(col("shingles")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       val hot = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxDf).select(col("sh"))
       ex.join(broadcast(hot), Seq("sh"), "left_anti")
     }
+
+  val ngramJaccardCapped = QueryDef.oracled(
+    "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
+    val sets = shingled(s, d) // cached+persisted by the shared loader
+    val idx = cappedIndex(s, d)
     // shared-capped-shingle counts per pair — the cheap aggregate path
     val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
@@ -584,6 +587,20 @@ object Dedup {
         coalesce(col("cid"), col("doc_id")).as("cluster_id"),
         (col("cid").isNull || col("cid") === col("doc_id")).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Materialize every shared FrameCache stage the dedup family reads
+    * (shingle frame, DF-capped inverted index, converged cluster map) —
+    * the staging-table warm-up a warehouse pays once. Bench calls this
+    * BEFORE the timed loop and reports it as its own line item, so the
+    * first-touch cost stops wandering into whichever alphabetically-
+    * early query happens to trigger it (round-5 verdict: the r4↔r5
+    * per-query swings came from exactly this attribution drift).
+    */
+  private[graft] def warmStages(s: SparkSession, d: String): Unit = {
+    shingled(s, d).queryExecution.toRdd.count()
+    cappedIndex(s, d).queryExecution.toRdd.count()
+    clusterLabels(s, d).queryExecution.toRdd.count()
   }
 
   def all: Seq[QueryDef] = Seq(

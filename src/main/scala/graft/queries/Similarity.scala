@@ -228,18 +228,23 @@ object Similarity {
   // recall vs the float baseline is spec-checked.
   private val QuantScale = 0.5f
   // Fully deterministic (fixed-scale float rounding + integer
-  // accumulation), so the whole kernel replays in DuckDB: the
-  // quantizer is Java's Math.round(float) = floor(f + 0.5f) with every
-  // intermediate held in FLOAT (DuckDB FLOAT arithmetic matches IEEE
-  // single-precision op-for-op), the clamp is greatest/least, and the
-  // scoring is exact BIGINT dot/norm folds with one double division —
-  // bit-identical to HashImpl.quantizeI8/cosineII.
+  // accumulation), so the whole kernel replays in DuckDB: the scaled
+  // value is computed with every intermediate held in FLOAT (DuckDB
+  // FLOAT arithmetic matches IEEE single-precision op-for-op,
+  // mirroring quantizeI8's float multiply/divide), then rounded
+  // half-up in DOUBLE — Java 7+ Math.round(float) semantics
+  // (JDK-6430675): floor(f + 0.5) with the addition EXACT, which a
+  // double addition of a float and 0.5 is. Holding the + 0.5 in FLOAT
+  // (pre-Java-7 semantics) disagrees by 1 for floats one ulp below
+  // n + 0.5 — see the boundary spec in SimilaritySpec. The clamp is
+  // greatest/least and the scoring is exact BIGINT dot/norm folds with
+  // one double division — bit-identical to HashImpl.quantizeI8/cosineII.
   private val quantizedOracleSql: String = {
     val qz = s"""list_transform(embedding, x ->
       |    GREATEST(-127, LEAST(127, CAST(floor(
-      |      CAST(CAST(CAST(x AS FLOAT) * CAST(127 AS FLOAT) AS FLOAT)
-      |           / CAST($QuantScale AS FLOAT) AS FLOAT)
-      |      + CAST(0.5 AS FLOAT)) AS BIGINT))))""".stripMargin
+      |      CAST(CAST(CAST(CAST(x AS FLOAT) * CAST(127 AS FLOAT) AS FLOAT)
+      |           / CAST($QuantScale AS FLOAT) AS FLOAT) AS DOUBLE)
+      |      + 0.5) AS BIGINT))))""".stripMargin
     s"""WITH qz AS (SELECT vec_id, $qz AS qv FROM embeddings),
       |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < $NQueries),
       |p AS (

@@ -85,6 +85,67 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantize boundary: oracle's double half-up replay == Math.round exactly at n+0.5 ulp edges") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val scale = 0.5f
+    // JVM replay of the DuckDB oracle's quantizer: scaled value held in
+    // FLOAT op-for-op, rounding in DOUBLE (floor(double(f) + 0.5))
+    def oracleDouble(x: Float): Long = {
+      val scaled = (x * 127.0f) / scale
+      math.max(-127L, math.min(127L, math.floor(scaled.toDouble + 0.5).toLong))
+    }
+    // the pre-Java-7 emulation the oracle used before round 6: + 0.5 held
+    // in FLOAT — disagrees by 1 for floats one ulp below n + 0.5
+    def oracleFloat(x: Float): Long = {
+      val scaled = (x * 127.0f) / scale
+      math.max(-127L, math.min(127L, math.floor((scaled + 0.5f).toDouble).toLong))
+    }
+    def sparkQuantize(x: Float): Long = {
+      val arr = graft.functions.HashImpl.quantizeI8(
+        new GenericArrayData(Array[Any](x)), scale)
+      arr.getByte(0).toLong
+    }
+    // engineer inputs whose SCALED value lands exactly one ulp below
+    // n + 0.5 (the JDK-6430675 boundary): invert scaled = (x*127f)/0.5f
+    // and scan x's neighboring ulps until the float pipeline reproduces
+    // the target bit pattern
+    var boundaryHits = 0
+    var floatEmulationDiverges = 0
+    for (n <- 0 to 126) {
+      val target = java.lang.Math.nextDown((n + 0.5).toFloat)
+      val approx = (target.toDouble * scale / 127.0).toFloat
+      val start = (0 until 300).foldLeft(approx)((a, _) => java.lang.Math.nextDown(a))
+      val hit = Iterator.iterate(start)(java.lang.Math.nextUp(_))
+        .take(600)
+        .find(x => (x * 127.0f) / scale == target)
+      hit.foreach { x =>
+        boundaryHits += 1
+        assert(sparkQuantize(x) == oracleDouble(x),
+          f"boundary x=$x%.9g scaled=$target: Spark ${sparkQuantize(x)} != oracle ${oracleDouble(x)}")
+        if (oracleFloat(x) != sparkQuantize(x)) floatEmulationDiverges += 1
+      }
+    }
+    assert(boundaryHits > 50, s"only $boundaryHits boundary values constructed")
+    info(s"$boundaryHits boundary values, $floatEmulationDiverges diverge under FLOAT-held emulation")
+    // the divergence class is real (JDK-6430675's own witness): for the
+    // float one ulp below 0.5, Math.round is 0 but the FLOAT-held + 0.5
+    // ties up to 1.0 — the double-held replay matches Math.round. (Among
+    // n + 0.5 edges only n = 0 can diverge: for n >= 1 the float sum
+    // n + 1 - ulp is exactly representable in scaled's own binade, so
+    // the spec asserts the witness directly rather than requiring the
+    // quantize pipeline to land on that single reachable-or-not input.)
+    val witness = java.lang.Math.nextDown(0.5f)
+    assert(math.round(witness) === 0)
+    assert(math.floor((witness + 0.5f).toDouble).toLong === 1L,
+      "FLOAT-held emulation no longer diverges on the canonical witness")
+    assert(math.floor(witness.toDouble + 0.5).toLong === 0L)
+    // and away from boundaries the three agree on a dense sweep
+    for (i <- -20000 to 20000) {
+      val x = i / 20000.0f * scale
+      assert(sparkQuantize(x) == oracleDouble(x), s"sweep x=$x")
+    }
+  }
+
   test("knn_quantized (int8) recall vs float brute force is near-perfect") {
     val got = neighbors("knn_quantized")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
