@@ -111,13 +111,38 @@ object Streaming {
       srcDir.toString
     })
 
+  /** Harness scratch for stream checkpoints and the upsert state table:
+    * tmpfs (/dev/shm) when writable, the regular temp dir otherwise. In
+    * the drain-and-stop replay the checkpoint WAL / offset-log /
+    * state-delta writes are pure fixed cost — on ext4 they are
+    * ~0.1-0.3 s of fsync-bound IO per query. A CLUSTER deployment
+    * checkpoints to durable shared storage instead (exactly-once across
+    * driver restarts needs it); this dial only shapes the single-JVM
+    * harness, where the scratch dir is deleted after materialization.
+    */
+  private[graft] def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+    p.toString
+  }
+
+  // footer-read schema per source path, cached — the streaming source
+  // needs an explicit schema and re-reading the footer on every query
+  // construction is repeated driver IO for a constant
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def parquetSchema(s: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+
   /** File-source stream of the events changelog (ts nanos → micros,
     * matching Tables.events).
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(parquetSchema(s, path))
       .parquet(symlinkedDir(path, "events.parquet"))
     Tables.withMicroTs(raw)
   }
@@ -128,19 +153,36 @@ object Streaming {
     * pin an ever-growing set of in-memory tables; the driver-side
     * collect is test-harness-only (SURVEY §4) — a production pipeline
     * streams into a real sink instead.
+    *
+    * `needsNoDataBatch`: whether the query's OUTPUT depends on the
+    * trailing zero-data micro-batch Spark runs after the data drains.
+    * Watermark-closed windowed aggregations (A20/A21/A22) emit their
+    * final windows only in that batch — they need it. The
+    * flatMapGroupsWithState operators emit rows in the data batch
+    * itself (the no-data batch only fires event-time timeouts, whose
+    * handlers here emit nothing) and complete-mode sinks rewrite on
+    * every data batch — for those the trailing batch is pure fixed
+    * cost (~0.3-1.0 s of planning/commit/state IO per query at sf0.1),
+    * so it is skipped. Semantics on a LIVE feed are unchanged: there
+    * the trigger loop keeps running and timeouts fire on later data
+    * batches; this dial only affects the drain-and-stop harness replay.
     */
   private def runToMemory(s: SparkSession, frame: DataFrame,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, needsNoDataBatch: Boolean = true): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     // The state-store partition count is fixed per query from this conf
     // at start; every partition pays checkpoint/commit IO per trigger.
     // Size it to the harness (a cluster deployment raises it with its
     // parallelism; state is keyed, so the semantics don't change).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val streamParts =
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
     s.conf.set("spark.sql.shuffle.partitions",
       math.min(streamParts, prev.toInt).toString)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      needsNoDataBatch.toString)
     val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
     def phase[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -149,16 +191,22 @@ object Streaming {
         f"[stream] $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    val ckpt = scratchDir(s"graft_ckpt_")
     val q =
       try phase("start")(frame.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
         .format("memory").queryName(name).start())
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     try phase("process")(q.processAllAvailable())
     finally {
       if (dbg) q.recentProgress.foreach(p => System.err.println(
         s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}"))
       phase("stop")(q.stop())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     val table = s.table(name)
     val rows = phase("collect")(table.collect().toIndexedSeq)
@@ -217,7 +265,7 @@ object Streaming {
         })
     // no presentation sort: the gate canonicalizes row order, and the
     // batch twins ship O(N) outputs unsorted (SURVEY §8)
-    runToMemory(s, changed.toDF(), OutputMode.Append)
+    runToMemory(s, changed.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
   // --- A11: continuous hourly rollup, streaming twin of B9 ----------------
@@ -237,7 +285,7 @@ object Streaming {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
-    runToMemory(s, agg, OutputMode.Complete)
+    runToMemory(s, agg, OutputMode.Complete, needsNoDataBatch = false)
   }
 
 
@@ -278,7 +326,7 @@ object Streaming {
           out.iterator
           }
         })
-    runToMemory(s, changes.toDF(), OutputMode.Append)
+    runToMemory(s, changes.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
   // --- A14: streaming exact dedup (first-seen wins) -----------------------
@@ -296,7 +344,7 @@ object Streaming {
       |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val path = s"$d/documents.parquet"
-    val docs = s.readStream.schema(s.read.parquet(path).schema)
+    val docs = s.readStream.schema(parquetSchema(s, path))
       .parquet(symlinkedDir(path, "documents.parquet"))
       // ingest-spread (see stream_dedup_minhash): normalize+md5 of the
       // full text runs wide instead of on the one scan partition
@@ -336,7 +384,7 @@ object Streaming {
               Iterator.single(HashedDoc(m.content_hash, m.doc_id))
             }
           })
-    runToMemory(s, firstSeen.toDF(), OutputMode.Append)
+    runToMemory(s, firstSeen.toDF(), OutputMode.Append, needsNoDataBatch = false)
       .select(col("content_hash"), col("doc_id").as("keeper_doc_id"))
   }
 
@@ -397,7 +445,8 @@ object Streaming {
           out.iterator
           }
         })
-    val stageCounts = runToMemory(s, stages.toDF(), OutputMode.Append)
+    val stageCounts = runToMemory(s, stages.toDF(), OutputMode.Append,
+      needsNoDataBatch = false)
     stageCounts.agg(
       sum(when(col("stage") === "signup", 1).otherwise(0)).as("n_signup"),
       sum(when(col("stage") === "click", 1).otherwise(0)).as("n_click_after"),
@@ -521,7 +570,7 @@ object Streaming {
     "stream_dedup_minhash", graft.queries.Dedup.jaccard08OracleSql) { (s, d) =>
     import s.implicits._
     val path = s"$d/documents.parquet"
-    val banded = s.readStream.schema(s.read.parquet(path).schema)
+    val banded = s.readStream.schema(parquetSchema(s, path))
       .parquet(symlinkedDir(path, "documents.parquet"))
       // the local single-row-group file arrives as one scan partition;
       // fan the micro-batch out BEFORE the tokenize/shingle/minhash
@@ -566,7 +615,8 @@ object Streaming {
               batch.map(e => tsMicros(e.ingest_ts)).max / 1000L + StateHorizonMs)
             out.iterator
           })
-    val candDf = runToMemory(s, cands.toDF(), OutputMode.Append).distinct()
+    val candDf = runToMemory(s, cands.toDF(), OutputMode.Append,
+      needsNoDataBatch = false).distinct()
     graft.queries.Dedup.verifyPairs(s, d, candDf, 0.8)
   }
 
@@ -600,9 +650,10 @@ object Streaming {
   private[graft] def runUpsert(s: SparkSession,
       kafkaShaped: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft_upsert_state").toString
+    val stateDir = scratchDir("graft_upsert_state")
+    val ckpt = scratchDir("graft_upsert_ckpt_")
     val q = kafkaShaped.writeStream
+      .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
@@ -643,7 +694,10 @@ object Streaming {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     // materialize the (small) compacted state and remove the temp dir —
     // repeated runs otherwise accumulate full parquet copies
     val state = s.read.parquet(s"$stateDir/state")
