@@ -214,8 +214,16 @@ object Dedup {
       ex.join(broadcast(hot), Seq("sh"), "left_anti")
     }
 
-  val ngramJaccardCapped = QueryDef.oracled(
-    "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
+  /** The DF-capped exact-Jaccard pair pipeline (D2b's body, shared):
+    * capped inverted index → bounded candidate pairs → exact full-set
+    * verification. Output == [[jaccardPairs]] under D2b's stated cost
+    * model (spec-checked); cost excludes the O(df²) hot keys. Also the
+    * pair-graph feed of [[clusterLabels]] — at warehouse scale the CC
+    * build MUST run on the capped graph or the boilerplate keys alone
+    * blow up its first join.
+    */
+  private def cappedJaccardPairs(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
     val sets = shingled(s, d) // cached+persisted by the shared loader
     val idx = cappedIndex(s, d)
     // shared-capped-shingle counts per pair — the cheap aggregate path
@@ -243,7 +251,7 @@ object Dedup {
       .withColumn("min_hot", least(col("hot_a"), col("hot_b")))
       .withColumn("ub", (col("inter_c") + col("min_hot")).cast("double")
         / (col("na") + col("nb") - col("inter_c") - col("min_hot")))
-      .filter(col("ub") >= 0.8)
+      .filter(col("ub") >= tau)
     bounded
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
         Seq("doc_a"))
@@ -252,8 +260,13 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val ngramJaccardCapped = QueryDef.oracled(
+    "dedup_ngram_jaccard_capped", jaccardPairsSql(0.8)) { (s, d) =>
+    cappedJaccardPairs(s, d, 0.8)
   }
 
   // --- D4: SimHash banded near-dup ----------------------------------------
@@ -512,7 +525,12 @@ object Dedup {
     */
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"dedup.clusters:$d") {
-      val pairs = jaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b"))
+      // the pair graph comes from the DF-CAPPED path (== the exact
+      // graph under D2b's cost model, spec-checked): at warehouse
+      // scale the uncapped self-join's O(df²) hot keys would dominate
+      // the whole CC build — and locally it halves the staged build
+      val pairs = cappedJaccardPairs(s, d, 0.8)
+        .select(col("doc_a"), col("doc_b"))
       // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
       // corpus, here hundreds of rows at sf0.1) — keep the iteration
       // frames on a fraction of the session's shuffle parallelism so
@@ -589,6 +607,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- D10: exact-substring window dedup ------------------------------------
+  // The "training data memorization" dedup shape (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): find
+  // document pairs sharing a LONG verbatim character span — much
+  // longer than a 3-gram, the kind of overlap that survives paraphrase
+  // of surrounding text (license blocks, quoted passages, mirrored
+  // articles). The exact suffix-array formulation doesn't distribute;
+  // the standard warehouse form is a grid-window inverted index:
+  // fixed-width W windows at stride S = W/2 (any shared span of length
+  // ≥ W + S - 1 must contain a grid-aligned window OF ONE DOC that is
+  // also grid-aligned in the other only if alignments match — so this
+  // operator's contract, stated honestly, is grid-aligned W-char
+  // window identity, the deterministic proxy both engines replay).
+  // Hot windows past a DF cap are boilerplate and are dropped from the
+  // index exactly like D2b's shingle cap; the join ships 8-byte window
+  // hashes (same collision-odds argument as jaccardPairs), and the
+  // per-pair output counts distinct shared grid windows.
+  private val SubW = 80   // window width (chars)
+  private val SubS = 40   // stride = W/2
+  private val SubMaxDf = 128
+  val substringDedup = QueryDef.oracled(
+    "dedup_substring",
+    s"""WITH wins AS (
+      |  SELECT DISTINCT doc_id, substr(text, CAST(1 + i*$SubS AS INTEGER), $SubW) AS w
+      |  FROM documents, range(0, 4096) t(i)
+      |  WHERE length(text) >= $SubW AND i <= (length(text)-$SubW)//$SubS),
+      |hot AS (SELECT w FROM wins GROUP BY w HAVING count(*) > $SubMaxDf),
+      |idx AS (SELECT * FROM wins WHERE w NOT IN (SELECT w FROM hot)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |      FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM p ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val wins = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .filter(length(col("text")) >= SubW)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((length(text)-$SubW) div $SubS AS INT)),
+           |  i -> substring(text, 1 + i*$SubS, $SubW))""".stripMargin)).as("w"))
+      // windows ship as 8-byte hashes (collision odds ~|windows|²/2⁶⁵ —
+      // the jaccardPairs argument); DISTINCT so a window repeated at two
+      // grid positions of one doc can't double-count a pair's overlap
+      .select(col("doc_id"), xxhash64(col("w")).as("wh")).distinct()
+    val hot = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > SubMaxDf).select(col("wh"))
+    val idx = wins.join(broadcast(hot), Seq("wh"), "left_anti")
+    idx.select(col("doc_id").as("doc_a"), col("wh"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("wh")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Materialize every shared FrameCache stage the dedup family reads
     * (shingle frame, DF-capped inverted index, converged cluster map) —
     * the staging-table warm-up a warehouse pays once. Bench calls this
@@ -605,5 +675,5 @@ object Dedup {
 
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
-    topShingles, clusters, keepers, decontaminate)
+    topShingles, clusters, keepers, decontaminate, substringDedup)
 }

@@ -194,5 +194,31 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
   }
 
-  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames)
+  // --- F3: binary-asset dedup ----------------------------------------------
+  // Content-addressed dedup over the OPAQUE payload bytes — the asset-
+  // store shape (same image/audio file ingested under many doc ids maps
+  // to one stored object + refcount). Unlike D1 this hashes the raw
+  // binary with NO normalization (normalization is undefined for
+  // opaque media); one shuffle on the 128-bit content hash, keeper =
+  // min doc_id. The synthetic corpus has no byte-identical payloads
+  // (every row reports n_copies = 1) — the operator's contract is
+  // still exercised end to end: payload hashing, grouping, refcount
+  // and byte accounting all oracle bit-exact. Oracle: the payload is
+  // the UTF-8 encoding of an ASCII text column, so DuckDB's md5(text)
+  // hashes the same bytes Spark's md5(binary) sees.
+  val mediaDedup = QueryDef.oracled(
+    "media_dedup",
+    """SELECT md5(text) AS payload_md5, min(doc_id) AS keeper_doc_id,
+      |  count(*) AS n_copies, CAST(sum(length(text)) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
+    mediaItems(s, d).toDF()
+      .select(md5(col("payload")).as("payload_md5"), col("doc_id"),
+        col("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaDedup)
 }

@@ -441,6 +441,105 @@ object Similarity {
       .select(col("user_a"), col("user_b"))
   }
 
+  // --- E7: embedding quality filter — per-label centroid outliers ----------
+  // The embedding-space analogue of text quality filtering: score every
+  // vector by cosine to ITS OWN label centroid and flag the bottom 5%
+  // per label — mislabeled / degenerate embeddings a curation pipeline
+  // drops before training. Rank-based flagging (not an absolute τ) is
+  // deliberate: it is scale-free and meaningful on any score
+  // distribution (this synthetic corpus's labels are NOT cosine-
+  // clustered — median own-centroid score ≈ 0.15 — and a τ would flag
+  // everything or nothing).
+  //
+  // Bit-exactness: the centroid is integerized to micro-unit BIGINTs
+  // (the E4 idiom — double accumulation of floats is exact here, and
+  // micro-rounding absorbs sub-1e-6 noise), the vector likewise; the
+  // score is an exact BIGINT dot/norm fold with one double division —
+  // deterministic in both engines, so ranks can't straddle. Scale: one
+  // vector_avg aggregate for centroids (map-side combined), broadcast
+  // of the tiny (label → centroid) map, then a map-only scoring pass +
+  // one per-label window — no pairwise work anywhere.
+  private val OutlierFrac = 0.05
+  val outliers = QueryDef.oracled(
+    "embedding_outliers",
+    s"""WITH u AS (SELECT label, unnest(embedding) AS x,
+      |            generate_subscripts(embedding, 1) AS ord FROM embeddings),
+      |m AS (SELECT label, ord,
+      |        CAST(round(sum(CAST(x AS DOUBLE))/count(*)*1000000) AS BIGINT) AS c
+      |      FROM u GROUP BY 1, 2),
+      |cm AS (SELECT label, list(c ORDER BY ord) AS cm FROM m GROUP BY label),
+      |vm AS (SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS vm
+      |       FROM embeddings),
+      |sc AS (SELECT vec_id, v.label,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_zip(v.vm, c.cm), x -> x[1]*x[2])), (a,b) -> a+b) AS DOUBLE)
+      |  / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(v.vm, x -> x*x)), (a,b) -> a+b) AS DOUBLE))
+      |   * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(c.cm, x -> x*x)), (a,b) -> a+b) AS DOUBLE))) AS score
+      |  FROM vm v JOIN cm c USING (label)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY label
+      |        ORDER BY score ASC NULLS FIRST, vec_id) AS rk,
+      |        count(*) OVER (PARTITION BY label) AS n FROM sc)
+      |SELECT vec_id, label, score,
+      |  (rk <= CAST(floor(n * $OutlierFrac) AS BIGINT)) AS is_outlier
+      |FROM r ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val cm = centroidsRaw(s, d).select(col("label"),
+      expr("transform(centroid, x -> CAST(round(x * 1000000) AS BIGINT))")
+        .as("cm"))
+    val vm = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("vm"))
+    val byLabel = Window.partitionBy(col("label"))
+    vm.join(broadcast(cm), Seq("label"))
+      .withColumn("score",
+        expr("aggregate(zip_with(vm, cm, (a, b) -> a*b), 0L, (acc, x) -> acc + x)").cast("double")
+          / (sqrt(expr("aggregate(transform(vm, x -> x*x), 0L, (acc, x) -> acc + x)").cast("double"))
+           * sqrt(expr("aggregate(transform(cm, x -> x*x), 0L, (acc, x) -> acc + x)").cast("double"))))
+      .withColumn("rk", row_number().over(
+        byLabel.orderBy(col("score").asc_nulls_first, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .select(col("vec_id"), col("label"), col("score"),
+        (col("rk") <= floor(col("n") * OutlierFrac)).as("is_outlier"))
+  }
+
+  // --- E8: maximum-inner-product top-k (MIPS) -------------------------------
+  // Recommender-retrieval scoring: rank by RAW dot product, not cosine
+  // (norm carries signal — popularity/confidence — so normalizing is
+  // wrong for MIPS). Same broadcast-query corpus-scan shape as E1; the
+  // dot is the strict left-fold DotProduct kernel, mirrored by the
+  // oracle's list_reduce fold. At 100 TB the scale path is the same
+  // bucketed pruning as E2/E3 (MIPS reduces to cosine-LSH after the
+  // standard norm-augmentation transform — one extra dimension).
+  val maxip = QueryDef.oracled(
+    "knn_maxip",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < $NQueries),
+      |s AS (SELECT query_id, vec_id,
+      |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(list_zip(qe, embedding),
+      |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+      |          (a, b) -> a + b) AS dot
+      |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY dot DESC, vec_id) AS rank FROM s)
+      |SELECT query_id, rank, vec_id AS neighbor_id, dot
+      |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    broadcast(queriesDf(s, d)).join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("dot", F.dot_product(col("qe"), col("ea")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val activityPairs = QueryDef.oracled(
     "user_activity_pairs",
     s"""WITH prof AS (
@@ -471,5 +570,5 @@ object Similarity {
   }
 
   def all: Seq[QueryDef] = Seq(
-    bruteForce, lsh, ivf, centroids, quantized, activityPairs)
+    bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers, maxip)
 }

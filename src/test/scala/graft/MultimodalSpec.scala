@@ -116,4 +116,22 @@ class MultimodalSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("media_dedup: md5-over-payload refcounts partition the corpus exactly") {
+    val rows = SparkEntry.queries("media_dedup")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs.length)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy { case (_, t) => md5hex(t) }.map { case (h, g) =>
+      h -> ((g.map(_._1).min, g.size.toLong,
+        g.map(_._2.getBytes("UTF-8").length.toLong).sum))
+    }
+    val got = rows.map(r => r.getAs[String]("payload_md5") ->
+      ((r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("total_bytes")))).toMap
+    assert(got == expected)
+  }
 }

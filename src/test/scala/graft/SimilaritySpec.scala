@@ -200,4 +200,59 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(dot - expect) < 1e-6, s"rows $a,$b dot=$dot")
     }
   }
+
+  test("embedding_outliers: rank-based flags, micro-unit score replay") {
+    val rows = SparkEntry.queries("embedding_outliers")(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")))
+    assert(rows.length == emb.length)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0 + 1e-9))
+    // per label: exactly floor(n * 0.05) flagged, and they are the lowest
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (label, rs) =>
+      val flagged = rs.filter(_.getAs[Boolean]("is_outlier"))
+      assert(flagged.length == (rs.length * 0.05).toInt, s"label $label")
+      val un = rs.filterNot(_.getAs[Boolean]("is_outlier"))
+      if (flagged.nonEmpty && un.nonEmpty)
+        assert(flagged.map(_.getAs[Double]("score")).max
+          <= un.map(_.getAs[Double]("score")).min, s"label $label")
+    }
+    // driver replay of the micro-unit centroid score
+    val gotScores = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("score")).toMap
+    emb.groupBy(_._2).foreach { case (_, vs) =>
+      val dims = vs.head._3.length
+      val cm = (0 until dims).map(i =>
+        math.round(vs.map(_._3(i).toDouble).sum / vs.size * 1e6))
+      vs.foreach { case (id, _, e) =>
+        val vm = e.map(x => math.round(x.toDouble * 1e6))
+        val dot = vm.zip(cm).map { case (a, b) => a * b }.sum
+        val na = vm.map(x => x * x).sum
+        val nc = cm.map(x => x * x).sum
+        val score = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nc.toDouble))
+        assert(math.abs(gotScores(id) - score) < 1e-9, s"vec $id")
+      }
+    }
+  }
+
+  test("knn_maxip: ranked by raw dot product, matches driver brute force") {
+    val rows = SparkEntry.queries("knn_maxip")(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf).collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    def dot(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qs = emb.keys.filter(_ < 10).toSeq.sorted
+    assert(rows.length == qs.size * 5)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    qs.foreach { q =>
+      val expected = emb.toSeq.filter(_._1 != q)
+        .map { case (id, e) => (id, dot(emb(q), e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val got = byQ(q).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("dot")))
+      assert(got.toSeq == expected, s"query $q")
+    }
+  }
 }

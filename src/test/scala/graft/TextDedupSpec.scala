@@ -201,4 +201,27 @@ class TextDedupSpec extends AnyFunSuite {
     val langs = rows.map(_.getAs[String]("pred_lang")).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
+
+  test("dedup_substring equals a driver-side grid-window replay") {
+    val W = 80; val S = 40; val cap = 128
+    val docs: Seq[(Long, String)] =
+      Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val wins: Seq[(Long, String)] = docs.flatMap { case (id, t) =>
+      if (t.length < W) Seq.empty[(Long, String)]
+      else (0 to (t.length - W) / S).map(i => (id, t.substring(i * S, i * S + W)))
+    }.distinct
+    val df = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val idx = wins.filter(w => df(w._2) <= cap)
+    val expected: Map[(Long, Long), Long] =
+      idx.groupBy(_._2).values.toSeq.flatMap { grp =>
+        val ids: Seq[Long] = grp.map(_._1).sorted
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == expected,
+      s"grid-window pairs diverge: got ${got.size}, expected ${expected.size}")
+  }
 }
