@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# CI-shaped round gate: the three checks a round must pass before it
+# closes. Mirrors the driver's per-round pipeline:
+#   1. sbt test                 (ScalaTest suite green)
+#   2. Verify + DuckDB compare  (every oracle-backed query bit-exact at sf0.01)
+#   3. Bench                    (record prints, parses as JSON, < 1920 chars)
+# Usage: tools/gate.sh   (from the repo root; ~10 min)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+fail=0
+
+echo "=== gate 1/3: sbt test ==="
+if ! sbt -batch test 2>&1 | tail -4; then
+  echo "GATE FAIL: sbt test"; fail=1
+fi
+
+echo "=== gate 2/3: verify vs DuckDB oracles (sf0.01) ==="
+rm -rf /tmp/gate_verify_out
+if ! sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify_out" \
+    2>&1 | grep -vE 'INFO|WARN' | tail -2; then
+  echo "GATE FAIL: Verify run"; fail=1
+fi
+if ! python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/gate_verify_out; then
+  echo "GATE FAIL: oracle mismatch"; fail=1
+fi
+
+echo "=== gate 3/3: bench record (sf0.1) ==="
+line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep -F '{"metric"' | tail -1)
+echo "$line"
+if [ -z "$line" ]; then
+  echo "GATE FAIL: no bench record on stdout"; fail=1
+elif ! python3 -c "
+import json, sys
+rec = json.loads(sys.argv[1])
+assert rec['unit'] == 'sec' and rec['queries'], 'missing fields'
+bad = [k for k, v in rec['queries'].items() if v < 0]
+assert not bad, f'errored queries: {bad}'
+assert len(sys.argv[1]) < 1920, f'record too long: {len(sys.argv[1])} chars'
+print(f\"bench ok: total={rec['value']}s, {len(rec['queries'])} entries, {len(sys.argv[1])} chars\")
+" "$line"; then
+  echo "GATE FAIL: bench record invalid"; fail=1
+fi
+
+if [ "$fail" -ne 0 ]; then echo "GATE: FAIL"; exit 1; fi
+echo "GATE: PASS"
