@@ -540,6 +540,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- E9: LSH-bucketed MIPS (the scale path for E8) ------------------------
+  // Norm-augmentation reduction (Neyshabur & Srebro, ICML'15
+  // "SIMPLE-LSH"): with M = max corpus norm, map corpus x ->
+  // [x/M ; sqrt(1 - |x|^2/M^2)] (unit norm) and query q -> [q/|q| ; 0];
+  // then cos(q', x') = (q.x)/(|q| M), monotone in the inner product —
+  // so E2's multiprobe SRP-LSH machinery solves MIPS unchanged on the
+  // augmented vectors. M is one distributed max-aggregate (a single
+  // driver scalar, like E6's Gram matrix); candidates re-fetch raw
+  // vectors by equi-join and re-rank by EXACT dot, so output rows are
+  // exact for every candidate found. Recall >= 0.9 vs E8 by spec —
+  // augmented cosines compress toward 0 (the appended coordinate eats
+  // norm), so this runs wider probes than E2: radius 3 over the same
+  // 16 tables x 8 bits.
+  private val MipsProbeRadius = 3
+  val maxipLsh = QueryDef.rowsOnly("knn_maxip_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val m = emb.agg(max(F.l2norm(col("embedding"))).as("m"))
+      .head().getDouble(0)
+    require(m > 0, "degenerate corpus: all-zero embeddings")
+    val corpus = emb
+      .withColumn("nrm", F.l2norm(col("embedding")))
+      .withColumn("aug", expr(
+        s"""concat(transform(embedding, v -> CAST(v / ${m}d AS FLOAT)),
+           |  array(CAST(sqrt(greatest(0d, 1d - (nrm*nrm)/${m * m}d)) AS FLOAT)))""".stripMargin))
+      .withColumn("sigs", F.srpSigsArray(col("aug"), LshTables, LshBits))
+      .select(col("vec_id"),
+        explode(expr(F.srpBandBucketsExpr("sigs", LshTables, LshBits)))
+          .as("bucket"))
+    val mask = (1 << LshBits) - 1
+    val probeMasks = (0 until (1 << LshBits))
+      .filter(mm => Integer.bitCount(mm) <= MipsProbeRadius)
+    val probes = queriesDf(s, d)
+      .withColumn("qn", F.l2norm(col("qe")))
+      .withColumn("aug", expr(
+        "concat(transform(qe, v -> CAST(v / qn AS FLOAT)), array(CAST(0 AS FLOAT)))"))
+      .withColumn("sigs", F.srpSigsArray(col("aug"), LshTables, LshBits))
+      .select(col("query_id"), explode(expr(
+        s"""flatten(transform(sequence(0, ${LshTables - 1}), t ->
+           |  transform(array(${probeMasks.mkString(",")}),
+           |    m -> t * ${mask + 1} + (${F.srpBandExpr("sigs", "t", LshBits)} ^ m))))""".stripMargin))
+        .as("bucket"))
+    val cand = broadcast(probes.select(col("query_id"), col("bucket")))
+      .join(corpus, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    cand
+      .join(queriesDf(s, d), Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id"))
+      .withColumn("dot", F.dot_product(col("qe"), col("ea")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val activityPairs = QueryDef.oracled(
     "user_activity_pairs",
     s"""WITH prof AS (
@@ -570,5 +629,6 @@ object Similarity {
   }
 
   def all: Seq[QueryDef] = Seq(
-    bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers, maxip)
+    bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
+    maxip, maxipLsh)
 }

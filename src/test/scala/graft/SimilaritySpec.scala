@@ -255,4 +255,15 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got.toSeq == expected, s"query $q")
     }
   }
+
+  test("knn_maxip_lsh recall vs exact MIPS >= 0.9") {
+    val got = SparkEntry.queries("knn_maxip_lsh")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ref = neighbors("knn_maxip")
+    val hits = ref.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
+    val recall = hits.toDouble / ref.values.map(_.size).sum
+    info(s"norm-augmented SRP-LSH MIPS recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
 }
