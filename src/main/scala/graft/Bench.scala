@@ -41,8 +41,9 @@ package graft
   */
 object Bench {
 
-  // driver tail = 2000 chars, sbt's "[success] ..." trailer ≈ 76
-  private val MaxLineChars = 1920
+  // driver tail = 2000 chars, sbt's "[success] Total time: ..."
+  // trailer + newlines ≈ 64 chars land after our line
+  private val MaxLineChars = 1930
 
   /** Locale-ROOT, precision-capped, trailing-zero-stripped number. */
   private[graft] def fmt(v: Double, maxDp: Int = 2): String = {
@@ -104,23 +105,33 @@ object Bench {
     val sfNum = sfName.stripPrefix("sf")
     val sfJson = if (scala.util.Try(sfNum.toDouble).isSuccess) sfNum
       else "\"" + sfName + "\""
-    // adaptive precision ladder: 2dp → 1dp → drop _stage (to stderr),
-    // so the line stays parseable inside the driver's stdout tail as
-    // the query surface grows
+    // adaptive precision ladder: 2dp → 1dp → drop _stage (to stderr) →
+    // integral seconds at >= 10 s — so the line stays parseable inside
+    // the driver's stdout tail as the query surface grows (hard floor
+    // ≈ 23 chars/query → ~85 queries; past that the per-query map
+    // itself outgrows the tail)
     def record(entries: Seq[(String, Double)], dp: Int): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      val qs = entries.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v, if (dp == 0 && math.abs(v) >= 10) 0 else math.max(dp, 1)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     val withStage = ("_stage" -> stageSec) +: results
     val line = Iterator(
-      record(withStage, 2), record(withStage, 1), record(results, 1))
+      record(withStage, 2), record(withStage, 1), record(results, 1),
+      record(results, 0))
       .find(_.length <= MaxLineChars)
-      .getOrElse(record(results, 1))
+      .getOrElse(record(results, 0))
     if (!line.contains("_stage")) System.err.println(
       f"[bench] _stage=$stageSec%.2f s (dropped from the record to fit the stdout tail)")
     if (line.length > MaxLineChars) System.err.println(
       s"[bench] record ${line.length} chars exceeds $MaxLineChars — driver tail may clip it")
+    // full-precision record (2dp, _stage included, no length budget) as
+    // a local artifact — the stdout line is the driver's record and may
+    // have shed precision or _stage to fit the tail
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_local.json"), record(withStage, 2) + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     println(line)
     spark.stop()
   }

@@ -38,9 +38,9 @@ def main() -> int:
         # records are printed at 1-2 decimals — deduct the worst-case
         # quantization (±half an ulp of the printed precision per side)
         # so the gate measures variance, not rounding
-        def q(v: float) -> float:
+        def quant(v: float) -> float:
             return 0.005 if abs(round(v, 2) - v) < 1e-9 else 0.05
-        rel = max(0.0, abs(va - vb) - q(va) - q(vb)) / min(va, vb)
+        rel = max(0.0, abs(va - vb) - quant(va) - quant(vb)) / min(va, vb)
         worst = max(worst, rel)
         mark = "FAIL" if rel > tol else "ok  "
         if rel > tol:
