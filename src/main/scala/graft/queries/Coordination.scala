@@ -519,6 +519,63 @@ object Coordination {
       .orderBy(col("namespace"), col("key"))
   }
 
+  // --- A24: the Storage mutation feed (applied writes only) ----------------
+  // The watcher-facing form of A16: one row per mutation that CHANGES
+  // the visible KV state — every put (unconditional write), updates
+  // only when the key exists, deletes only when there was something to
+  // delete. This is the feed a `ValueChangeListener` on a
+  // put/update/delete store consumes (the value-only A4 feed can't
+  // represent "applied" semantics — an update against an absent key
+  // must NOT fire).
+  //
+  // Window formulation, no recursion needed: presence strictly before
+  // an event equals "the last put-or-delete before it is a put" —
+  // updates never change presence, an unconditional put always leaves
+  // the key present, and a delete always leaves it absent, so the
+  // boundary's own applied-ness is irrelevant (a no-op boundary's op
+  // already equals the state it found). One hash shuffle on
+  // (namespace, key); the `last(..., ignoreNulls)` window is the same
+  // shape as the B18 as-of join.
+  /** Shared oracle: the applied-mutation feed in window SQL. */
+  private[graft] val storageFeedSql: String =
+    s"""WITH e AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         $opSql AS op10
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN op10 <= 3 THEN op10 END IGNORE NULLS)
+      |      OVER (PARTITION BY namespace, key ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bop
+      |  FROM e)
+      |SELECT namespace, key, ts, event_id,
+      |  CASE WHEN op10 = 0 THEN 'delete'
+      |       WHEN op10 <= 3 THEN 'put' ELSE 'update' END AS op,
+      |  CASE WHEN op10 = 0 THEN NULL ELSE value END AS new_value
+      |FROM w
+      |WHERE (op10 <> 0 AND op10 <= 3)
+      |   OR (bop IS NOT NULL AND bop <> 0)
+      |ORDER BY namespace, key, ts, event_id""".stripMargin
+
+  val kvStorageFeed = QueryDef.oracled(
+    "kv_storage_feed", storageFeedSql) { (s, d) =>
+    val byKeyAsc = Window.partitionBy(col("namespace"), col("key"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("op10", op10)
+      .withColumn("bop", last(when(col("op10") <= 3, col("op10")), ignoreNulls = true)
+        .over(byKeyAsc.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter((col("op10") =!= 0 && col("op10") <= 3) ||
+        (col("bop").isNotNull && col("bop") =!= 0))
+      .select(col("namespace"), col("key"), col("ts"), col("event_id"),
+        when(col("op10") === 0, "delete")
+          .when(col("op10") <= 3, "put").otherwise("update").as("op"),
+        when(col("op10") === 0, lit(null)).otherwise(col("value"))
+          .as("new_value"))
+  }
+
   // --- A17: leave-aware group membership ----------------------------------
   // `leave(id)`: a member whose LATEST record is a tombstone is out,
   // regardless of heartbeat recency; otherwise A8's TTL rule applies.
@@ -628,5 +685,5 @@ object Coordination {
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
     kvStorageReplay, groupMembershipLeave, leaderElectionResign,
-    leaderChangeFeed)
+    leaderChangeFeed, kvStorageFeed)
 }

@@ -453,6 +453,75 @@ object Streaming {
       sum(when(col("stage") === "purchase", 1).otherwise(0)).as("n_purchase_after"))
   }
 
+  // --- A25: streaming Storage mutation feed ---------------------------------
+  // The live twin of the batch kv_storage_feed (A24): per-(namespace,
+  // key) presence state in the state store; a put always applies and
+  // sets presence, an update applies only against a present key, a
+  // delete applies only when there was something to delete. State is
+  // ONE BOOLEAN per key (presence — values live in the sink/store, not
+  // the stream state), watermark + event-time-timeout bounded like
+  // every other keyed op here. Replayed to the end of a bounded log
+  // this equals the batch window formulation → same oracle SQL.
+  val storageFeed = QueryDef.oracled("stream_storage_feed",
+    graft.queries.Coordination.storageFeedSql) { (s, d) =>
+    import s.implicits._
+    runStorageFeed(s, eventStream(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent])
+  }
+
+  // op digit EXACTLY as Spark SQL round(value*100): BigDecimal HALF_UP
+  // (ties away from zero) — scala math.round is floor(x+0.5) and
+  // disagrees on negative .5 ties
+  private def opDigit(v: Double): Long =
+    scala.math.BigDecimal(v * 100)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toLong % 10
+
+  /** The presence-state fold over any KeyedEvent stream — exposed so
+    * the spec can drive it with a MULTI-batch time-split source,
+    * exercising the cross-batch state carry the single-file harness
+    * replay never reaches.
+    */
+  private[graft] def runStorageFeed(s: SparkSession,
+      typed: Dataset[KeyedEvent]): DataFrame = {
+    import s.implicits._
+    val applied = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.namespace, e.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (String, Long), it: Iterator[KeyedEvent],
+         state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var present = state.getOption.getOrElse(false)
+            val out = scala.collection.mutable.ArrayBuffer.empty[
+              (String, Long, java.sql.Timestamp, Long, String, Option[Double])]
+            sorted.foreach { e =>
+              val op = opDigit(e.value)
+              if (op != 0 && op <= 3) {              // unconditional put
+                out += ((e.namespace, e.key, e.ts, e.event_id, "put", Some(e.value)))
+                present = true
+              } else if (op >= 4 && present) {       // update-if-present
+                out += ((e.namespace, e.key, e.ts, e.event_id, "update", Some(e.value)))
+              } else if (op == 0 && present) {       // applied delete
+                out += ((e.namespace, e.key, e.ts, e.event_id, "delete", None))
+                present = false
+              }
+            }
+            state.update(present)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+      .toDF("namespace", "key", "ts", "event_id", "op", "new_value")
+    runToMemory(s, applied, OutputMode.Append, needsNoDataBatch = false)
+  }
+
   // --- A22: streaming key-set change feed ----------------------------------
   // A5 (KeySetChangeListener) under the streaming contract: daily key
   // sets accumulate in a watermark-bounded windowed collect_set and
@@ -713,5 +782,5 @@ object Streaming {
 
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
-    dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed)
+    dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed)
 }

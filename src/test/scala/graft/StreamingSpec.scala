@@ -110,4 +110,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_storage_feed carries presence state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // time-split the log into 4 ordered files and force one file per
+    // trigger: batch 2+ must see presence established (or deleted) by
+    // earlier batches, exercising the cross-batch state carry the
+    // single-file replay never reaches. Files are written sequentially
+    // so the file source's modification-time order equals event-time
+    // order (no cross-batch late data to drop).
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_storage_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20) // distinct mod times -> deterministic batch order
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.KeyedEvent]
+    val got = graft.streaming.Streaming.runStorageFeed(spark, typed)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("event_id"), r.getAs[String]("op"))).toSet
+    val batch = SparkEntry.queries("kv_storage_feed")(spark, sf)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("event_id"), r.getAs[String]("op"))).toSet
+    assert(got === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }
