@@ -30,14 +30,15 @@ package graft
   *    committed two-run check.
   *
   * Record format: the driver captures only the LAST 2000 characters of
-  * stdout, and sbt appends a ~76-char "[success] ..." trailer after our
+  * stdout, and sbt appends a ~64-char "[success] ..." trailer after our
   * line — every record through round 5 was clipped mid-line and
-  * unparseable (`parsed: null`). So the line is kept under 1900 chars
-  * by an adaptive precision ladder: values are Locale.ROOT-formatted
-  * (a comma-decimal default locale would emit invalid JSON) at 2
-  * decimals, degrading to 1 decimal — and finally dropping the
-  * `_stage` entry to stderr — if the line would still overflow; `sf`
-  * is the numeric scale factor, not the directory path.
+  * unparseable (`parsed: null`). So the line is kept inside the budget
+  * by an adaptive ladder: values are Locale.ROOT-formatted (a
+  * comma-decimal default locale would emit invalid JSON) at 2 decimals,
+  * degrading to 1 decimal, then dropping the `_stage` entry to stderr,
+  * then folding the cheapest queries into one aggregate `_rest` entry.
+  * `sf` is the numeric scale factor, and every run also writes the
+  * full-precision unbudgeted record to BENCH_local.json.
   */
 object Bench {
 
@@ -117,11 +118,28 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     val withStage = ("_stage" -> stageSec) +: results
+    // final rung: fold the cheapest queries into one aggregate `_rest`
+    // entry (count + summed seconds) until the line fits — totals stay
+    // honest, errored queries (-1) are never hidden, and the dropped
+    // per-query detail lives in BENCH_local.json
+    def shrinkToFit(): String = {
+      val droppable = results.filter(_._2 >= 0).sortBy(_._2)
+      var k = 1
+      var line = record(results, 1)
+      while (line.length > MaxLineChars && k <= droppable.size) {
+        val dropped = droppable.take(k).map(_._1).toSet
+        val kept = results.filterNot(e => dropped.contains(e._1))
+        line = record(kept ++ Seq("_rest_n" -> k.toDouble,
+          "_rest" -> droppable.take(k).map(_._2).sum), 1)
+        k += 1
+      }
+      line
+    }
     val line = Iterator(
       record(withStage, 2), record(withStage, 1), record(results, 1),
       record(results, 0))
       .find(_.length <= MaxLineChars)
-      .getOrElse(record(results, 0))
+      .getOrElse(shrinkToFit())
     if (!line.contains("_stage")) System.err.println(
       f"[bench] _stage=$stageSec%.2f s (dropped from the record to fit the stdout tail)")
     if (line.length > MaxLineChars) System.err.println(
