@@ -211,4 +211,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     graft.queries.Coordination.leaderChangeFeed.fn(spark, sfDir)
       .filter(col("resource") === resource)
       .select(col("ts"), col("event_id"), col("new_leader"), col("prev_leader"))
+
+  /** Storage mutation replay: every APPLIED put/update/delete in a
+    * namespace (A24 feed — an update against an absent key never
+    * appears). Drives [[ListenerRegistry.replayStorageMutations]].
+    */
+  def storageMutations(namespace: String): DataFrame =
+    graft.queries.Coordination.kvStorageFeed.fn(spark, sfDir)
+      .filter(col("namespace") === namespace)
+      .select(col("key"), col("ts"), col("event_id"), col("op"),
+        col("new_value"))
 }

@@ -29,6 +29,16 @@ trait LeaderChangeListener { def onLeaderChange(newLeader: Option[Long]): Unit }
   */
 trait GroupMembershipListener { def onGroupChange(membership: Set[Long]): Unit }
 
+/** Callback fired for every APPLIED mutation of a watched key — the
+  * Storage-iface shape of the value watcher: an update against an
+  * absent key never fires, a delete fires only when there was
+  * something to delete (the A24 `kv_storage_feed` contract).
+  * `newValue` is None exactly for deletes.
+  */
+trait StorageMutationListener {
+  def onMutation(op: String, newValue: Option[Double]): Unit
+}
+
 /** The reference registry's attach/detach bookkeeping
   * (listener/registry/CacheListenerRegistry.scala:83-173) re-expressed
   * over the replay feeds: per-key listener lists under one lock, the
@@ -56,11 +66,14 @@ final class ListenerRegistry(api: CoordinationApi) {
     mutable.HashMap.empty[String, mutable.ListBuffer[LeaderChangeListener]]
   private val groupListeners =
     mutable.HashMap.empty[String, mutable.ListBuffer[GroupMembershipListener]]
+  private val mutationListeners =
+    mutable.HashMap.empty[(String, Long), mutable.ListBuffer[StorageMutationListener]]
   // presence here == a live ScheduledFuture in the reference
   private val valueWatchers = mutable.HashSet.empty[(String, Long)]
   private val keySetWatchers = mutable.HashSet.empty[String]
   private val leaderWatchers = mutable.HashSet.empty[String]
   private val groupWatchers = mutable.HashSet.empty[String]
+  private val mutationWatchers = mutable.HashSet.empty[(String, Long)]
 
   def addValueChangeListener(namespace: String, key: Long,
       listener: ValueChangeListener): Unit = lock.synchronized {
@@ -142,6 +155,25 @@ final class ListenerRegistry(api: CoordinationApi) {
     }
   }
 
+  def addStorageMutationListener(namespace: String, key: Long,
+      listener: StorageMutationListener): Unit = lock.synchronized {
+    val ls = mutationListeners.getOrElseUpdate((namespace, key),
+      mutable.ListBuffer.empty)
+    ls += listener
+    if (ls.size == 1) mutationWatchers += ((namespace, key))
+  }
+
+  def removeStorageMutationListener(namespace: String, key: Long,
+      listener: StorageMutationListener): Unit = lock.synchronized {
+    mutationListeners.get((namespace, key)).foreach { ls =>
+      ls -= listener
+      if (ls.isEmpty) {
+        mutationListeners.remove((namespace, key))
+        mutationWatchers -= ((namespace, key))
+      }
+    }
+  }
+
   def hasValueWatcher(namespace: String, key: Long): Boolean =
     lock.synchronized(valueWatchers.contains((namespace, key)))
   def hasKeySetWatcher(namespace: String): Boolean =
@@ -150,6 +182,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     lock.synchronized(leaderWatchers.contains(resource))
   def hasGroupWatcher(group: String): Boolean =
     lock.synchronized(groupWatchers.contains(group))
+  def hasMutationWatcher(namespace: String, key: Long): Boolean =
+    lock.synchronized(mutationWatchers.contains((namespace, key)))
 
   /** Play the namespace's value-change feed (A4 semantics, first
     * sighting included) through the attached per-key listeners in feed
@@ -212,6 +246,28 @@ final class ListenerRegistry(api: CoordinationApi) {
       val ls = lock.synchronized(
         leaderListeners.get(resource).map(_.toList).getOrElse(Nil))
       ls.foreach(_.onLeaderChange(Some(r.getAs[Long]("new_leader"))))
+    }
+    rows.length.toLong
+  }
+
+  /** Play the namespace's applied-mutation feed (A24 semantics) through
+    * the attached per-key listeners in feed order. Returns delivered
+    * rows.
+    */
+  def replayStorageMutations(namespace: String): Long = {
+    val watched = lock.synchronized(
+      mutationWatchers.collect { case (ns, k) if ns == namespace => k }.toSet)
+    if (watched.isEmpty) return 0L
+    val rows = api.storageMutations(namespace)
+      .filter(col("key").isin(watched.toSeq: _*))
+      .orderBy(col("ts"), col("event_id")).collect()
+    rows.foreach { r =>
+      val key = r.getAs[Long]("key")
+      val v = if (r.isNullAt(r.fieldIndex("new_value"))) None
+              else Some(r.getAs[Double]("new_value"))
+      val ls = lock.synchronized(
+        mutationListeners.get((namespace, key)).map(_.toList).getOrElse(Nil))
+      ls.foreach(_.onMutation(r.getAs[String]("op"), v))
     }
     rows.length.toLong
   }

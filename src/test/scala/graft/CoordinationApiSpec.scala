@@ -202,4 +202,39 @@ class CoordinationApiSpec extends AnyFunSuite {
     got.clear()
     assert(reg.replayGroupChanges(grp) == 0L && got.isEmpty)
   }
+
+  test("storage-mutation listeners: applied ops replay in order, detach goes quiet") {
+    import graft.api.{ListenerRegistry, StorageMutationListener}
+    val reg = new ListenerRegistry(api)
+    val ns = "click"
+    // pick the key with the most applied mutations so put/update (and
+    // likely delete) are all exercised
+    val byKey = api.storageMutations(ns).collect()
+      .groupBy(_.getAs[Long]("key"))
+    val (key, feedRows) = byKey.maxBy(_._2.length)
+    val feed = feedRows.sortBy(r =>
+      (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+      .map(r => (r.getAs[String]("op"),
+        if (r.isNullAt(r.fieldIndex("new_value"))) None
+        else Some(r.getAs[Double]("new_value")))).toSeq
+    assert(feed.size >= 2, "need a key with real mutation churn")
+    assert(feed.map(_._1).toSet.subsetOf(Set("put", "update", "delete")))
+    // deletes carry None, writes carry Some
+    feed.foreach { case (op, v) => assert((op == "delete") == v.isEmpty) }
+
+    val got = scala.collection.mutable.Buffer.empty[(String, Option[Double])]
+    val l = new StorageMutationListener {
+      def onMutation(op: String, v: Option[Double]): Unit = got += ((op, v)) }
+
+    assert(reg.replayStorageMutations(ns) == 0L)  // nothing attached yet
+    reg.addStorageMutationListener(ns, key, l)
+    assert(reg.hasMutationWatcher(ns, key))       // first add attaches
+    reg.replayStorageMutations(ns)
+    assert(got.toSeq == feed, "feed order/content diverged")
+
+    reg.removeStorageMutationListener(ns, key, l)
+    assert(!reg.hasMutationWatcher(ns, key))      // last remove detaches
+    got.clear()
+    assert(reg.replayStorageMutations(ns) == 0L && got.isEmpty)
+  }
 }
