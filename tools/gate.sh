@@ -37,7 +37,7 @@ rec = json.loads(sys.argv[1])
 assert rec['unit'] == 'sec' and rec['queries'], 'missing fields'
 bad = [k for k, v in rec['queries'].items() if v < 0]
 assert not bad, f'errored queries: {bad}'
-assert len(sys.argv[1]) < 1920, f'record too long: {len(sys.argv[1])} chars'
+assert len(sys.argv[1]) <= 1930, f'record too long: {len(sys.argv[1])} chars'  # Bench.MaxLineChars
 print(f\"bench ok: total={rec['value']}s, {len(rec['queries'])} entries, {len(sys.argv[1])} chars\")
 " "$line"; then
   echo "GATE FAIL: bench record invalid"; fail=1
