@@ -151,4 +151,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_storage_feed op digit matches Spark SQL round exactly (ties, negatives)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the fold computes the op digit driver-side; it must agree with the
+    // batch twin's round(value*100) on EVERY double, including the
+    // negative .5 ties where scala math.round (floor(x+0.5)) differs
+    // from BigDecimal HALF_UP (ties away from zero)
+    val edge = Seq(-0.125, -0.115, -0.105, 0.105, 0.115, 0.125, // exact .5 ties at *100
+      -0.005, 0.005, 0.0, -0.0)
+    val rng = new scala.util.Random(42)
+    val vals = edge ++ Seq.fill(2000)(rng.nextDouble() * 200 - 100) ++
+      Seq.fill(500)((rng.nextInt(20001) - 10000) / 200.0) // dense .005 grid
+    val sparkSide = vals.toDF("v")
+      .select(col("v"), (round(col("v") * 100).cast("long") % 10).as("op"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    def opDigit(v: Double): Long =
+      scala.math.BigDecimal(v * 100)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toLong % 10
+    vals.foreach { v =>
+      assert(opDigit(v) == sparkSide(v), s"op digit diverges at v=$v")
+    }
+  }
 }

@@ -18,6 +18,10 @@ import duckdb
 import pandas as pd
 import numpy as np
 
+# object-dtype fillna downcasting warning (pandas 2.x) — the sentinel
+# compare below is intentional object-dtype work
+pd.set_option('future.no_silent_downcasting', True)
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
