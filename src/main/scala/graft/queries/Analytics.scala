@@ -584,9 +584,48 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // --- B20: DAU / trailing-28-day stickiness --------------------------------
+  // The product-analytics engagement ratio: per day, distinct active
+  // users that day over distinct active users in the trailing 28-day
+  // window. The trailing-window distinct is a RANGE join at heart;
+  // the scale formulation linearizes it map-side — each (day, user)
+  // activity row is exploded into the 28 future days it contributes
+  // to, then one groupBy counts distinct users per day. A constant
+  // ×28 row fan-out of the (tiny) distinct (day, user) frame beats a
+  // range join's shuffle at any corpus size, and both aggregates are
+  // partial-combined.
+  // day as date_trunc TIMESTAMP (the events_hourly convention), not
+  // DATE — a DATE column round-trips as python date objects while the
+  // oracle side materializes datetime64, and the comparator sees
+  // different value types for identical days
+  val stickiness = QueryDef.oracled(
+    "events_stickiness",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+      |contrib AS (SELECT day + CAST(i AS INTEGER) * INTERVAL 1 DAY AS day2, user_id
+      |            FROM du, range(0, 28) t(i)),
+      |tau AS (SELECT day2 AS day, count(DISTINCT user_id) AS tau28
+      |        FROM contrib GROUP BY day2)
+      |SELECT d.day, d.dau, t.tau28,
+      |       CAST(d.dau AS DOUBLE)/t.tau28 AS stickiness
+      |FROM dau d JOIN tau t USING (day) ORDER BY day""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val tau = du
+      .select(explode(expr(
+        "sequence(day, day + interval 27 day, interval 1 day)")).as("day"),
+        col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("tau28"))
+    // days with no activity at all have no DAU row: inner join (the
+    // oracle's USING join) keeps exactly the active days
+    dau.join(tau, Seq("day"))
+      .withColumn("stickiness", col("dau").cast("double") / col("tau28"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
-    approxDistinct)
+    approxDistinct, stickiness)
 }

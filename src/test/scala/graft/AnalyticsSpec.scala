@@ -56,4 +56,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(qs.nonEmpty)
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
   }
+
+  test("events_stickiness equals a driver-side trailing-window replay") {
+    import org.apache.spark.sql.functions._
+    val du = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day").getTime -> r.getAs[Long]("user_id"))
+    val dayMs = 24L * 3600 * 1000
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("events_stickiness")(spark, sf).collect()
+    assert(got.length == byDay.size)
+    got.foreach { r =>
+      val day = r.getAs[java.sql.Timestamp]("day").getTime
+      val expectedDau = byDay(day).size
+      val expectedTau = (0 to 27).flatMap(i =>
+        byDay.getOrElse(day - i * dayMs, Set.empty[Long])).toSet.size
+      assert(r.getAs[Long]("dau") == expectedDau, s"dau at $day")
+      assert(r.getAs[Long]("tau28") == expectedTau, s"tau28 at $day")
+      assert(math.abs(r.getAs[Double]("stickiness")
+        - expectedDau.toDouble / expectedTau) < 1e-12)
+      assert(r.getAs[Long]("tau28") >= r.getAs[Long]("dau"))
+    }
+  }
 }
