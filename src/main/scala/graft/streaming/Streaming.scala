@@ -613,6 +613,48 @@ object Streaming {
     runToMemory(s, agg, OutputMode.Append)
   }
 
+  // --- A26: streaming leadership tenures via native session_window ---------
+  // A7 (leader_tenures) under the streaming contract, exactly the A20
+  // pattern applied to the election log: a candidate's tenure is a
+  // session of heartbeats with gap ≤ TTL per (resource, candidate);
+  // append mode emits a tenure only once the watermark proves no
+  // heartbeat can extend it. Replayed to the end of a bounded log that
+  // is the set of sessions whose end + TTL precedes the final
+  // watermark (ms-floored — Spark tracks watermarks in ms while
+  // session ends keep event-time micros, the A20 caveat). The one
+  // still-open tenure per live candidate at log end is the
+  // streaming/batch semantic difference, surfaced honestly.
+  val leaderTenures = QueryDef.oracled(
+    "stream_leader_tenures",
+    """WITH g AS (
+      |  SELECT event_type AS resource, user_id AS candidate, ts, event_id,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY resource, candidate
+      |                              ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      |agg AS (SELECT resource, candidate, min(ts) AS session_start,
+      |               max(ts) AS session_end, count(*) - 1 AS n_renewals
+      |        FROM s GROUP BY resource, candidate, sid),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT resource, candidate, session_start, session_end, n_renewals
+      |FROM agg, logend
+      |WHERE epoch_us(session_end) + 3600000000 <= e // 1000 * 1000
+      |ORDER BY resource, candidate, session_start""".stripMargin) { (s, d) =>
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "1 hour"),
+        col("event_type").as("resource"), col("user_id").as("candidate"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        (count(lit(1)) - 1).as("n_renewals"))
+      .select(col("resource"), col("candidate"), col("session_start"),
+        col("session_end"), col("n_renewals"))
+    runToMemory(s, agg, OutputMode.Append)
+  }
+
   // --- A19: streaming NEAR-dup ingest (MinHash-LSH state) ------------------
   // The LLM-ingest shape of D3: documents arrive as a stream; each is
   // banded into its 32 MinHash buckets and every bucket keeps the doc
@@ -782,5 +824,6 @@ object Streaming {
 
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
-    dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed)
+    dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
+    leaderTenures)
 }
