@@ -659,6 +659,67 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // --- D11: cross-source overlap (near-duplicate source detection) --------
+  // The corpus-curation question one level above document pairs: which
+  // SOURCES are near-copies of each other (mirror sites, re-crawls,
+  // dataset re-releases)? Exact set overlap over the same 3-gram
+  // shingle space as D2: per-source distinct shingle sets, pairwise
+  // intersection via the inverted index, Jaccard + containment
+  // (containment catches a small source embedded in a big one, where
+  // Jaccard dilutes).
+  //
+  // Scale (100 TB): the distinct (source, shingle) projection is the
+  // one big shuffle and is the minimal sufficient statistic; the pair
+  // join ships only 8-byte shingle hashes, and a shingle's post-
+  // distinct df is bounded by |sources|, so the self-join has no
+  // hot-key blowup (the D2 df² problem cannot occur here). Output is
+  // O(|sources|²) rows — thousands, not billions. At extreme source
+  // counts the same frame feeds a per-source MinHash sketch (D3's
+  // machinery) instead of the exact index.
+  val sourceOverlap = QueryDef.oracled(
+    "source_overlap",
+    s"""WITH $shingleSql,
+      |ex AS (SELECT d.source AS source, unnest(sh.s) AS shingle
+      |       FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+      |ss AS (SELECT DISTINCT source, shingle FROM ex),
+      |cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      |      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT source_a, source_b, ca.n AS n_a, cb.n AS n_b, inter,
+      |       CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard,
+      |       CAST(inter AS DOUBLE) / least(ca.n, cb.n) AS containment
+      |FROM p JOIN cnt ca ON p.source_a = ca.source
+      |       JOIN cnt cb ON p.source_b = cb.source
+      |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // join on the 64-bit shingle hash, not the string — same counts
+    // (collision odds ~|shingles|²/2⁶⁵), fixed-width shuffle keys; the
+    // oracle joins strings, which only the counts survive.
+    val ss = shingled(s, d)
+      .join(docs, Seq("doc_id"))
+      .select(col("source"), explode(col("shingles")).as("shingle"))
+      .select(col("source"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val cnt = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ss.select(col("source").as("source_a"), col("sh"))
+      .join(ss.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(cnt.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(cnt.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter"), col("jaccard"), col("containment"))
+  }
+
   /** Materialize every shared FrameCache stage the dedup family reads
     * (shingle frame, DF-capped inverted index, converged cluster map) —
     * the staging-table warm-up a warehouse pays once. Bench calls this
@@ -675,5 +736,6 @@ object Dedup {
 
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
-    topShingles, clusters, keepers, decontaminate, substringDedup)
+    topShingles, clusters, keepers, decontaminate, substringDedup,
+    sourceOverlap)
 }

@@ -224,4 +224,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected,
       s"grid-window pairs diverge: got ${got.size}, expected ${expected.size}")
   }
+
+  test("source_overlap equals a driver-side per-source shingle-set replay") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text")).toSeq
+    val bySource: Map[String, Set[String]] = docs.groupBy(_._1).view.mapValues {
+      ds => ds.flatMap { case (_, t) =>
+        val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet
+    }.toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (bySource(a) & bySource(b)).size if inter > 0
+    } yield (a, b) -> (bySource(a).size.toLong, bySource(b).size.toLong,
+        inter.toLong)).toMap
+    val got = SparkEntry.queries("source_overlap")(spark, sf).collect().map { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val inter = r.getAs[Long]("inter")
+      // internal consistency of the derived ratios
+      assert(r.getAs[Double]("jaccard") === inter.toDouble / (na + nb - inter))
+      assert(r.getAs[Double]("containment") === inter.toDouble / math.min(na, nb))
+      assert(inter <= math.min(na, nb))
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> ((na, nb, inter))
+    }.toMap
+    assert(got == expected,
+      s"source overlap diverges: got ${got.size} pairs, expected ${expected.size}")
+  }
 }
