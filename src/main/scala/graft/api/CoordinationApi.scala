@@ -221,4 +221,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
       .filter(col("namespace") === namespace)
       .select(col("key"), col("ts"), col("event_id"), col("op"),
         col("new_value"))
+
+  /** Group membership change replay: every join/leave/expire transition
+    * of a group over the log (A27 feed) — the event-level form the
+    * reference's `onGroupChange(membership)` poller diffs its way to.
+    * Drives [[ListenerRegistry.replayGroupEvents]].
+    */
+  def groupChanges(group: String): DataFrame =
+    graft.queries.Coordination.groupChangeFeed.fn(spark, sfDir)
+      .filter(col("grp") === group)
+      .select(col("member"), col("event"), col("ts_us"))
 }

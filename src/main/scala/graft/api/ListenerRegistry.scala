@@ -297,4 +297,29 @@ final class ListenerRegistry(api: CoordinationApi) {
     }
     fired
   }
+
+  /** Play the group's join/leave/expire feed (A27) through the attached
+    * listeners: fold the transitions into the evolving member set and
+    * fire onGroupChange after each one — the event-exact form of the
+    * reference poller's diff-and-fire loop (replayGroupChanges is its
+    * tick-sampled form; this one observes every transition, including
+    * those inside one poll interval). Returns the number of firings
+    * (== the feed's row count for the group).
+    */
+  def replayGroupEvents(group: String): Long = {
+    if (!hasGroupWatcher(group)) return 0L
+    val rows = api.groupChanges(group).orderBy(col("ts_us")).collect()
+    var members = Set.empty[Long]
+    rows.foreach { r =>
+      val m = r.getAs[Long]("member")
+      members = r.getAs[String]("event") match {
+        case "join" => members + m
+        case _      => members - m           // leave | expire
+      }
+      val ls = lock.synchronized(
+        groupListeners.get(group).map(_.toList).getOrElse(Nil))
+      ls.foreach(_.onGroupChange(members))
+    }
+    rows.length.toLong
+  }
 }

@@ -604,6 +604,86 @@ object Coordination {
       .orderBy(col("grp"), col("member"))
   }
 
+  // --- A27: the group-membership change feed (join/leave/expire) -----------
+  // The event-level form of A8/A17: every membership TRANSITION, which
+  // is what `GroupMembershipListener.onGroupChange` consumes — a member
+  // JOINS at a heartbeat that finds it not-alive (first sighting, after
+  // a leave, or after a TTL lapse), LEAVES at a tombstone that finds it
+  // alive (a tombstone against a non-member is a no-op — the A24
+  // applied-mutation principle), and EXPIRES at last_heartbeat + TTL
+  // when no record arrives within TTL (or the log ends more than TTL
+  // later). Aliveness at any record is fully determined by the
+  // PREVIOUS record and the gap — after any tombstone the member is
+  // out (it either applied or found the member already out), after any
+  // heartbeat it is in for TTL — so the whole feed is one LAG/LEAD
+  // window per (group, member): one hash shuffle, no recursion, no
+  // state machine. Expire rows carry the synthetic event time
+  // last_us + TTL, exactly where the reference's poller would observe
+  // the lapse. ts_us = event-time micros (BIGINT keeps the synthetic
+  // timestamps bit-comparable across engines).
+  /** Shared oracle; `endExpire` is the log-end lapse predicate — exact
+    * micros for the batch replay, the ms-floored watermark form for the
+    * streaming twin (Spark tracks watermarks in ms).
+    */
+  private[graft] def groupFeedSql(endExpire: String): String =
+    s"""WITH e AS (
+      |  SELECT event_type AS grp, user_id AS member, ts, event_id,
+      |         epoch_us(ts) AS us,
+      |         CASE WHEN $opSql = 0 THEN 1 ELSE 0 END AS del
+      |  FROM events),
+      |w AS (
+      |  SELECT *, lag(us) OVER win AS prev_us, lag(del) OVER win AS prev_del,
+      |         lead(us) OVER win AS next_us
+      |  FROM e WINDOW win AS (PARTITION BY grp, member ORDER BY ts, event_id)),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT grp, member, 'join' AS event, us AS ts_us FROM w
+      |WHERE del = 0 AND (prev_us IS NULL OR prev_del = 1
+      |                   OR us - prev_us > 3600000000)
+      |UNION ALL
+      |SELECT grp, member, 'leave' AS event, us AS ts_us FROM w
+      |WHERE del = 1 AND prev_us IS NOT NULL AND prev_del = 0
+      |  AND us - prev_us <= 3600000000
+      |UNION ALL
+      |SELECT grp, member, 'expire' AS event, us + 3600000000 AS ts_us
+      |FROM w, logend
+      |WHERE del = 0 AND ((next_us IS NOT NULL AND next_us - us > 3600000000)
+      |                   OR (next_us IS NULL AND ($endExpire)))
+      |ORDER BY grp, member, ts_us, event""".stripMargin
+
+  val groupChangeFeed = QueryDef.oracled(
+    "group_change_feed", groupFeedSql("e - us > 3600000000")) { (s, d) =>
+    val byMemberAsc = Window.partitionBy(col("grp"), col("member"))
+      .orderBy(col("ts"), col("event_id"))
+    val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
+    ev(s, d)
+      .select(col("event_type").as("grp"), col("user_id").as("member"),
+        col("ts"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(op10 === 0, 1).otherwise(0).as("del"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byMemberAsc))
+      .withColumn("prev_del", lag(col("del"), 1).over(byMemberAsc))
+      .withColumn("next_us", lead(col("us"), 1).over(byMemberAsc))
+      .crossJoin(broadcast(logEnd))
+      .withColumn("evs", array(
+        when(col("del") === 0 && (col("prev_us").isNull ||
+            col("prev_del") === 1 ||
+            col("us") - col("prev_us") > TtlMicros),
+          struct(lit("join").as("event"), col("us").as("ts_us"))),
+        when(col("del") === 1 && col("prev_us").isNotNull &&
+            col("prev_del") === 0 &&
+            col("us") - col("prev_us") <= TtlMicros,
+          struct(lit("leave").as("event"), col("us").as("ts_us"))),
+        when(col("del") === 0 &&
+            ((col("next_us").isNotNull &&
+              col("next_us") - col("us") > TtlMicros) ||
+             (col("next_us").isNull && col("e") - col("us") > TtlMicros)),
+          struct(lit("expire").as("event"),
+            (col("us") + TtlMicros).as("ts_us")))))
+      .select(col("grp"), col("member"),
+        explode(filter(col("evs"), _.isNotNull)).as("ev"))
+      .select(col("grp"), col("member"), col("ev.event").as("event"),
+        col("ev.ts_us").as("ts_us"))
+  }
+
   // --- A18: resign-aware leader election end state -------------------------
   // `resign` = conditional DELETE of the election row: it ends the
   // holder's session at that instant (the next claim by anyone —
@@ -685,5 +765,5 @@ object Coordination {
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
     kvStorageReplay, groupMembershipLeave, leaderElectionResign,
-    leaderChangeFeed, kvStorageFeed)
+    leaderChangeFeed, kvStorageFeed, groupChangeFeed)
 }

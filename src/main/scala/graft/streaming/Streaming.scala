@@ -522,6 +522,82 @@ object Streaming {
     runToMemory(s, applied, OutputMode.Append, needsNoDataBatch = false)
   }
 
+  // --- A28: streaming group-membership change feed --------------------------
+  // A27 (group_change_feed) under the streaming contract: per
+  // (group, member) the state is ONE LONG — the last heartbeat's
+  // event-time micros, present iff the member is alive (a leave or an
+  // expiry removes the state entirely; a rejoin needs no history).
+  // Joins and leaves emit in the data batch the record arrives in;
+  // TTL lapses emit either in-fold (the next record for the member
+  // reveals the gap — exact micros arithmetic, identical to the batch
+  // LAG form) or via event-time timeout at last_hb + TTL when no
+  // record ever comes. Oracle = A27 with ONLY the log-end lapse
+  // predicate ms-floored (Spark fires a timeout when the ms-resolution
+  // watermark advances strictly past the ms-floored timeout
+  // timestamp); mid-stream transitions are watermark-independent and
+  // stay micros-exact.
+  val groupFeed = QueryDef.oracled(
+    "stream_group_change_feed",
+    graft.queries.Coordination.groupFeedSql(
+      "us // 1000 + 3600000 < e // 1000")) { (s, d) =>
+    import s.implicits._
+    runGroupFeed(s, eventStream(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent])
+  }
+
+  /** The membership fold over any KeyedEvent stream — exposed so the
+    * spec can drive it with a multi-batch time-split source (state
+    * carry + cross-batch lapse detection + final-timeout expiry).
+    */
+  private[graft] def runGroupFeed(s: SparkSession,
+      typed: Dataset[KeyedEvent]): DataFrame = {
+    import s.implicits._
+    val ttl = graft.queries.Coordination.TtlMicros
+    val feed = typed
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(e => (e.namespace, e.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (gk: (String, Long), it: Iterator[KeyedEvent],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val lastUs = state.get
+            state.remove()
+            Iterator.single((gk._1, gk._2, "expire", lastUs + ttl))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long, String, Long)]
+            var lastHb = state.getOption                // Some(us) == alive
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              lastHb.filter(us - _ > ttl).foreach { l => // lapsed before e
+                out += ((gk._1, gk._2, "expire", l + ttl))
+                lastHb = None
+              }
+              if (opDigit(e.value) != 0) {               // heartbeat
+                if (lastHb.isEmpty) out += ((gk._1, gk._2, "join", us))
+                lastHb = Some(us)
+              } else if (lastHb.isDefined) {             // applied leave
+                out += ((gk._1, gk._2, "leave", us))
+                lastHb = None
+              }                                          // else: no-op tombstone
+            }
+            lastHb match {
+              case Some(us) =>
+                state.update(us)
+                state.setTimeoutTimestamp(Math.floorDiv(us, 1000L) + ttl / 1000L)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+        })
+      .toDF("grp", "member", "event", "ts_us")
+    // the final no-data batch fires the log-end expiries
+    runToMemory(s, feed, OutputMode.Append, needsNoDataBatch = true)
+  }
+
   // --- A22: streaming key-set change feed ----------------------------------
   // A5 (KeySetChangeListener) under the streaming contract: daily key
   // sets accumulate in a watermark-bounded windowed collect_set and
@@ -825,5 +901,5 @@ object Streaming {
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures)
+    leaderTenures, groupFeed)
 }

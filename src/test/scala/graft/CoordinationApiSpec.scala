@@ -203,6 +203,30 @@ class CoordinationApiSpec extends AnyFunSuite {
     assert(reg.replayGroupChanges(grp) == 0L && got.isEmpty)
   }
 
+  test("group-event replay: transition fold ends at the leave-aware live set") {
+    import graft.api.{GroupMembershipListener, ListenerRegistry}
+    val reg = new ListenerRegistry(api)
+    val grp = "signup"
+    var last = Option.empty[Set[Long]]
+    var fired = 0L
+    val gl = new GroupMembershipListener {
+      def onGroupChange(m: Set[Long]): Unit = { last = Some(m); fired += 1 } }
+
+    assert(reg.replayGroupEvents(grp) == 0L)      // nothing attached yet
+    reg.addGroupMembershipListener(grp, gl)
+    val delivered = reg.replayGroupEvents(grp)
+    assert(delivered == api.groupChanges(grp).count() && fired == delivered)
+    // the fold's END STATE must equal the leave-aware membership list at
+    // log end — the feed and the snapshot queries describe one world
+    val live = SparkEntry.queries("group_membership_leave")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("grp") === grp)
+      .collect().map(_.getAs[Long]("member")).toSet
+    assert(last.contains(live),
+      s"replayed end state ${last.map(_.size)} != live membership ${live.size}")
+    reg.removeGroupMembershipListener(grp, gl)
+    assert(reg.replayGroupEvents(grp) == 0L)
+  }
+
   test("storage-mutation listeners: applied ops replay in order, detach goes quiet") {
     import graft.api.{ListenerRegistry, StorageMutationListener}
     val reg = new ListenerRegistry(api)

@@ -152,6 +152,48 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_group_change_feed carries membership state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same time-split harness as the storage-feed spec: batch 2+ must
+    // see aliveness established by earlier batches (cross-batch lapse
+    // detection reads the carried last-heartbeat state), and the final
+    // no-data batch must fire the log-end expiries via timeout. The
+    // reference output is the SINGLE-file streaming run — bit-identical
+    // semantics regardless of batch boundaries is the contract.
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_group_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.KeyedEvent]
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("grp"), r.getAs[Long]("member"),
+        r.getAs[String]("event"), r.getAs[Long]("ts_us"))
+    val got = graft.streaming.Streaming.runGroupFeed(spark, typed)
+      .collect().map(key).toSet
+    val oneBatch = SparkEntry.queries("stream_group_change_feed")(spark, sf)
+      .collect().map(key).toSet
+    assert(got === oneBatch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_storage_feed op digit matches Spark SQL round exactly (ties, negatives)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
