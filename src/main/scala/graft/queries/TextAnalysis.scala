@@ -373,8 +373,72 @@ object TextAnalysis {
           .as("flagged"))
   }
 
+  // --- C13: collocation extraction (corpus-level bigram lift) -------------
+  // The phrase-mining primitive behind tokenizer/vocab induction and
+  // Mikolov-style phrase merging: score every adjacent token bigram by
+  // LIFT = p(ab) / (p(a)·p(b)) — how much more often the pair co-occurs
+  // than independence predicts (PMI without the log, so the score stays
+  // a ratio of exact integer counts and one double division chain:
+  // bit-comparable across engines, no libm). Min support 5 kills
+  // one-off pairs; top 50 by (lift, token_a, token_b).
+  //
+  // Scale (100 TB): unigram and bigram counts are partial-aggregated
+  // map-side (classic word-count); the scored frame joins two copies of
+  // the (small, post-support-filter) count tables; the final top-50 is
+  // TakeOrderedAndProject — per-partition heads, no global sort.
+  val collocations = QueryDef.oracled(
+    "text_collocations",
+    """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |              FROM documents),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_tokens FROM uni),
+      |bi AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+      |       FROM toks),
+      |btot AS (SELECT count(*) AS n_bigrams FROM bi),
+      |bcnt AS (SELECT split_part(bg, ' ', 1) AS token_a,
+      |                split_part(bg, ' ', 2) AS token_b, count(*) AS n_ab
+      |         FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+      |sc AS (SELECT token_a, token_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+      |         CAST(n_ab AS DOUBLE) * n_tokens * n_tokens
+      |           / (CAST(n_bigrams AS DOUBLE) * ua.n * ub.n) AS lift
+      |       FROM bcnt JOIN ucnt ua ON token_a = ua.tok
+      |                 JOIN ucnt ub ON token_b = ub.tok, tot, btot)
+      |SELECT token_a, token_b, n_ab, n_a, n_b, lift
+      |FROM sc ORDER BY lift DESC, token_a, token_b LIMIT 50""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(words(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+    val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(count(lit(1)).as("n_tokens"))
+    val bi = toks
+      .withColumn("bgs", when(size(col("t")) >= 2,
+        expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, t[i+1] AS b))"))
+        .otherwise(array()))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.a").as("token_a"), col("bg.b").as("token_b"))
+    val btot = bi.agg(count(lit(1)).as("n_bigrams"))
+    val bcnt = bi.groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    bcnt
+      .join(broadcast(ucnt.select(col("tok").as("token_a"), col("n").as("n_a"))),
+        Seq("token_a"))
+      .join(broadcast(ucnt.select(col("tok").as("token_b"), col("n").as("n_b"))),
+        Seq("token_b"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      // same association order as the oracle: ((n_ab·N)·N) / ((B·n_a)·n_b)
+      .withColumn("lift",
+        col("n_ab").cast("double") * col("n_tokens") * col("n_tokens")
+          / (col("n_bigrams").cast("double") * col("n_a") * col("n_b")))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("lift"))
+      .orderBy(col("lift").desc, col("token_a"), col("token_b"))
+      .limit(50)
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
-      repetition)
+      repetition, collocations)
 }
