@@ -628,7 +628,83 @@ object Similarity {
         col("cosine"))
   }
 
+  // --- E10: product quantization + ADC (the memory-bound scale path) -------
+  // PQ (Jégou et al. TPAMI'11): split each L2-NORMALIZED corpus vector
+  // into M=16 subvectors of 4 dims; per subspace, learn a 16-centroid
+  // codebook (deterministic seeds = first 16 vectors' subvectors, one
+  // Lloyd refinement via the map-side-combined vector_avg — the E3
+  // recipe per subspace) and store each vector as 16 half-byte-capable codes: a
+  // 16× compression of the scan (16 bytes vs 256 of float32). A query
+  // scores by ADC: precompute the 16×16 table of (query-subvector ·
+  // centroid) partial dots — broadcast-tiny — then a vector's
+  // approximate dot is the sum of its 16 looked-up partials: the scan
+  // touches ONLY the code columns + an equi-join on (subspace, code),
+  // all codegen, no float vectors moved. Top PqRerank=64 ADC candidates
+  // per query re-fetch raw vectors and re-rank by EXACT cosine, so
+  // emitted rows are exact for every candidate found. Recall ≥ 0.9 vs
+  // E1 by spec (approximate by contract, like E2/E3/E9).
+  private val PqM = 16      // subspaces (64 dims / 4)
+  private val PqSub = 4     // dims per subspace
+  private val PqK = 16      // centroids per subspace codebook
+  private val PqRerank = 64 // ADC candidates re-ranked exactly per query
+  val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val emb = Tables.embeddings(s, d)
+    // normalize so ADC dot ranks by (approximate) cosine; zero-norm
+    // degenerates drop here exactly as their NaN cosine drops in E1
+    val xn = emb.withColumn("nrm", F.l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .withColumn("xn", expr("transform(embedding, x -> CAST(x / nrm AS FLOAT))"))
+    val sub = xn.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  m -> struct(m AS m, slice(xn, m * $PqSub + 1, $PqSub) AS sv))"""
+        .stripMargin)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+    def l2d(a: Column, b: Column): Column =
+      F.dot_product(a, a) - lit(2.0) * F.dot_product(a, b) + F.dot_product(b, b)
+    def nearest(frame: DataFrame, book: DataFrame, idCols: Seq[String]): DataFrame =
+      frame.join(book, Seq("m"))
+        .withColumn("dist2", l2d(col("sv"), col("ce")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy((idCols :+ "m").map(col): _*)
+            .orderBy(col("dist2"), col("cid"))))
+        .filter(col("rk") === 1)
+    val seeds = broadcast(sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("ce")))
+    val codebook = broadcast(
+      nearest(sub, seeds, Seq("vec_id"))
+        .groupBy(col("m"), col("cid"))
+        .agg(graft.functions.VectorAvgAgg.vector_avg(col("sv")).as("cd"))
+        .select(col("m"), col("cid"),
+          col("cd").cast(ArrayType(FloatType)).as("ce")))
+    // the stored index: (vec_id, m, cid) — 16 bytes per vector at scale
+    val codes = nearest(sub, codebook, Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("cid"))
+    // ADC lookup table: 10 queries × 16 subspaces × 16 centroids
+    val lut = broadcast(queriesDf(s, d)
+      .select(col("query_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  m -> struct(m AS m, slice(qe, m * $PqSub + 1, $PqSub) AS qsv))"""
+          .stripMargin)).as("p"))
+      .select(col("query_id"), col("p.m").as("m"), col("p.qsv").as("qsv"))
+      .join(codebook, Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        F.dot_product(col("qsv"), col("ce")).as("part")))
+    val cand = codes.join(lut, Seq("m", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("part")).as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("crk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    topK(cand
+      .join(queriesDf(s, d), Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh)
+    maxip, maxipLsh, pq)
 }

@@ -32,6 +32,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("knn_pq recall vs brute force >= 0.9") {
+    val got = neighbors("knn_pq")
+    val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    info(s"PQ (16x16 codebooks, ADC, rerank 64) recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+    // re-ranked rows are EXACT: cosine of every emitted pair matches the
+    // brute-force value for pairs brute force also ranked
+    val exactCos = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    SparkEntry.queries("knn_pq")(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("embedding_centroids equals driver-side element-wise average") {
     import org.apache.spark.sql.functions._
     val got = queries.Similarity.centroidsRaw(spark, sf)
