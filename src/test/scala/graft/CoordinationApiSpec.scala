@@ -203,6 +203,29 @@ class CoordinationApiSpec extends AnyFunSuite {
     assert(reg.replayGroupChanges(grp) == 0L && got.isEmpty)
   }
 
+  test("plugin locator: getters throw before startup, serve after (reference lifecycle)") {
+    import graft.api.GraftPluginLocator
+    val loc = new GraftPluginLocator(spark)
+    val e1 = intercept[IllegalStateException](loc.getLeaderElection)
+    assert(e1.getMessage.contains("startup(configFile)"))
+    intercept[IllegalStateException](loc.getListenerRegistry)
+    // config-file path, the reference signature
+    val f = java.nio.file.Files.createTempFile("graft_plugin", ".properties")
+    java.nio.file.Files.writeString(f, s"graft.data.dir=$sf\n")
+    loc.startup(f.toString)
+    // the served instance answers identically to a directly-built API
+    assert(loc.getLeaderElection.getLeader("signup") == api.getLeader("signup"))
+    assert(loc.getListenerRegistry != null)
+    // a config without the dir key is rejected
+    val bad = java.nio.file.Files.createTempFile("graft_plugin_bad", ".properties")
+    java.nio.file.Files.writeString(bad, "unrelated=1\n")
+    val e2 = intercept[IllegalArgumentException](
+      new GraftPluginLocator(spark).startup(bad.toString))
+    assert(e2.getMessage.contains("graft.data.dir"))
+    java.nio.file.Files.deleteIfExists(f)
+    java.nio.file.Files.deleteIfExists(bad)
+  }
+
   test("group-event replay: transition fold ends at the leave-aware live set") {
     import graft.api.{GroupMembershipListener, ListenerRegistry}
     val reg = new ListenerRegistry(api)
