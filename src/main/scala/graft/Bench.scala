@@ -75,6 +75,7 @@ object Bench {
     // shared-stage warm-up, off the measured path, reported separately
     val stage0 = System.nanoTime()
     queries.Dedup.warmStages(spark, sfDir)
+    queries.TextAnalysis.warmStages(spark, sfDir)
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]

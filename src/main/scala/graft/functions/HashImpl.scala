@@ -287,4 +287,23 @@ object HashImpl {
     }
     new GenericArrayData(seen.toArray)
   }
+
+  /** Adjacent 2-gram word shingles ("a b") WITH multiplicity in
+    * occurrence order (collocation counting needs every occurrence,
+    * unlike the distinct sets of shingles3); empty for fewer than 2
+    * tokens.
+    */
+  def bigrams(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i + 1 < n) {
+      out(i) = UTF8String.concatWs(sep,
+        tokens.getUTF8String(i), tokens.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

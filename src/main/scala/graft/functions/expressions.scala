@@ -159,6 +159,15 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Shingles3 = copy(c)
   }
 
+  case class Bigrams2(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.bigrams(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.bigrams($c)")
+    override protected def withNewChildInternal(c: Expression): Bigrams2 = copy(c)
+  }
+
   // ---- Column API -------------------------------------------------------
 
   private def toCol(e: Expression): Column = org.apache.spark.sql.GraftColumnShim.column(e)
@@ -200,6 +209,7 @@ object expressions {
     s"""transform(sequence(0, ${nTables - 1}), t ->
        |  t * ${1 << bandBits} + ${srpBandExpr(sigsCol, "t", bandBits)})""".stripMargin
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
+  def bigrams2(c: Column): Column = toCol(Bigrams2(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))

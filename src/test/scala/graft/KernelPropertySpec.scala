@@ -58,6 +58,16 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bigrams = sliding 2-grams WITH multiplicity, occurrence order") {
+    forAll(Gen.listOf(Gen.identifier.map(_.take(4)))) { toks =>
+      val expected = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+      val a = HashImpl.bigrams(arr(toks))
+      val got = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      assert(got == expected)
+    }
+  }
+
   test("minhash: signature agreement tracks Jaccard similarity") {
     forAll2(Gen.chooseNum(10, 60), Gen.chooseNum(0, 40)) { (shared, extra) =>
       val common = (0 until shared).map(i => s"c$i")
