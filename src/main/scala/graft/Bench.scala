@@ -76,6 +76,7 @@ object Bench {
     val stage0 = System.nanoTime()
     queries.Dedup.warmStages(spark, sfDir)
     queries.TextAnalysis.warmStages(spark, sfDir)
+    queries.Similarity.warmStages(spark, sfDir)
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
