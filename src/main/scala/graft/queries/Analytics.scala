@@ -623,9 +623,35 @@ object Analytics {
       .withColumn("stickiness", col("dau").cast("double") / col("tau28"))
   }
 
+  // --- B21: CUBE over (event_type, hour-of-day) ---------------------------
+  // The grouping-sets sibling of B8's ROLLUP: every marginal of the
+  // activity heat-map in one pass — (type, hour), per-type, per-hour,
+  // and the grand total. Spark expands the cube BEFORE the aggregate,
+  // so it is still one shuffle with partial aggregation; the exact
+  // per-cell distinct-user count is the expensive honest form (the
+  // sketch alternative is B13's HLL). grouping_id() disambiguates a
+  // NULL data value from a cube margin (neither column is nullable
+  // here, but the marker is part of the grouping-sets contract).
+  val eventsCube = QueryDef.oracled(
+    "events_cube",
+    """SELECT event_type, extract(hour FROM ts) AS hour,
+      |  CAST(GROUPING(event_type, extract(hour FROM ts)) AS BIGINT) AS gid,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY CUBE(event_type, extract(hour FROM ts))
+      |ORDER BY gid, event_type NULLS FIRST, hour NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hour"), col("user_id"))
+      .cube(col("event_type"), col("hour"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("hour"), col("gid"),
+        col("n_events"), col("n_users"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
-    approxDistinct, stickiness)
+    approxDistinct, stickiness, eventsCube)
 }

@@ -338,6 +338,69 @@ object TextAnalysis {
           .otherwise("test").as("split"))
   }
 
+  // --- C14: sequence packing into fixed context windows -------------------
+  // The GPT-style concat-and-chop preprocessing: shard the corpus into
+  // independent STREAMS (content-keyed fingerprint shard, like C11 —
+  // reproducible, no RNG), concatenate each stream's documents in
+  // doc_id order, and chop every 2048 BPE-ish tokens. Each doc lands at
+  // a deterministic token offset; the output says which context windows
+  // (bins) it feeds and whether it straddles a boundary. All-integer
+  // arithmetic → bit-exact.
+  //
+  // Scale (100 TB): one hash shuffle on stream; the running offset is a
+  // per-stream streaming window (one O(n) pass per stream task) — the
+  // stream count is the parallelism dial (8 here; thousands on a
+  // cluster), and packing never looks across streams, so this is
+  // embarrassingly parallel BY CONSTRUCTION, unlike a global cumsum.
+  private val PackStreams = 8
+  private val PackBudget = 2048L
+  val corpusPack = QueryDef.oracled(
+    "corpus_pack",
+    s"""WITH t AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text),
+      |        '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS toks,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(regexp_extract_all(text, '[\\s\\S]'),
+      |                       c -> CAST(ord(c) AS HUGEINT))),
+      |      (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT))
+      |      % $PackStreams AS INTEGER) AS stream
+      |  FROM documents),
+      |w AS (SELECT *, CAST(coalesce(sum(toks) OVER (PARTITION BY stream
+      |        ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS start_off
+      |      FROM t)
+      |SELECT stream, doc_id, toks AS n_tokens, start_off,
+      |  start_off // $PackBudget AS first_bin,
+      |  CASE WHEN toks = 0 THEN start_off // $PackBudget
+      |       ELSE (start_off + toks - 1) // $PackBudget END AS last_bin,
+      |  CASE WHEN toks = 0 THEN 0
+      |       ELSE (start_off + toks - 1) // $PackBudget
+      |            - start_off // $PackBudget + 1 END AS n_pieces
+      |FROM w ORDER BY stream, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
+          .cast("long").as("toks"),
+        (graft.queries.Coordination.fpUnsigned(col("text")) % PackStreams)
+          .cast("int").as("stream"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("start_off", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .select(col("stream"), col("doc_id"), col("toks").as("n_tokens"),
+        col("start_off"),
+        expr(s"start_off DIV $PackBudget").as("first_bin"),
+        when(col("toks") === 0, expr(s"start_off DIV $PackBudget"))
+          .otherwise(expr(s"(start_off + toks - 1) DIV $PackBudget"))
+          .as("last_bin"),
+        when(col("toks") === 0, lit(0L))
+          .otherwise(expr(s"(start_off + toks - 1) DIV $PackBudget" +
+            s" - start_off DIV $PackBudget + 1")).as("n_pieces"))
+  }
+
   // --- C12: intra-document repetition scoring -----------------------------
   // The Gopher-family repetition filters (Rae et al. 2021, "Scaling
   // Language Models", Table A1) at this corpus's granularity: the
@@ -471,5 +534,5 @@ object TextAnalysis {
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
-      repetition, collocations)
+      repetition, collocations, corpusPack)
 }
