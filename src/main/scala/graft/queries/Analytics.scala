@@ -510,6 +510,111 @@ object Analytics {
       .orderBy(col("user_id"), col("purchase_event_id"))
   }
 
+  // --- B23: TPC-H Q7 shape — bilateral trade volume ------------------------
+  // Supplier-nation × customer-nation shipping volume by year for one
+  // nation PAIR, both directions. Both nation dims broadcast; the
+  // symmetric pair predicate lives in the join-output filter (it needs
+  // columns from both sides); lineitem⋈orders is the one real shuffle.
+  val q7 = QueryDef.oracled(
+    "q7_volume_shipping",
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(sum($revTermSql) AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val pair = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === pair(0) && col("cust_nation") === pair(1))
+        || (col("supp_nation") === pair(1) && col("cust_nation") === pair(0)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  // --- B24: TPC-H Q13 shape — customer order-count distribution ------------
+  // LEFT OUTER join (customers with no orders must appear with 0) →
+  // per-customer count → count-of-counts. Two shuffles by nature
+  // (custkey, then the tiny distribution agg); the outer join is the
+  // point of the operator.
+  val q13 = QueryDef.oracled(
+    "q13_customer_distribution",
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // --- B22: event-time range join (click attribution) ---------------------
+  // "Every click within the hour BEFORE each purchase by the same
+  // user" — the canonical range join (B18 keeps only the last one;
+  // attribution wants them all). Spark-first this is an equi-join on
+  // user_id with the time band as a join-side filter: one hash shuffle
+  // on the key, the band prunes inside the join — no custom interval
+  // operator needed, AQE handles user skew. The streaming twin (A29)
+  // runs the identical band as a watermarked stream-stream interval
+  // join and shares this oracle.
+  /** Shared oracle: all (click, purchase) pairs within the 1h band. */
+  private[graft] val rangeJoinSql =
+    """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+      |       p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts
+      | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |ORDER BY c.user_id, purchase_id, click_id""".stripMargin
+  val rangeJoin = QueryDef.oracled(
+    "events_range_join", rangeJoinSql) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))
+          <= 3600L * 1000000L)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
   // --- B19: rolling-window anomaly detection ------------------------------
   // Hourly event counts z-scored against the TRAILING 24 hours per
   // type (rows between -24 and -1 — the current hour never sees
@@ -653,5 +758,5 @@ object Analytics {
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
-    approxDistinct, stickiness, eventsCube)
+    approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13)
 }

@@ -167,7 +167,7 @@ object Streaming {
     * the trigger loop keeps running and timeouts fire on later data
     * batches; this dial only affects the drain-and-stop harness replay.
     */
-  private def runToMemory(s: SparkSession, frame: DataFrame,
+  private[graft] def runToMemory(s: SparkSession, frame: DataFrame,
       mode: OutputMode, needsNoDataBatch: Boolean = true): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     // The state-store partition count is fixed per query from this conf
@@ -598,6 +598,39 @@ object Streaming {
     runToMemory(s, feed, OutputMode.Append, needsNoDataBatch = true)
   }
 
+  // --- A29: stream-stream interval join (click attribution) -----------------
+  // B22 under the streaming contract — the one Structured Streaming
+  // operator class the suite didn't yet exercise: TWO live streams
+  // joined on a key + an event-time band. Spark buffers each side in
+  // the state store and evicts a row once the other side's watermark
+  // proves no future match can land in its band (here: a click is
+  // droppable when the purchase watermark passes click_ts + 1h) —
+  // state is bounded by rate × band, not by history. Inner interval
+  // joins emit eagerly on match, so the bounded-log replay equals the
+  // batch range join row-for-row → same oracle SQL.
+  val intervalJoin = QueryDef.oracled(
+    "stream_interval_join", graft.queries.Analytics.rangeJoinSql) { (s, d) =>
+    val clicks = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToMemory(s, joined, OutputMode.Append, needsNoDataBatch = false)
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
   // --- A22: streaming key-set change feed ----------------------------------
   // A5 (KeySetChangeListener) under the streaming contract: daily key
   // sets accumulate in a watermark-bounded windowed collect_set and
@@ -901,5 +934,5 @@ object Streaming {
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures, groupFeed)
+    leaderTenures, groupFeed, intervalJoin)
 }

@@ -194,6 +194,54 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_interval_join matches clicks to purchases across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // time-split the log; a click in batch 1 must still match a
+    // purchase arriving in batch 3+ (the buffered-side state carry) —
+    // output must equal the batch range join row-for-row
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ij_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val got = graft.streaming.Streaming.runToMemory(spark, joined,
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        needsNoDataBatch = false)
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+    val batch = SparkEntry.queries("events_range_join")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("purchase_id"))).toSet
+    assert(got === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_storage_feed op digit matches Spark SQL round exactly (ties, negatives)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
