@@ -576,6 +576,43 @@ object Analytics {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  // --- B25: top user paths (sequence mining) -------------------------------
+  // The funnel generalization product analytics actually runs: each
+  // user's first 8 events in order collapse to a path string
+  // ("signup>click>purchase>..."), then count users per path and keep
+  // the top 20. One hash shuffle on user_id serves BOTH the ordering
+  // window and the per-user fold (same key → no re-shuffle); the path
+  // frequency table is tiny and TakeOrderedAndProject ends it. The
+  // per-user ordered fold uses array_sort(collect_list(struct(rn, …)))
+  // — collect_list order is nondeterministic under parallel merge, the
+  // sort restores it deterministically.
+  val userPaths = QueryDef.oracled(
+    "events_user_paths",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 8 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM p GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 8)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """concat_ws('>',
+          |  transform(array_sort(collect_list(struct(rn, event_type))),
+          |            x -> x.event_type))""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   // --- B22: event-time range join (click attribution) ---------------------
   // "Every click within the hour BEFORE each purchase by the same
   // user" — the canonical range join (B18 keeps only the last one;
@@ -758,5 +795,5 @@ object Analytics {
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
-    approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13)
+    approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths)
 }
