@@ -288,6 +288,25 @@ object HashImpl {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Overlapping character 4-grams WITH multiplicity (the
+    * ssdeep-style fuzzy-content token set for binary-asset near-dup);
+    * empty under 4 characters. Character = UTF-16 unit here, equal to
+    * the oracle's codepoint slicing on the ASCII corpus (the same
+    * bytes==chars property the F1 oracle relies on).
+    */
+  def chargrams4(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n < 4) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 3)
+    var i = 0
+    while (i + 4 <= n) {
+      out(i) = UTF8String.fromString(str.substring(i, i + 4))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Adjacent 2-gram word shingles ("a b") WITH multiplicity in
     * occurrence order (collocation counting needs every occurrence,
     * unlike the distinct sets of shingles3); empty for fewer than 2

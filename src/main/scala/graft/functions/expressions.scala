@@ -168,6 +168,15 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Bigrams2 = copy(c)
   }
 
+  case class CharGrams4(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.chargrams4(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.chargrams4($c)")
+    override protected def withNewChildInternal(c: Expression): CharGrams4 = copy(c)
+  }
+
   // ---- Column API -------------------------------------------------------
 
   private def toCol(e: Expression): Column = org.apache.spark.sql.GraftColumnShim.column(e)
@@ -210,6 +219,7 @@ object expressions {
        |  t * ${1 << bandBits} + ${srpBandExpr(sigsCol, "t", bandBits)})""".stripMargin
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def bigrams2(c: Column): Column = toCol(Bigrams2(ex(c)))
+  def chargrams4(c: Column): Column = toCol(CharGrams4(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))
   def cosine_sim(a: Column, b: Column): Column = toCol(CosineSim(ex(a), ex(b)))

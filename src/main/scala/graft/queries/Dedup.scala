@@ -278,13 +278,17 @@ object Dedup {
   // fingerprint64 char fold → splitmix64 avalanche (the three
   // constants below are its public-domain increment/multipliers) →
   // per-bit votes → brute-force pair hamming.
-  val simhash = QueryDef.oracled(
-    "dedup_simhash", {
+  /** The D4 kernel replay parameterized by the token source: given a
+    * `toks(doc_id, tok)` CTE body, replays fingerprint64 → splitmix64 →
+    * per-bit votes → brute-force pair hamming ≤ 3 in DuckDB uint64 SQL.
+    * Shared by D4 (word tokens) and F4 media_phash (payload char
+    * 4-grams) so the two oracles cannot drift.
+    */
+  private[graft] def simhashPairsOracleSql(toksCte: String): String = {
       val (_, z2, z3, h) = U64Sql.mix64Stages("h0")
       val two64 = U64Sql.two64
       s"""WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |  FROM documents),
+        |  $toksCte),
         |fp AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -314,10 +318,13 @@ object Dedup {
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, d) =>
-    val sigs = Tables.documents(s, d)
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), F.simhash64(col("t")).as("sig"))
+  }
+
+  /** 4×16-bit banded hamming ≤ 3 pairs over a (doc_id, sig) frame —
+    * pigeonhole-complete (≤3 differing bits leave ≥1 identical band).
+    * Shared by D4 and F4.
+    */
+  private[graft] def bandedSimhashPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING), cast(shiftrightunsigned(sig, 16*b) & 65535 AS STRING)))"))
@@ -330,6 +337,15 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val simhash = QueryDef.oracled(
+    "dedup_simhash", simhashPairsOracleSql(
+      """SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents""".stripMargin)) { (s, d) =>
+    bandedSimhashPairs(Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), F.simhash64(col("t")).as("sig")))
   }
 
   // --- D5: embedding-cosine near-dup, SRP-LSH bucketed --------------------

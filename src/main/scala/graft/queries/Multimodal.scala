@@ -220,5 +220,32 @@ object Multimodal {
         sum(col("n_bytes")).cast("bigint").as("total_bytes"))
   }
 
-  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaDedup)
+  // --- F4: fuzzy near-dup over payload bytes (the pHash shape) -------------
+  // F3 catches byte-identical assets; F4 catches NEAR-identical ones —
+  // the re-encoded/trimmed/metadata-stripped copies a real asset store
+  // dedups with a perceptual hash. Over opaque payloads the honest
+  // content proxy is ssdeep-style fuzzy hashing: SimHash over the
+  // payload's overlapping byte 4-grams (native CharGrams4 + SimHash64
+  // kernels, one codegen call each), then the D4 banded machinery —
+  // 4×16-bit bands, pigeonhole-complete for hamming ≤ 3, bucket id =
+  // shuffle key. A real pHash (DCT over decoded pixels) would slot in
+  // at the decoder stub exactly like F1's features; the banding,
+  // pairing and verification layers are decoder-independent.
+  val mediaPhash = QueryDef.oracled(
+    "media_phash", graft.queries.Dedup.simhashPairsOracleSql(
+      // payload := UTF-8 bytes of text (ASCII corpus ⇒ bytes == chars,
+      // the F1 oracle property), so the byte 4-grams replay as
+      // codepoint slices
+      """SELECT doc_id,
+        |         unnest([text[i:i+3] FOR i IN range(1, length(text)-2)]) AS tok
+        |  FROM documents""".stripMargin)) { (s, d) =>
+    val sigs = mediaItems(s, d).toDF()
+      .select(col("doc_id"),
+        graft.functions.expressions.simhash64(
+          graft.functions.expressions.chargrams4(
+            decode(col("payload"), "UTF-8"))).as("sig"))
+    graft.queries.Dedup.bandedSimhashPairs(sigs)
+  }
+
+  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash)
 }

@@ -68,6 +68,16 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chargrams4 = sliding 4-char windows WITH multiplicity") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val expected = s.sliding(4).filter(_.length == 4).toSeq
+      val a = HashImpl.chargrams4(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val got = (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      assert(got == expected)
+    }
+  }
+
   test("minhash: signature agreement tracks Jaccard similarity") {
     forAll2(Gen.chooseNum(10, 60), Gen.chooseNum(0, 40)) { (shared, extra) =>
       val common = (0 until shared).map(i => s"c$i")
