@@ -24,9 +24,20 @@ object Bucketing {
     * catalog, writing data under `warehouseDir`. Idempotent per
     * session; table names are suffixed so multiple sf dirs coexist.
     */
+  /** Collision-resistant, identifier-safe tag for a staged dir: hex
+    * prefix of the path's MD5. (`math.abs(hashCode)` was wrong twice
+    * over: abs(Int.MinValue) < 0 breaks the table name, and 32-bit
+    * collisions silently alias two dirs under the tableExists guard.)
+    */
+  private[graft] def dirTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+    md.take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   def ensureBucketed(s: SparkSession, d: String, warehouseDir: String,
       buckets: Int = 8): (String, String) = {
-    val tag = math.abs(d.hashCode).toString
+    val tag = dirTag(d)
     val li = s"graft_li_b$tag"
     val ord = s"graft_ord_b$tag"
     if (!s.catalog.tableExists(li)) {

@@ -228,7 +228,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * Drives [[ListenerRegistry.replayGroupEvents]].
     */
   def groupChanges(group: String): DataFrame =
-    graft.queries.Coordination.groupChangeFeed.fn(spark, sfDir)
+    graft.queries.Coordination.groupChangeFeedWithId(spark, sfDir)
       .filter(col("grp") === group)
-      .select(col("member"), col("event"), col("ts_us"))
+      .select(col("member"), col("event"), col("ts_us"), col("event_id"))
 }

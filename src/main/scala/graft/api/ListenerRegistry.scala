@@ -308,7 +308,12 @@ final class ListenerRegistry(api: CoordinationApi) {
     */
   def replayGroupEvents(group: String): Long = {
     if (!hasGroupWatcher(group)) return 0L
-    val rows = api.groupChanges(group).orderBy(col("ts_us")).collect()
+    // Order by (ts_us, event_id): the log tiebreaks same-micros records
+    // on event_id, so the fold's observed member sets are deterministic
+    // even when a join and a leave share a timestamp. (An expire's
+    // event_id is its source record's — still a total, stable order.)
+    val rows = api.groupChanges(group)
+      .orderBy(col("ts_us"), col("event_id")).collect()
     var members = Set.empty[Long]
     rows.foreach { r =>
       val m = r.getAs[Long]("member")

@@ -650,8 +650,14 @@ object Coordination {
       |                   OR (next_us IS NULL AND ($endExpire)))
       |ORDER BY grp, member, ts_us, event""".stripMargin
 
-  val groupChangeFeed = QueryDef.oracled(
-    "group_change_feed", groupFeedSql("e - us > 3600000000")) { (s, d) =>
+  /** A27 feed carrying the source record's `event_id` — the log's
+    * same-timestamp tiebreak. The public query drops it (the oracle
+    * schema is (grp, member, event, ts_us)), but the replay API keeps
+    * it so listener-observed member sets are deterministic when a join
+    * and a leave share the same micros.
+    */
+  private[graft] def groupChangeFeedWithId(s: SparkSession,
+      d: String): DataFrame = {
     val byMemberAsc = Window.partitionBy(col("grp"), col("member"))
       .orderBy(col("ts"), col("event_id"))
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
@@ -678,10 +684,15 @@ object Coordination {
              (col("next_us").isNull && col("e") - col("us") > TtlMicros)),
           struct(lit("expire").as("event"),
             (col("us") + TtlMicros).as("ts_us")))))
-      .select(col("grp"), col("member"),
+      .select(col("grp"), col("member"), col("event_id"),
         explode(filter(col("evs"), _.isNotNull)).as("ev"))
       .select(col("grp"), col("member"), col("ev.event").as("event"),
-        col("ev.ts_us").as("ts_us"))
+        col("ev.ts_us").as("ts_us"), col("event_id"))
+  }
+
+  val groupChangeFeed = QueryDef.oracled(
+    "group_change_feed", groupFeedSql("e - us > 3600000000")) { (s, d) =>
+    groupChangeFeedWithId(s, d).drop("event_id")
   }
 
   // --- A18: resign-aware leader election end state -------------------------

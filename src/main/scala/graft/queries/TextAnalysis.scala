@@ -484,8 +484,11 @@ object TextAnalysis {
   // one-off pairs; top 50 by (lift, token_a, token_b).
   //
   // Scale (100 TB): unigram and bigram counts are partial-aggregated
-  // map-side (classic word-count); the scored frame joins two copies of
-  // the (small, post-support-filter) count tables; the final top-50 is
+  // map-side (classic word-count); the full unigram table is the whole
+  // vocabulary, so it is first semi-joined down to the tokens that
+  // actually appear in support-surviving bigrams (≤ 2·|bcnt| rows —
+  // bcnt is tiny post-filter) and only THAT projection is broadcast
+  // into the two scoring joins; the final top-50 is
   // TakeOrderedAndProject — per-partition heads, no global sort.
   val collocations = QueryDef.oracled(
     "text_collocations",
@@ -514,11 +517,17 @@ object TextAnalysis {
     val bcnt = bcntAll.filter(col("n_ab") >= 5)
       .select(element_at(split(col("bg"), " "), 1).as("token_a"),
         element_at(split(col("bg"), " "), 2).as("token_b"), col("n_ab"))
+    // Shrink the vocabulary to the tokens the surviving bigrams touch
+    // BEFORE broadcasting: ucnt streams past a broadcast semi-join on
+    // the tiny token set, and only the survivors ship to executors.
+    val needed = bcnt.select(col("token_a").as("tok"))
+      .union(bcnt.select(col("token_b").as("tok"))).distinct()
+    val ucntNeeded = ucnt.join(broadcast(needed), Seq("tok"), "left_semi")
     bcnt
-      .join(broadcast(ucnt.select(col("tok").as("token_a"), col("n").as("n_a"))),
-        Seq("token_a"))
-      .join(broadcast(ucnt.select(col("tok").as("token_b"), col("n").as("n_b"))),
-        Seq("token_b"))
+      .join(broadcast(ucntNeeded.select(col("tok").as("token_a"),
+        col("n").as("n_a"))), Seq("token_a"))
+      .join(broadcast(ucntNeeded.select(col("tok").as("token_b"),
+        col("n").as("n_b"))), Seq("token_b"))
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(btot))
       // same association order as the oracle: ((n_ab·N)·N) / ((B·n_a)·n_b)
