@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
   * All methods are driver-light: point lookups push key predicates into
   * the parquet scan; listing calls return unexecuted frames.
   */
-final class CoordinationApi(spark: SparkSession, sfDir: String) {
+final class CoordinationApi(spark: SparkSession, sfDir: String,
+    ttlMicros: Long = graft.queries.Coordination.DefaultTtlMicros,
+    pullPeriodMicros: Long =
+      graft.queries.Coordination.DefaultPullPeriodMicros) {
 
-  // single source of truth with the replay queries (and their oracles)
-  private val ttlMicros = graft.queries.Coordination.TtlMicros
+  /** The configured liveness TTL (µs) — reference `le.renew.ttl
+    * .period.ms`; every TTL-sensitive view below is built from the
+    * `*Ttl` query factories at this value, so API answers and the
+    * replay queries cannot disagree.
+    */
+  def ttl: Long = ttlMicros
+  /** The configured keyset poll period (µs) — reference
+    * `lr.pull.period.ms`. */
+  def pullPeriod: Long = pullPeriodMicros
 
   private def events: DataFrame = Tables.events(spark, sfDir)
 
@@ -122,7 +132,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * (leader/election/CassandraLeaderElection.scala:64-69).
     */
   def getLeader(resource: String): Option[(Long, Option[Double])] =
-    graft.queries.Coordination.leaderElectionReplay
+    graft.queries.Coordination.leaderElectionReplayTtl(ttlMicros)
       .fn(spark, sfDir).filter(col("resource") === resource)
       .select(col("leader"), col("sup_data")).collect().headOption
       // sup_data is nullable (a claim may carry a null payload, like
@@ -132,7 +142,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
 
   /** Every leadership tenure of a resource over the log. */
   def tenures(resource: String): DataFrame =
-    graft.queries.Coordination.leaderTenures.fn(spark, sfDir)
+    graft.queries.Coordination.leaderTenuresTtl(ttlMicros).fn(spark, sfDir)
       .filter(col("resource") === resource)
 
   /** getLeader honoring `resign` (conditional DELETE of the election
@@ -140,7 +150,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * live session ended in a resign is not a contender.
     */
   def getLeaderResignAware(resource: String): Option[(Long, Option[Double])] =
-    graft.queries.Coordination.leaderElectionResign
+    graft.queries.Coordination.leaderElectionResignTtl(ttlMicros)
       .fn(spark, sfDir).filter(col("resource") === resource)
       .select(col("leader"), col("sup_data")).collect().headOption
       .map(r => (r.getLong(0),
@@ -152,7 +162,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * within TTL), with their latest supplemental data.
     */
   def membershipList(group: String): DataFrame =
-    graft.queries.Coordination.groupMembership.fn(spark, sfDir)
+    graft.queries.Coordination.groupMembershipTtl(ttlMicros).fn(spark, sfDir)
       .filter(col("grp") === group)
       .select(col("member"), col("last_heartbeat"), col("sup_data"))
 
@@ -160,7 +170,8 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * is a tombstone is out regardless of heartbeat recency (A17).
     */
   def membershipListLeaveAware(group: String): DataFrame =
-    graft.queries.Coordination.groupMembershipLeave.fn(spark, sfDir)
+    graft.queries.Coordination.groupMembershipLeaveTtl(ttlMicros)
+      .fn(spark, sfDir)
       .filter(col("grp") === group)
       .select(col("member"), col("last_heartbeat"), col("sup_data"))
 
@@ -190,7 +201,8 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * changed, with the canonical digest.
     */
   def keySetChanges(namespace: String): DataFrame =
-    graft.queries.Coordination.keysetChangeFeed.fn(spark, sfDir)
+    graft.queries.Coordination.keysetChangeFeedPeriod(pullPeriodMicros)
+      .fn(spark, sfDir)
       .filter(col("namespace") === namespace)
       .select(col("tick"), col("n_keys"), col("digest"))
 
@@ -199,7 +211,8 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * feed's `ks` stage). Drives [[ListenerRegistry.replayKeySetChanges]].
     */
   def keySetsByTick(namespace: String): DataFrame =
-    graft.queries.Coordination.keysetTicks(spark, sfDir)
+    graft.queries.Coordination.keysetTicksPeriod(spark, sfDir,
+        pullPeriodMicros)
       .filter(col("event_type") === namespace)
       .select(col("tick"), col("k"))
 
@@ -208,7 +221,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * A12 operator). Drives [[ListenerRegistry.replayLeaderChanges]].
     */
   def leaderChanges(resource: String): DataFrame =
-    graft.queries.Coordination.leaderChangeFeed.fn(spark, sfDir)
+    graft.queries.Coordination.leaderChangeFeedTtl(ttlMicros).fn(spark, sfDir)
       .filter(col("resource") === resource)
       .select(col("ts"), col("event_id"), col("new_leader"), col("prev_leader"))
 
@@ -228,7 +241,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String) {
     * Drives [[ListenerRegistry.replayGroupEvents]].
     */
   def groupChanges(group: String): DataFrame =
-    graft.queries.Coordination.groupChangeFeedWithId(spark, sfDir)
+    graft.queries.Coordination.groupChangeFeedWithId(spark, sfDir, ttlMicros)
       .filter(col("grp") === group)
       .select(col("member"), col("event"), col("ts_us"), col("event_id"))
 }

@@ -26,7 +26,12 @@ final class GraftPluginLocator(spark: SparkSession) {
   private var registry: ListenerRegistry = null
 
   /** Reference signature: configure from a properties file carrying
-    * `graft.data.dir` (the keyspace analog).
+    * `graft.data.dir` (the keyspace analog) and, optionally, the two
+    * liveness knobs the reference exposes in util/Config.scala:62-66 —
+    * `graft.le.ttl.ms` (leader-election/membership TTL, default 1h,
+    * analog of `plugin.cassandra.le.renew.ttl.period.ms`) and
+    * `graft.lr.pull.period.ms` (keyset-watcher poll period, default
+    * 1 day, analog of `plugin.cassandra.lr.pull.period.ms`).
     */
   def startup(configFile: String): Unit = {
     val props = new Properties()
@@ -35,12 +40,25 @@ final class GraftPluginLocator(spark: SparkSession) {
     val dir = Option(props.getProperty("graft.data.dir")).getOrElse(
       throw new IllegalArgumentException(
         s"$configFile does not set graft.data.dir"))
-    startupWithDir(dir)
+    def msProp(key: String, defaultUs: Long): Long =
+      Option(props.getProperty(key)).map { v =>
+        val ms = v.trim.toLong
+        require(ms > 0, s"$key must be positive, got $ms")
+        ms * 1000L
+      }.getOrElse(defaultUs)
+    startupWithDir(dir,
+      msProp("graft.le.ttl.ms",
+        graft.queries.Coordination.DefaultTtlMicros),
+      msProp("graft.lr.pull.period.ms",
+        graft.queries.Coordination.DefaultPullPeriodMicros))
   }
 
   /** Programmatic form for callers that already hold the dir. */
-  def startupWithDir(sfDir: String): Unit = {
-    api = new CoordinationApi(spark, sfDir)
+  def startupWithDir(sfDir: String,
+      ttlMicros: Long = graft.queries.Coordination.DefaultTtlMicros,
+      pullPeriodMicros: Long =
+        graft.queries.Coordination.DefaultPullPeriodMicros): Unit = {
+    api = new CoordinationApi(spark, sfDir, ttlMicros, pullPeriodMicros)
     registry = new ListenerRegistry(api)
   }
 

@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Coordination {
 
-  val TtlMicros = 3600L * 1000000L              // 1h TTL (SURVEY §3)
-  private val SessionGapMicros = TtlMicros      // LE session gap = TTL
+  /** Default liveness TTL — the reference makes this per-deployment
+    * config (`plugin.cassandra.le.renew.ttl.period.ms`,
+    * util/Config.scala:62-66); every TTL-dependent query below has a
+    * `*Ttl(ttlUs)` factory, and the bare `val` is the default
+    * instance the driver gate runs. Default = 1h (SURVEY §3).
+    */
+  val DefaultTtlMicros = 3600L * 1000000L
+  val TtlMicros = DefaultTtlMicros              // compat alias
+  /** Default keyset-watcher poll period (`plugin.cassandra.lr.pull
+    * .period.ms` analog): one day of event time.
+    */
+  val DefaultPullPeriodMicros = 86400L * 1000000L
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
@@ -217,6 +227,37 @@ object Coordination {
         col("user_id").cast("string").as("k"))
       .distinct()
 
+  /** Period-parameterized tick derivation — the reference's
+    * `lr.pull.period.ms` knob: tick = event time floored to a multiple
+    * of the poll period (pure integer micros arithmetic, so any period
+    * works, not just calendar units). At the default day period this
+    * is bit-identical to `date_trunc('day')` (epoch days are exact
+    * multiples of 86_400_000_000 µs in UTC — spec-pinned).
+    */
+  private[graft] def keysetTicksPeriod(s: SparkSession, d: String,
+      periodUs: Long): DataFrame =
+    ev(s, d)
+      .select(col("event_type"),
+        timestamp_micros(unix_micros(col("ts")) -
+          pmod(unix_micros(col("ts")), lit(periodUs))).as("tick"),
+        col("user_id").cast("string").as("k"))
+      .distinct()
+
+  /** A5 at a caller-chosen poll period (oracle uses the same floored-
+    * micros tick so both engines bucket identically).
+    */
+  def keysetChangeFeedPeriod(periodUs: Long): QueryDef = QueryDef.oracled(
+    "keyset_change_feed",
+    s"""WITH ks AS (SELECT DISTINCT event_type,
+      |         make_timestamp(epoch_us(ts) - epoch_us(ts) % $periodUs) AS tick,
+      |         CAST(user_id AS VARCHAR) AS k FROM events),
+      |$keysetFeedTailSql""".stripMargin) { (s, d) =>
+    keysetDigestStage(
+      keysetTicksPeriod(s, d, periodUs)
+        .groupBy(col("event_type"), col("tick"))
+        .agg(collect_set(col("k")).as("ks")))
+  }
+
   /** Shared TTL-gap sessionization: each (resource, candidate)'s events
     * split into sessions wherever the gap exceeds the TTL — exactly the
     * reference's claim/renew/expire cycle replayed
@@ -225,7 +266,8 @@ object Coordination {
     * new tenure). Columns: resource, candidate, session_start,
     * session_end, n_heartbeats.
     */
-  private def sessions(s: SparkSession, d: String): DataFrame = {
+  private def sessions(s: SparkSession, d: String,
+      ttlUs: Long = DefaultTtlMicros): DataFrame = {
     val byCandidate = Window
       .partitionBy(col("resource"), col("candidate"))
       .orderBy(col("ts"), col("event_id"))
@@ -235,7 +277,7 @@ object Coordination {
       .withColumn("prev_us", lag(col("us"), 1).over(byCandidate))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
-          col("us") - col("prev_us") > SessionGapMicros, 1).otherwise(0))
+          col("us") - col("prev_us") > ttlUs, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(
         byCandidate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("resource"), col("candidate"), col("sid"))
@@ -247,8 +289,8 @@ object Coordination {
         max_by(col("value"), array(col("us"), col("event_id"))).as("sup_data"))
   }
 
-  private val sessionsSql =
-    """sess AS (
+  private def sessionsSql(ttlUs: Long = DefaultTtlMicros): String =
+    s"""sess AS (
       |  SELECT resource, candidate, sid,
       |         min(ts) AS session_start, max(ts) AS session_end,
       |         count(*) AS n_heartbeats,
@@ -260,7 +302,7 @@ object Coordination {
       |    FROM (
       |      SELECT event_type AS resource, user_id AS candidate, ts, event_id, value,
       |             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $ttlUs
       |                  THEN 1 ELSE 0 END AS new_s
       |      FROM events
       |      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)))
@@ -270,21 +312,21 @@ object Coordination {
   // Live session = last heartbeat within TTL of log end; CAS first-writer-
   // wins → leader = live candidate whose current session started earliest
   // (tiebreak: candidate id, the deterministic stand-in for CAS order).
-  val leaderElectionReplay = QueryDef.oracled(
+  def leaderElectionReplayTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
     "leader_election_replay",
-    s"""WITH $sessionsSql,
+    s"""WITH ${sessionsSql(ttlUs)},
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
       |live AS (SELECT sess.* FROM sess, logend
-      |         WHERE epoch_us(session_end) >= e - 3600000000),
+      |         WHERE epoch_us(session_end) >= e - $ttlUs),
       |r AS (SELECT *, row_number() OVER (PARTITION BY resource
       |                ORDER BY session_start, candidate) AS rn FROM live)
       |SELECT resource, candidate AS leader, session_start AS leader_since,
       |       n_heartbeats AS n_renewals, sup_data
       |FROM r WHERE rn = 1 ORDER BY resource""".stripMargin) { (s, d) =>
-    val sess = sessions(s, d)
+    val sess = sessions(s, d, ttlUs)
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
     sess.crossJoin(broadcast(logEnd))
-      .filter(unix_micros(col("session_end")) >= col("e") - TtlMicros)
+      .filter(unix_micros(col("session_end")) >= col("e") - ttlUs)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("resource"))
           .orderBy(col("session_start"), col("candidate"))))
@@ -294,6 +336,8 @@ object Coordination {
         col("n_heartbeats").as("n_renewals"), col("sup_data"))
       .orderBy(col("resource"))
   }
+
+  val leaderElectionReplay = leaderElectionReplayTtl(DefaultTtlMicros)
 
   // --- A23: the LeaderChangeListener feed (batch replay) ------------------
   // Every onLeaderChange firing over the log (CassandraLeaderElection
@@ -310,8 +354,8 @@ object Coordination {
   // "who acquires after this leader's chain lapses"; the acquisition
   // chain is then a linear recursive walk over exact keys — O(changes)
   // iterations of O(1) joins, not a per-iteration log scan.
-  private[graft] val leaderChangeFeedSql: String =
-    """WITH RECURSIVE
+  private[graft] def leaderChangeFeedSqlTtl(ttlUs: Long): String =
+    s"""WITH RECURSIVE
       |ev AS MATERIALIZED (
       |  SELECT event_type AS res, user_id AS cand, epoch_us(ts) AS us,
       |         event_id AS eid, ts,
@@ -319,13 +363,13 @@ object Coordination {
       |                            ORDER BY epoch_us(ts), event_id) AS rn
       |  FROM events),
       |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
-      |                       OR us - lag(us) OVER w > 3600000000
+      |                       OR us - lag(us) OVER w > $ttlUs
       |                     THEN 1 ELSE 0 END AS nf
       |      FROM ev WINDOW w AS (PARTITION BY res, cand ORDER BY us, eid)),
       |sess AS (SELECT *, sum(nf) OVER (PARTITION BY res, cand ORDER BY us, eid
       |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM g),
       |se AS (SELECT res, cand, us, eid, rn,
-      |              max(us) OVER (PARTITION BY res, cand, sid) + 3600000000 AS thresh
+      |              max(us) OVER (PARTITION BY res, cand, sid) + $ttlUs AS thresh
       |       FROM sess),
       |mx AS (SELECT res, us, max(rn) AS mrn FROM ev GROUP BY res, us),
       |nx0 AS (SELECT s.res, s.cand, s.us, s.eid, m.mrn + 1 AS nrn
@@ -348,8 +392,11 @@ object Coordination {
       |       prev AS prev_leader
       |FROM acq ORDER BY resource, us, event_id""".stripMargin
 
-  val leaderChangeFeed = QueryDef.oracled(
-    "leader_change_feed", leaderChangeFeedSql) { (s, d) =>
+  private[graft] val leaderChangeFeedSql: String =
+    leaderChangeFeedSqlTtl(DefaultTtlMicros)
+
+  def leaderChangeFeedTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
+    "leader_change_feed", leaderChangeFeedSqlTtl(ttlUs)) { (s, d) =>
     import s.implicits._
     import graft.streaming.{KeyedEvent, Streaming}
     ev(s, d)
@@ -359,29 +406,33 @@ object Coordination {
       .groupByKey(_.namespace)
       .flatMapGroups { (res: String, it: Iterator[KeyedEvent]) =>
         val sorted = it.toSeq.sortBy(e => (Streaming.tsMicros(e.ts), e.event_id))
-        Streaming.leaderFold(res, sorted, None)._1.iterator
+        Streaming.leaderFold(res, sorted, None, ttlUs)._1.iterator
       }
       .toDF()
   }
 
+  val leaderChangeFeed = leaderChangeFeedTtl(DefaultTtlMicros)
+
   // --- A7: leadership tenures over time ----------------------------------
-  val leaderTenures = QueryDef.oracled(
+  def leaderTenuresTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
     "leader_tenures",
-    s"""WITH $sessionsSql
+    s"""WITH ${sessionsSql(ttlUs)}
       |SELECT resource, candidate, session_start, session_end,
       |       n_heartbeats - 1 AS n_renewals
       |FROM sess ORDER BY resource, candidate, session_start""".stripMargin) { (s, d) =>
-    sessions(s, d)
+    sessions(s, d, ttlUs)
       .select(col("resource"), col("candidate"), col("session_start"),
         col("session_end"), (col("n_heartbeats") - 1).as("n_renewals"))
   }
 
+  val leaderTenures = leaderTenuresTtl(DefaultTtlMicros)
+
   // --- A8: group membership with TTL liveness ----------------------------
   // membershipList(): members whose heartbeat is within TTL of log end;
   // sup_data = payload of the latest heartbeat (README "Group Membership").
-  val groupMembership = QueryDef.oracled(
+  def groupMembershipTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
     "group_membership",
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT event_type AS grp, user_id AS member, ts, value,
       |         row_number() OVER (PARTITION BY event_type, user_id
       |                            ORDER BY ts DESC, event_id DESC) AS rn
@@ -389,18 +440,20 @@ object Coordination {
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
       |SELECT grp, member, ts AS last_heartbeat, value AS sup_data
       |FROM r, logend
-      |WHERE rn = 1 AND epoch_us(ts) >= e - 3600000000
+      |WHERE rn = 1 AND epoch_us(ts) >= e - $ttlUs
       |ORDER BY grp, member""".stripMargin) { (s, d) =>
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
     ev(s, d)
       .withColumn("rn", row_number().over(byKeyDesc))
       .filter(col("rn") === 1)
       .crossJoin(broadcast(logEnd))
-      .filter(unix_micros(col("ts")) >= col("e") - TtlMicros)
+      .filter(unix_micros(col("ts")) >= col("e") - ttlUs)
       .select(col("event_type").as("grp"), col("user_id").as("member"),
         col("ts").as("last_heartbeat"), col("value").as("sup_data"))
       .orderBy(col("grp"), col("member"))
   }
+
+  val groupMembership = groupMembershipTtl(DefaultTtlMicros)
 
   /** Kafka-shaped frame derived deterministically from the changelog —
     * the connector's input contract (topic, partition, offset, key,
@@ -579,7 +632,7 @@ object Coordination {
   // --- A17: leave-aware group membership ----------------------------------
   // `leave(id)`: a member whose LATEST record is a tombstone is out,
   // regardless of heartbeat recency; otherwise A8's TTL rule applies.
-  val groupMembershipLeave = QueryDef.oracled(
+  def groupMembershipLeaveTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
     "group_membership_leave",
     s"""WITH r AS (
       |  SELECT event_type AS grp, user_id AS member, ts, value,
@@ -590,7 +643,7 @@ object Coordination {
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
       |SELECT grp, member, ts AS last_heartbeat, value AS sup_data
       |FROM r, logend
-      |WHERE rn = 1 AND NOT del AND epoch_us(ts) >= e - 3600000000
+      |WHERE rn = 1 AND NOT del AND epoch_us(ts) >= e - $ttlUs
       |ORDER BY grp, member""".stripMargin) { (s, d) =>
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
     ev(s, d)
@@ -598,11 +651,13 @@ object Coordination {
       .filter(col("rn") === 1)
       .filter(op10 =!= 0)
       .crossJoin(broadcast(logEnd))
-      .filter(unix_micros(col("ts")) >= col("e") - TtlMicros)
+      .filter(unix_micros(col("ts")) >= col("e") - ttlUs)
       .select(col("event_type").as("grp"), col("user_id").as("member"),
         col("ts").as("last_heartbeat"), col("value").as("sup_data"))
       .orderBy(col("grp"), col("member"))
   }
+
+  val groupMembershipLeave = groupMembershipLeaveTtl(DefaultTtlMicros)
 
   // --- A27: the group-membership change feed (join/leave/expire) -----------
   // The event-level form of A8/A17: every membership TRANSITION, which
@@ -625,7 +680,8 @@ object Coordination {
     * micros for the batch replay, the ms-floored watermark form for the
     * streaming twin (Spark tracks watermarks in ms).
     */
-  private[graft] def groupFeedSql(endExpire: String): String =
+  private[graft] def groupFeedSql(endExpire: String,
+      ttlUs: Long = DefaultTtlMicros): String =
     s"""WITH e AS (
       |  SELECT event_type AS grp, user_id AS member, ts, event_id,
       |         epoch_us(ts) AS us,
@@ -638,15 +694,15 @@ object Coordination {
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
       |SELECT grp, member, 'join' AS event, us AS ts_us FROM w
       |WHERE del = 0 AND (prev_us IS NULL OR prev_del = 1
-      |                   OR us - prev_us > 3600000000)
+      |                   OR us - prev_us > $ttlUs)
       |UNION ALL
       |SELECT grp, member, 'leave' AS event, us AS ts_us FROM w
       |WHERE del = 1 AND prev_us IS NOT NULL AND prev_del = 0
-      |  AND us - prev_us <= 3600000000
+      |  AND us - prev_us <= $ttlUs
       |UNION ALL
-      |SELECT grp, member, 'expire' AS event, us + 3600000000 AS ts_us
+      |SELECT grp, member, 'expire' AS event, us + $ttlUs AS ts_us
       |FROM w, logend
-      |WHERE del = 0 AND ((next_us IS NOT NULL AND next_us - us > 3600000000)
+      |WHERE del = 0 AND ((next_us IS NOT NULL AND next_us - us > $ttlUs)
       |                   OR (next_us IS NULL AND ($endExpire)))
       |ORDER BY grp, member, ts_us, event""".stripMargin
 
@@ -656,8 +712,8 @@ object Coordination {
     * it so listener-observed member sets are deterministic when a join
     * and a leave share the same micros.
     */
-  private[graft] def groupChangeFeedWithId(s: SparkSession,
-      d: String): DataFrame = {
+  private[graft] def groupChangeFeedWithId(s: SparkSession, d: String,
+      ttlUs: Long = DefaultTtlMicros): DataFrame = {
     val byMemberAsc = Window.partitionBy(col("grp"), col("member"))
       .orderBy(col("ts"), col("event_id"))
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
@@ -672,28 +728,31 @@ object Coordination {
       .withColumn("evs", array(
         when(col("del") === 0 && (col("prev_us").isNull ||
             col("prev_del") === 1 ||
-            col("us") - col("prev_us") > TtlMicros),
+            col("us") - col("prev_us") > ttlUs),
           struct(lit("join").as("event"), col("us").as("ts_us"))),
         when(col("del") === 1 && col("prev_us").isNotNull &&
             col("prev_del") === 0 &&
-            col("us") - col("prev_us") <= TtlMicros,
+            col("us") - col("prev_us") <= ttlUs,
           struct(lit("leave").as("event"), col("us").as("ts_us"))),
         when(col("del") === 0 &&
             ((col("next_us").isNotNull &&
-              col("next_us") - col("us") > TtlMicros) ||
-             (col("next_us").isNull && col("e") - col("us") > TtlMicros)),
+              col("next_us") - col("us") > ttlUs) ||
+             (col("next_us").isNull && col("e") - col("us") > ttlUs)),
           struct(lit("expire").as("event"),
-            (col("us") + TtlMicros).as("ts_us")))))
+            (col("us") + ttlUs).as("ts_us")))))
       .select(col("grp"), col("member"), col("event_id"),
         explode(filter(col("evs"), _.isNotNull)).as("ev"))
       .select(col("grp"), col("member"), col("ev.event").as("event"),
         col("ev.ts_us").as("ts_us"), col("event_id"))
   }
 
-  val groupChangeFeed = QueryDef.oracled(
-    "group_change_feed", groupFeedSql("e - us > 3600000000")) { (s, d) =>
-    groupChangeFeedWithId(s, d).drop("event_id")
+  def groupChangeFeedTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
+    "group_change_feed",
+    groupFeedSql(s"e - us > $ttlUs", ttlUs)) { (s, d) =>
+    groupChangeFeedWithId(s, d, ttlUs).drop("event_id")
   }
+
+  val groupChangeFeed = groupChangeFeedTtl(DefaultTtlMicros)
 
   // --- A18: resign-aware leader election end state -------------------------
   // `resign` = conditional DELETE of the election row: it ends the
@@ -701,7 +760,7 @@ object Coordination {
   // including the resigner — is a fresh acquisition), and a candidate
   // whose live session ended in a resign is not a contender at log end.
   // Same sessionize-then-rank shape as A6 with two extra window terms.
-  val leaderElectionResign = QueryDef.oracled(
+  def leaderElectionResignTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
     "leader_election_resign",
     s"""WITH e AS (
       |  SELECT event_type AS resource, user_id AS candidate, ts, event_id, value,
@@ -709,11 +768,11 @@ object Coordination {
       |  FROM events),
       |g AS (
       |  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+      |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $ttlUs
       |                   OR lag(del) OVER w = 1
       |                 THEN 1 ELSE 0 END AS new_s,
       |            CASE WHEN lead(epoch_us(ts)) OVER w IS NULL
-      |                   OR lead(epoch_us(ts)) OVER w - epoch_us(ts) > 3600000000
+      |                   OR lead(epoch_us(ts)) OVER w - epoch_us(ts) > $ttlUs
       |                   OR del = 1
       |                 THEN 1 ELSE 0 END AS is_last
       |  FROM e WINDOW w AS (PARTITION BY resource, candidate ORDER BY ts, event_id)),
@@ -727,7 +786,7 @@ object Coordination {
       |  FROM s GROUP BY resource, candidate, sid),
       |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
       |live AS (SELECT sess.* FROM sess, logend
-      |         WHERE epoch_us(session_end) >= e - 3600000000 AND resigned = 0),
+      |         WHERE epoch_us(session_end) >= e - $ttlUs AND resigned = 0),
       |r AS (SELECT *, row_number() OVER (PARTITION BY resource
       |          ORDER BY session_start, candidate) AS rn FROM live)
       |SELECT resource, candidate AS leader, session_start AS leader_since,
@@ -745,11 +804,11 @@ object Coordination {
       .withColumn("next_us", lead(col("us"), 1).over(byCandidate))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
-          col("us") - col("prev_us") > SessionGapMicros ||
+          col("us") - col("prev_us") > ttlUs ||
           col("prev_del") === 1, 1).otherwise(0))
       .withColumn("is_last",
         when(col("next_us").isNull ||
-          col("next_us") - col("us") > SessionGapMicros ||
+          col("next_us") - col("us") > ttlUs ||
           col("del") === 1, 1).otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(
         byCandidate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -760,7 +819,7 @@ object Coordination {
         max_by(col("value"), array(col("us"), col("event_id"))).as("sup_data"))
     val logEnd = ev(s, d).agg(max(unix_micros(col("ts"))).as("e"))
     sess.crossJoin(broadcast(logEnd))
-      .filter(unix_micros(col("session_end")) >= col("e") - TtlMicros &&
+      .filter(unix_micros(col("session_end")) >= col("e") - ttlUs &&
         col("resigned") === 0)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("resource"))
@@ -771,6 +830,19 @@ object Coordination {
         col("n_heartbeats").as("n_renewals"), col("sup_data"))
       .orderBy(col("resource"))
   }
+
+  val leaderElectionResign = leaderElectionResignTtl(DefaultTtlMicros)
+
+  /** All TTL-sensitive A-family queries at a caller-chosen TTL — the
+    * reference's `le.renew.ttl.period.ms` knob applied across the whole
+    * replay surface at once (each entry keeps its canonical name, so a
+    * parameterized verify run is a drop-in for the default one).
+    */
+  def allTtl(ttlUs: Long): Seq[QueryDef] = Seq(
+    leaderElectionReplayTtl(ttlUs), leaderTenuresTtl(ttlUs),
+    groupMembershipTtl(ttlUs), groupMembershipLeaveTtl(ttlUs),
+    leaderElectionResignTtl(ttlUs), leaderChangeFeedTtl(ttlUs),
+    groupChangeFeedTtl(ttlUs))
 
   def all: Seq[QueryDef] = Seq(
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,

@@ -71,7 +71,8 @@ object Streaming {
     * one fold, two execution contracts, so they cannot diverge.
     */
   private[graft] def leaderFold(resource: String, sorted: Seq[KeyedEvent],
-      st0: Option[LeaderState]): (Seq[LeaderChange], Option[LeaderState]) = {
+      st0: Option[LeaderState],
+      ttlUs: Long = TtlMicros): (Seq[LeaderChange], Option[LeaderState]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[LeaderChange]
     var st = st0
     sorted.foreach { e =>
@@ -84,7 +85,7 @@ object Streaming {
         // including the former owner — its next claim is a fresh
         // acquisition (new tenure), exactly like the batch
         // sessionization splitting on gap > TTL
-        case Some(cur) if us - cur.lastHbUs > TtlMicros =>
+        case Some(cur) if us - cur.lastHbUs > ttlUs =>
           out += LeaderChange(resource, e.ts, e.event_id, e.key, cur.leader)
           st = Some(LeaderState(e.key, us, us))       // expiry + acquire
         case Some(cur) if cur.leader == e.key =>

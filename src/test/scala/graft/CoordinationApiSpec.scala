@@ -226,6 +226,60 @@ class CoordinationApiSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(bad)
   }
 
+  test("configured TTL threads through locator, API, and replay queries") {
+    import graft.api.GraftPluginLocator
+    val ttl30mUs = 1800L * 1000000L
+    // locator: graft.le.ttl.ms / graft.lr.pull.period.ms are honored
+    val f = java.nio.file.Files.createTempFile("graft_ttl", ".properties")
+    java.nio.file.Files.writeString(f,
+      s"graft.data.dir=$sf\ngraft.le.ttl.ms=1800000\n" +
+        "graft.lr.pull.period.ms=43200000\n")
+    val loc = new GraftPluginLocator(spark)
+    loc.startup(f.toString)
+    val api30 = loc.getLeaderElection
+    assert(api30.ttl == ttl30mUs)
+    assert(api30.pullPeriod == 43200000L * 1000L)
+    // membership at TTL=30m == an independent driver-side replay:
+    // latest record per (grp, member), alive iff within 30m of log end
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+    val logEnd = ev.map(_.getLong(2)).max
+    val expected = ev.groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.maxBy(r => (r.getLong(2), r.getLong(3))).getLong(2))
+      .filter { case (_, us) => us >= logEnd - ttl30mUs }
+      .keys.toSet
+    val got = graft.queries.Coordination.groupMembershipTtl(ttl30mUs)
+      .fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("member"))).toSet
+    assert(got == expected)
+    // the API view is built from the same parameterized query
+    expected.groupBy(_._1).foreach { case (g, ms) =>
+      val apiMembers = api30.membershipList(g).collect()
+        .map(_.getAs[Long]("member")).toSet
+      assert(apiMembers == ms.map(_._2))
+    }
+    // the knob is live: 30m membership must be a subset of the 1h one
+    val got1h = SparkEntry.queries("group_membership")(spark, sf).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("member"))).toSet
+    assert(got.subsetOf(got1h))
+    java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("period-floored keyset ticks at one day equal date_trunc('day')") {
+    val day = graft.queries.Coordination.DefaultPullPeriodMicros
+    val a = graft.queries.Coordination
+      .keysetChangeFeedPeriod(day).fn(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val b = SparkEntry.queries("keyset_change_feed")(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+    // a shorter period observes at least as many change ticks
+    val hourly = graft.queries.Coordination
+      .keysetChangeFeedPeriod(3600L * 1000000L).fn(spark, sf).count()
+    assert(hourly >= a.size)
+  }
+
   test("group-event replay: transition fold ends at the leave-aware live set") {
     import graft.api.{GroupMembershipListener, ListenerRegistry}
     val reg = new ListenerRegistry(api)
