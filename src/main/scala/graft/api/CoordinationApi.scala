@@ -34,6 +34,75 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
 
   private def events: DataFrame = Tables.events(spark, sfDir)
 
+  // ---- Write path (changelog append) -------------------------------------
+
+  /** The write-side seam: `Storage.put/update/delete`, `join`, `leave`
+    * and CAS claims in the reference are WRITES; here the changelog IS
+    * the write path, so a mutation is one well-formed appended row and
+    * every replay query (and the streaming twins) observes it on the
+    * next read — no per-query write plumbing. Requires the deployment's
+    * `events.parquet` to be a parquet DIRECTORY (the warehouse layout;
+    * appends are new part files — the driver's read-only single-file
+    * testdata dirs stay read-only and this throws for them).
+    *
+    * `op` ∈ put | update | delete, encoded in the payload's cents digit
+    * per the A16 convention (round(value·100) % 10: 0 = delete, 1..3 =
+    * put, 4..9 = update — [[graft.queries.Coordination.kvStorageReplay]]);
+    * the digit is FORCED to the op's canonical value (1 / 4 / 0), so the
+    * written payload may differ from `value` by < 0.1. Negative payloads
+    * land in the sign-preserved −9..−1 digit class, which replays as
+    * PUT — so `update` requires value ≥ 0. Returns the event_id assigned
+    * (log-position tiebreak: max over the current log + 1 — the
+    * single-writer driver-side form; a distributed ingest would take
+    * ids from the broker offset, like the A13 sink).
+    */
+  def append(namespace: String, key: Long, op: String, value: Double,
+      ts: java.sql.Timestamp): Long = {
+    val digit = op match {
+      case "put" => 1L
+      case "update" =>
+        require(value >= 0, "update payloads must be >= 0 (negative " +
+          "cents digits replay as PUT under the A16 convention)")
+        4L
+      case "delete" => 0L
+      case other => throw new IllegalArgumentException(
+        s"op must be put|update|delete, got '$other'")
+    }
+    val cents0 = math.round(value * 100)
+    val cents = cents0 - (((cents0 % 10) + 10) % 10) + digit
+    val payload = cents / 100.0
+    val eventId = events.agg(max(col("event_id"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    // ts as INT64 nanos, matching the changelog's physical schema so
+    // part files merge (Tables.withMicroTs normalizes on read)
+    val tsNanos = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong
+    import spark.implicits._
+    val row = Seq((eventId, tsNanos, key, namespace, payload,
+      null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    try row.coalesce(1).write.mode("append")
+      .parquet(s"$sfDir/events.parquet")
+    catch { case e: Throwable =>
+      throw new IllegalStateException(
+        s"append requires a writable parquet-directory changelog at " +
+          s"$sfDir/events.parquet (driver testdata dirs are read-only " +
+          "single files)", e)
+    }
+    eventId
+  }
+
+  /** Group membership writes, reference `join(id, supData)` /
+    * `leave(id)`: a join is a heartbeat PUT, a leave is a tombstone
+    * (README "Group Membership").
+    */
+  def joinGroup(group: String, member: Long, supData: Double,
+      ts: java.sql.Timestamp): Long = append(group, member, "put", supData, ts)
+
+  def leaveGroup(group: String, member: Long, ts: java.sql.Timestamp): Long =
+    append(group, member, "delete", 0.0, ts)
+
   private def latestPerKey(df: DataFrame): DataFrame =
     df.withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type"), col("user_id"))

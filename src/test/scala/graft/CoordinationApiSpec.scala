@@ -280,6 +280,51 @@ class CoordinationApiSpec extends AnyFunSuite {
     assert(hourly >= a.size)
   }
 
+  test("append write path: mutations round-trip through the replay queries") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // stage a writable deployment: changelog as a parquet DIRECTORY
+    val dir = Files.createTempDirectory("graft_append").toString
+    Files.createDirectory(Paths.get(s"$dir/events.parquet"))
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet/base.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val wapi = new CoordinationApi(spark, dir)
+    val logEnd = Tables.events(spark, dir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val after = new java.sql.Timestamp(logEnd.getTime + 1000)
+    // Storage.put on a fresh key → visible to fetch and kv_snapshot
+    val k = 990001L
+    assert(wapi.fetch("click", k).isEmpty)
+    val id1 = wapi.append("click", k, "put", 7.01, after)
+    assert(wapi.fetch("click", k).contains(7.01))
+    val snap = graft.queries.Coordination.kvSnapshot.fn(spark, dir)
+      .filter(col("namespace") === "click" && col("key") === k).collect()
+    assert(snap.length == 1 && snap(0).getAs[Double]("value") == 7.01)
+    // update applies over the put (digit forced to 4 → 8.04)
+    val id2 = wapi.append("click", k, "update", 8.04, new java.sql.Timestamp(after.getTime + 1000))
+    assert(id2 == id1 + 1)
+    assert(wapi.fetchCas("click", k).contains(8.04))
+    // delete tombstones it under CAS replay
+    wapi.append("click", k, "delete", 0.0, new java.sql.Timestamp(after.getTime + 2000))
+    assert(wapi.fetchCas("click", k).isEmpty)
+    // join/leave drive group_membership (leave-aware)
+    val m = 990002L
+    wapi.joinGroup("signup", m, 1.01, new java.sql.Timestamp(after.getTime + 3000))
+    assert(wapi.membershipListLeaveAware("signup").collect()
+      .exists(_.getAs[Long]("member") == m))
+    wapi.leaveGroup("signup", m, new java.sql.Timestamp(after.getTime + 4000))
+    assert(!wapi.membershipListLeaveAware("signup").collect()
+      .exists(_.getAs[Long]("member") == m))
+    // op validation and the read-only guard
+    intercept[IllegalArgumentException](
+      wapi.append("click", k, "upsert", 1.0, after))
+    intercept[IllegalArgumentException](
+      wapi.append("click", k, "update", -1.0, after))
+    intercept[IllegalStateException](
+      api.append("click", k, "put", 1.01, after)) // sf testdata: read-only file
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("group-event replay: transition fold ends at the leave-aware live set") {
     import graft.api.{GroupMembershipListener, ListenerRegistry}
     val reg = new ListenerRegistry(api)
