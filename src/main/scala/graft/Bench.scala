@@ -72,11 +72,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    // shared-stage warm-up, off the measured path, reported separately
+    // shared-stage warm-up, off the measured path, reported separately;
+    // per-family split to stderr — the diagnostic that tells a real
+    // staging regression from a contended/cold box (first-touch JIT,
+    // codegen, and first parquet reads all land in the first family)
     val stage0 = System.nanoTime()
-    queries.Dedup.warmStages(spark, sfDir)
-    queries.TextAnalysis.warmStages(spark, sfDir)
-    queries.Similarity.warmStages(spark, sfDir)
+    def warmTimed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      System.err.println("[bench] _stage " + label + " " +
+        String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box((System.nanoTime() - t0) / 1e9)) + " s")
+    }
+    warmTimed("dedup")(queries.Dedup.warmStages(spark, sfDir))
+    warmTimed("text")(queries.TextAnalysis.warmStages(spark, sfDir))
+    warmTimed("similarity")(queries.Similarity.warmStages(spark, sfDir))
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]

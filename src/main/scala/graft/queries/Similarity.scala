@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * signed-random-projection signatures; a query searches, per table,
   * every bucket within hamming radius 2 of its own (multiprobe). E3
   * (IVF) assigns each vector to its nearest of 16 deterministic
-  * centroids; a query searches its nProbe=6 nearest lists. Both cut
+  * centroids; a query searches its nProbe=12 nearest lists. Both cut
   * the scanned fraction to buckets/probes over total — the 100 TB
   * path — and are recall-≥0.9-checked against E1 by spec.
   */
@@ -30,7 +30,22 @@ object Similarity {
   private val LshBits = 8     // carved from ceil(L*B/64) seeded SRP sigs
   private val LshProbeRadius = 2 // probe all buckets within hamming ≤ r
   private val NCentroids = 16
-  private val NProbe = 6
+  // Probe count is the IVF recall/scan dial and is DATA-dependent: the
+  // synthetic embeddings carry no cluster structure (measured recall ≈
+  // scan fraction + ~0.1 across nCent ∈ {10,16} at both SFs — nearest
+  // neighbors spread uniformly over balanced lists), so holding the
+  // ≥0.9 recall contract here costs nProbe=12/16 = 75% scan. On real
+  // clustered corpora the same balanced-list machinery reaches the
+  // contract at nProbe ≪ nLists; a deployment tunes this constant.
+  private val NProbe = 12
+  // k-means refinement passes. IVF stops at ONE: more passes tighten
+  // the partition boundaries, which at fixed nProbe strictly LOWERS
+  // recall (measured at sf0.001: 0.92 @ iters=1 vs 0.86 @ iters=2 at
+  // nProbe=8) — probe count, not codebook tightness, is the IVF recall
+  // dial. PQ runs three: its ADC error falls monotonically with
+  // quantizer tightness (no probe tradeoff exists there).
+  private val IvfLloydIters = 1
+  private val PqLloydIters = 3
 
   /** Shared DuckDB cosine: strict left-fold in double — bit-identical
     * to graft.functions.CosineSim (SURVEY §5).
@@ -50,6 +65,104 @@ object Similarity {
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  // --- Deterministic k-means++-style codebook seeding ---------------------
+  // Head-of-corpus seeds ("first k vectors") are deterministic but
+  // degenerate when the head is homogeneous — several seeds collapse
+  // into one effective centroid and recall sags. Farthest-point
+  // (maxmin) seeding on a fingerprint-keyed sample keeps determinism
+  // (fingerprint64 order is a fixed pseudo-random shuffle; ties break
+  // on sample order) and spreads seeds across the data. Sample-then-
+  // train is also the 100 TB path: codebooks train on a bounded sample
+  // (one small collect), never on the full corpus.
+  private val SeedSampleN = 1024
+
+  /** Fingerprint64-ordered deterministic sample of non-degenerate
+    * embeddings: (vec_id, vector), smallest fingerprint keys first.
+    */
+  private def seedSample(s: SparkSession, d: String): IndexedSeq[Array[Float]] =
+    Tables.embeddings(s, d)
+      .withColumn("nrm", F.l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .select(col("embedding"),
+        graft.functions.expressions.fingerprint64(
+          col("vec_id").cast("string")).as("fp"), col("vec_id"))
+      .orderBy(col("fp"), col("vec_id"))
+      .limit(SeedSampleN)
+      .collect()
+      .map(_.getSeq[Float](0).toArray).toIndexedSeq
+
+  /** splitmix64 — the standard 64-bit mix; gives a FIXED pseudo-random
+    * sequence for the seeded k-means++ draws below (Date.now/
+    * Math.random-free: byte-identical across runs and executors).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic k-means++ (Arthur & Vassilvitskii 2007) seed
+    * selection: first seed = first sample point (fingerprint order),
+    * each next seed drawn with probability ∝ D(x)² via the seeded
+    * splitmix64 sequence. D²-weighted draws spread seeds across the
+    * mass of the data — pure farthest-point maxmin over-picks
+    * outliers (measured: IVF recall 0.98 → 0.70 at sf0.001), while
+    * head-of-corpus seeds degenerate on homogeneous heads. O(n·k)
+    * over the sample, fully deterministic.
+    */
+  private def kppSeeds(pts: IndexedSeq[Array[Float]], k: Int,
+      dist: (Array[Float], Array[Float]) => Double): IndexedSeq[Array[Float]] = {
+    val n = pts.length
+    if (n == 0) return IndexedSeq.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val taken = Array.fill(n)(false); taken(0) = true
+    val minD = Array.fill(n)(Double.MaxValue)
+    while (chosen.length < math.min(k, n)) {
+      val last = pts(chosen.last)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = dist(pts(i), last)
+        if (dd < minD(i)) minD(i) = dd
+        if (!taken(i)) total += minD(i)
+        i += 1
+      }
+      // u ∈ [0,1) from the fixed sequence, keyed by the draw index
+      val u = (splitmix64(chosen.length.toLong) >>> 11).toDouble / (1L << 53).toDouble
+      var target = u * total
+      var pick = -1
+      i = 0
+      while (i < n && pick < 0) {
+        if (!taken(i)) {
+          target -= minD(i)
+          if (target <= 0) pick = i
+        }
+        i += 1
+      }
+      if (pick < 0) { // numeric tail (or all-zero D): last untaken point
+        pick = (n - 1 to 0 by -1).find(!taken(_)).getOrElse(0)
+      }
+      chosen += pick; taken(pick) = true
+    }
+    chosen.map(pts).toIndexedSeq
+  }
+
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    1.0 - dot / math.sqrt(na * nb)   // sample pre-filters zero norms
+  }
+
+  private def l2Dist2(a: Array[Float], b: Array[Float]): Double = {
+    var s2 = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s2 += d * d; i += 1 }
+    s2
+  }
 
   /** Rank candidate (query_id, vec_id, ea/qe) rows → top-K per query. */
   private def topK(cands: DataFrame): DataFrame =
@@ -126,25 +239,37 @@ object Similarity {
   }
 
   // --- E3: IVF with one Lloyd refinement (recall-checked vs E1) -----------
-  // Seeds = first NCentroids vectors (deterministic); one k-means step
-  // re-centers them with the vector_avg TypedImperativeAggregate (the
-  // map-side-combined centroid path — further iterations repeat these
-  // two stages unchanged). Lists and probes then use the refined
-  // centroids.
+  // Seeds = deterministic k-means++ D²-draw selection over the
+  // fingerprint-keyed sample (cosine distance — the metric the lists
+  // partition); one k-means step re-centers them with the vector_avg
+  // TypedImperativeAggregate (the map-side-combined centroid path —
+  // further iterations repeat these two stages unchanged). Lists and
+  // probes then use the refined centroids.
   val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) =>
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val emb = Tables.embeddings(s, d)
-    val seeds = broadcast(emb.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    val seedAssign = emb.crossJoin(seeds)
-      .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
-      .filter(col("crk") === 1)
-    val centroids = broadcast(seedAssign
-      .groupBy(col("cid"))
-      .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding")).as("cd"))
-      .select(col("cid"), col("cd").cast(ArrayType(FloatType)).as("ce")))
+    val seedVecs = kppSeeds(seedSample(s, d), NCentroids, cosDist)
+    def centroidFrame(cs: Seq[(Long, Array[Float])]): DataFrame = {
+      import s.implicits._
+      broadcast(cs.toDF("cid", "ce"))
+    }
+    // Lloyd iterations with the centroid set MATERIALIZED to the
+    // driver between steps (16 rows): each pass scans the corpus once;
+    // leaving the lineage lazy would rescan it O(iters²) times.
+    var centroidSeq = seedVecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    (1 to IvfLloydIters).foreach { _ =>
+      centroidSeq = emb.crossJoin(centroidFrame(centroidSeq))
+        .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+        .filter(col("crk") === 1)
+        .groupBy(col("cid"))
+        .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding")).as("cd"))
+        .select(col("cid"), col("cd").cast(ArrayType(FloatType)).as("ce"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+    }
+    val centroids = centroidFrame(centroidSeq)
     // invert: every vector → nearest refined-centroid list
     val assigned = emb.crossJoin(centroids)
       .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
@@ -639,14 +764,14 @@ object Similarity {
   // centroid) partial dots — broadcast-tiny — then a vector's
   // approximate dot is the sum of its 16 looked-up partials: the scan
   // touches ONLY the code columns + an equi-join on (subspace, code),
-  // all codegen, no float vectors moved. Top PqRerank=64 ADC candidates
+  // all codegen, no float vectors moved. Top PqRerank=128 ADC candidates
   // per query re-fetch raw vectors and re-rank by EXACT cosine, so
   // emitted rows are exact for every candidate found. Recall ≥ 0.9 vs
   // E1 by spec (approximate by contract, like E2/E3/E9).
   private val PqM = 16      // subspaces (64 dims / 4)
   private val PqSub = 4     // dims per subspace
   private val PqK = 16      // centroids per subspace codebook
-  private val PqRerank = 64 // ADC candidates re-ranked exactly per query
+  private val PqRerank = 128 // ADC candidates re-ranked exactly per query
 
   private def l2d(a: Column, b: Column): Column =
     F.dot_product(a, a) - lit(2.0) * F.dot_product(a, b) + F.dot_product(b, b)
@@ -679,17 +804,47 @@ object Similarity {
 
   /** Trained PQ codebook (PqM × PqK rows), staged once per (session,
     * dir) — the index-BUILD artifact a production deployment writes
-    * out once and queries many times. Seeds = first PqK vectors'
-    * subvectors, one Lloyd refinement via the map-side-combined
-    * vector_avg (the E3 recipe per subspace).
+    * out once and queries many times. Seeds = per-subspace
+    * k-means++ D²-draw selection (L2, the metric PQ quantizes) over the
+    * fingerprint-keyed sample's normalized subvectors; one Lloyd
+    * refinement via the map-side-combined vector_avg (the E3 recipe
+    * per subspace).
     */
   private def pqCodebook(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.pq.codebook:$d") {
       import org.apache.spark.sql.types.{ArrayType, FloatType}
       val sub = pqSubvectors(s, d)
-      val seeds = broadcast(sub.filter(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("ce")))
-      pqNearest(sub, seeds, Seq("vec_id"))
+      // normalize the sample exactly like pqSubvectors (x/nrm as float)
+      // and slice per subspace, then seed each subspace independently
+      val sampleNorm = seedSample(s, d).map { v =>
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        v.map(x => (x / nrm).toFloat)
+      }
+      def bookFrame(rows: Seq[(Int, Int, Array[Float])]): DataFrame = {
+        import s.implicits._
+        broadcast(rows.toDF("m", "cid", "ce"))
+      }
+      // Lloyd iterations with the 16×16 codebook materialized to the
+      // driver between passes (same rationale as E3: one corpus scan
+      // per pass, not a lazily-recomputed O(iters²) lineage)
+      var book = (0 until PqM).flatMap { m =>
+        val subs = sampleNorm.map(_.slice(m * PqSub, (m + 1) * PqSub))
+        kppSeeds(subs, PqK, l2Dist2).zipWithIndex
+          .map { case (sv, cid) => (m, cid, sv) }
+      }
+      (1 until PqLloydIters).foreach { _ =>
+        book = pqNearest(sub, bookFrame(book), Seq("vec_id"))
+          .groupBy(col("m"), col("cid"))
+          .agg(graft.functions.VectorAvgAgg.vector_avg(col("sv")).as("cd"))
+          .select(col("m"), col("cid"),
+            col("cd").cast(ArrayType(FloatType)).as("ce"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getSeq[Float](2).toArray)).toIndexedSeq
+      }
+      pqNearest(sub, bookFrame(book), Seq("vec_id"))
         .groupBy(col("m"), col("cid"))
         .agg(graft.functions.VectorAvgAgg.vector_avg(col("sv")).as("cd"))
         .select(col("m"), col("cid"),
