@@ -157,10 +157,16 @@ object Bench {
       s"[bench] record ${line.length} chars exceeds $MaxLineChars — driver tail may clip it")
     // full-precision record (2dp, _stage included, no length budget) as
     // a local artifact — the stdout line is the driver's record and may
-    // have shed precision or _stage to fit the tail
+    // have shed precision or _stage to fit the tail. Written to a
+    // SCRATCH path by default: the committed BENCH_local.json is only
+    // refreshed by tools/bench_refresh.py after a two-run variance +
+    // degraded-box gate (round 7 shipped a contended-box artifact
+    // because every ad-hoc run used to overwrite it in place).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_last.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_local.json"), record(withStage, 2) + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+      java.nio.file.Paths.get(outPath), record(withStage, 2) + "\n")
+    catch { case _: Throwable => () } // read-only target must not fail the bench
     println(line)
     spark.stop()
   }

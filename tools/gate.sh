@@ -25,13 +25,19 @@ if ! python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/gate_verify_out; 
   echo "GATE FAIL: oracle mismatch"; fail=1
 fi
 
-echo "=== gate 3/3: bench record (sf0.1) ==="
-line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>&1 | grep -F '{"metric"' | tail -1)
-echo "$line"
-if [ -z "$line" ]; then
-  echo "GATE FAIL: no bench record on stdout"; fail=1
-elif ! python3 -c "
+echo "=== gate 3/3: bench pair (sf0.1, two interleaved runs) ==="
+# Two full interleaved runs minutes apart; the committed BENCH_local.json
+# is refreshed ONLY via bench_refresh.py (per-query pair min), which
+# refuses contended/degraded boxes — round 7 shipped a 139 s noisy
+# artifact because a single ad-hoc run could overwrite it in place.
+for i in 1 2; do
+  line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench_$i.json \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -F '{"metric"' | tail -1)
+  echo "$line"
+  if [ -z "$line" ]; then
+    echo "GATE FAIL: no bench record on stdout (run $i)"; fail=1
+  elif ! python3 -c "
 import json, sys
 rec = json.loads(sys.argv[1])
 assert rec['unit'] == 'sec' and rec['queries'], 'missing fields'
@@ -40,7 +46,12 @@ assert not bad, f'errored queries: {bad}'
 assert len(sys.argv[1]) <= 1930, f'record too long: {len(sys.argv[1])} chars'  # Bench.MaxLineChars
 print(f\"bench ok: total={rec['value']}s, {len(rec['queries'])} entries, {len(sys.argv[1])} chars\")
 " "$line"; then
-  echo "GATE FAIL: bench record invalid"; fail=1
+    echo "GATE FAIL: bench record invalid (run $i)"; fail=1
+  fi
+done
+if ! python3 tools/bench_refresh.py /tmp/gate_bench_1.json /tmp/gate_bench_2.json; then
+  echo "GATE FAIL: bench pair refused (variance or degraded box) — BENCH_local.json NOT refreshed"
+  fail=1
 fi
 
 if [ "$fail" -ne 0 ]; then echo "GATE: FAIL"; exit 1; fi
