@@ -158,6 +158,20 @@ object Dedup {
   // bands × 4 rows → P(miss | j=0.8) = (1-0.8⁴)³² ≈ 5e-8. Candidates
   // from band-bucket self-join; exact Jaccard ≥ 0.8 verification on
   // candidates only. Output ≡ D2 → oracled by the same exact SQL.
+  /** Band-bucket self-join → distinct candidate pairs (doc_a < doc_b).
+    * The bucket string is the shuffle key, so a boilerplate-heavy
+    * corpus concentrates in few buckets; a pathological hot bucket is
+    * split by AQE skew-join rather than serializing one reducer —
+    * spec-forced in [[graft.DedupSkewSpec]] with a planted 10%-hot
+    * bucket.
+    */
+  private[graft] def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("x")
+      .join(bands.as("y"), Seq("bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
   val minhashLsh = QueryDef.oracled(
     "dedup_minhash_lsh", jaccardPairsSql(0.8)) { (s, d) =>
     val sets = shingled(s, d) // cached+persisted by the shared loader
@@ -165,11 +179,7 @@ object Dedup {
       .withColumn("sig", F.minhash_sigs(col("shingles")))
     val bands = sh.select(col("doc_id"),
         explode(expr(bandListExpr)).as("bucket"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), Seq("bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bandCandidates(bands)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
         col("n").as("na")), Seq("doc_a"))
