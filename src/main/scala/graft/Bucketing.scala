@@ -55,6 +55,28 @@ object Bucketing {
     (li, ord)
   }
 
+  /** Register a bucketed copy of the `events` changelog — bucketBy the
+    * coordination key `user_id`. Every A-family operator's one shuffle
+    * is a window/groupBy keyed on (event_type, user_id) or (user_id),
+    * and a hash partitioning on the SUBSET {user_id} satisfies both
+    * clustered distributions — so over this table the per-query
+    * Exchange disappears entirely (spec-proved via A1 kv_snapshot in
+    * BucketingSpec). At 100 TB this converts the per-query changelog
+    * shuffle into a one-off bucketed ingest, the same dial the
+    * lineitem/orders pair above provides for repeated fact joins.
+    */
+  def ensureEventsBucketed(s: SparkSession, d: String, warehouseDir: String,
+      buckets: Int = 8): String = {
+    val tbl = s"graft_ev_b${dirTag(d)}"
+    if (!s.catalog.tableExists(tbl)) {
+      Tables.events(s, d).write
+        .bucketBy(buckets, "user_id").sortBy("user_id")
+        .option("path", s"$warehouseDir/$tbl")
+        .mode(SaveMode.Overwrite).format("parquet").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** Revenue per order priority via the BUCKETED join — on bucketed
     * tables this plans as a SortMergeJoin whose children are bare
     * bucket scans (no Exchange below the final aggregate).

@@ -48,6 +48,20 @@ object Coordination {
   // --- A1: compacted KV snapshot (Storage.fetch over the whole keyspace) --
   // Reference: kv table point-lookup; replayed, the table IS "latest value
   // per key". One shuffle on (namespace, key); row_number + filter.
+  /** A1's body over an arbitrary changelog frame. The window's
+    * ClusteredDistribution(event_type, user_id) is satisfied by any
+    * hash partitioning on a SUBSET of those keys, so over a changelog
+    * bucketed by user_id ([[graft.Bucketing.ensureEventsBucketed]])
+    * this plans with ZERO Exchange — the A-family co-location dial,
+    * spec-proved in BucketingSpec.
+    */
+  private[graft] def kvSnapshotOver(events: DataFrame): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byKeyDesc))
+      .filter(col("rn") === 1)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("value"), col("ts"))
+
   val kvSnapshot = QueryDef.oracled(
     "kv_snapshot",
     """WITH ranked AS (
@@ -57,11 +71,7 @@ object Coordination {
       |  FROM events)
       |SELECT namespace, key, value, ts
       |FROM ranked WHERE rn = 1 ORDER BY namespace, key""".stripMargin) { (s, d) =>
-    ev(s, d)
-      .withColumn("rn", row_number().over(byKeyDesc))
-      .filter(col("rn") === 1)
-      .select(col("event_type").as("namespace"), col("user_id").as("key"),
-        col("value"), col("ts"))
+    kvSnapshotOver(ev(s, d))
   }
 
   // --- A2: first-write-wins (Storage.put IF NOT EXISTS / CAS acquire) ----

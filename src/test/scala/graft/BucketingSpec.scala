@@ -69,4 +69,40 @@ class BucketingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
   }
+
+  test("A1 kv_snapshot over the bucketed changelog plans with ZERO Exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed_ev").toString
+    val tbl = Bucketing.ensureEventsBucketed(spark, sf, wh)
+    try {
+      // the A1 window clusters on (event_type, user_id); the scan's
+      // HashPartitioning(user_id) is a subset of those keys, so the
+      // whole plan — scan → sort → window → filter — needs no shuffle
+      val snap = queries.Coordination.kvSnapshotOver(spark.table(tbl))
+      val qe = snap.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed changelog window should not shuffle, plan:\n$plan")
+
+      // control: the same query over the raw parquet DOES shuffle
+      val rawPlan = queries.Coordination
+        .kvSnapshotOver(Tables.events(spark, sf))
+        .queryExecution.executedPlan.toString
+      assert(rawPlan.contains("Exchange"),
+        "control: the unbucketed changelog window was expected to shuffle")
+
+      // correctness: identical rows to the driver-gated A1 builder
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+          r.getAs[Double]("value"), r.getAs[Long]("ts"))
+      val got = snap.collect().map(key).toSet
+      val want = SparkEntry.queries("kv_snapshot")(spark, sf).collect()
+        .map(key).toSet
+      assert(got == want)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    }
+  }
 }
