@@ -164,6 +164,42 @@ object Similarity {
     s2
   }
 
+  /** Driver-side Lloyd refinement over the SAMPLE — the 100 TB
+    * codebook-training design (FAISS-style): quantizers train on a
+    * bounded sample, and the cluster only ever runs the one ENCODE
+    * pass. Locally the sample covers the whole corpus (500 ≤ 1024
+    * = SeedSampleN), so this equals corpus-side Lloyd. Ties pick the
+    * lowest centroid id (the corpus formulation's orderBy tiebreak);
+    * an emptied cluster keeps its seed instead of vanishing.
+    */
+  private def lloydRefine(pts: IndexedSeq[Array[Float]],
+      seeds: IndexedSeq[Array[Float]], iters: Int,
+      dist: (Array[Float], Array[Float]) => Double): IndexedSeq[Array[Float]] = {
+    var cs = seeds
+    if (pts.isEmpty || cs.isEmpty) return cs
+    val dim = pts.head.length
+    (1 to iters).foreach { _ =>
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val dd = dist(p, cs(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }.toIndexedSeq
+    }
+    cs
+  }
+
   /** Rank candidate (query_id, vec_id, ea/qe) rows → top-K per query. */
   private def topK(cands: DataFrame): DataFrame =
     cands
@@ -238,38 +274,26 @@ object Similarity {
         .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
   }
 
-  // --- E3: IVF with one Lloyd refinement (recall-checked vs E1) -----------
+  // --- E3: IVF, sample-trained quantizer (recall-checked vs E1) -----------
   // Seeds = deterministic k-means++ D²-draw selection over the
   // fingerprint-keyed sample (cosine distance — the metric the lists
-  // partition); one k-means step re-centers them with the vector_avg
-  // TypedImperativeAggregate (the map-side-combined centroid path —
-  // further iterations repeat these two stages unchanged). Lists and
-  // probes then use the refined centroids.
+  // partition), refined by driver-side Lloyd on the same sample
+  // (lloydRefine — training is sample-bounded, the 100 TB design).
+  // Lists and probes then use the refined centroids; the corpus is
+  // scanned exactly once, for list assignment.
   val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) =>
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val emb = Tables.embeddings(s, d)
-    val seedVecs = kppSeeds(seedSample(s, d), NCentroids, cosDist)
-    def centroidFrame(cs: Seq[(Long, Array[Float])]): DataFrame = {
+    val sample = seedSample(s, d)
+    // train on the sample, driver-side: k-means++ seeds + Lloyd. The
+    // cluster never scans the corpus for training — only the one
+    // list-ASSIGNMENT pass below (the encode pass at 100 TB).
+    val refined = lloydRefine(sample,
+      kppSeeds(sample, NCentroids, cosDist), IvfLloydIters, cosDist)
+    val centroids = {
       import s.implicits._
-      broadcast(cs.toDF("cid", "ce"))
+      broadcast(refined.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("cid", "ce"))
     }
-    // Lloyd iterations with the centroid set MATERIALIZED to the
-    // driver between steps (16 rows): each pass scans the corpus once;
-    // leaving the lineage lazy would rescan it O(iters²) times.
-    var centroidSeq = seedVecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-    (1 to IvfLloydIters).foreach { _ =>
-      centroidSeq = emb.crossJoin(centroidFrame(centroidSeq))
-        .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
-        .filter(col("crk") === 1)
-        .groupBy(col("cid"))
-        .agg(graft.functions.VectorAvgAgg.vector_avg(col("embedding")).as("cd"))
-        .select(col("cid"), col("cd").cast(ArrayType(FloatType)).as("ce"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
-    }
-    val centroids = centroidFrame(centroidSeq)
+    val emb = Tables.embeddings(s, d)
     // invert: every vector → nearest refined-centroid list
     val assigned = emb.crossJoin(centroids)
       .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
@@ -804,51 +828,30 @@ object Similarity {
 
   /** Trained PQ codebook (PqM × PqK rows), staged once per (session,
     * dir) — the index-BUILD artifact a production deployment writes
-    * out once and queries many times. Seeds = per-subspace
-    * k-means++ D²-draw selection (L2, the metric PQ quantizes) over the
-    * fingerprint-keyed sample's normalized subvectors; one Lloyd
-    * refinement via the map-side-combined vector_avg (the E3 recipe
-    * per subspace).
+    * out once and queries many times. Per subspace: k-means++ D²-draw
+    * seeds (L2, the metric PQ quantizes) over the fingerprint-keyed
+    * sample's normalized subvectors, refined by driver-side Lloyd on
+    * the same sample (lloydRefine). Training never scans the corpus —
+    * only the ENCODE pass (pqCodes) does, once.
     */
   private def pqCodebook(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.pq.codebook:$d") {
-      import org.apache.spark.sql.types.{ArrayType, FloatType}
-      val sub = pqSubvectors(s, d)
       // normalize the sample exactly like pqSubvectors (x/nrm as float)
-      // and slice per subspace, then seed each subspace independently
+      // and slice per subspace, then train each subspace independently
       val sampleNorm = seedSample(s, d).map { v =>
         var n2 = 0.0; var i = 0
         while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
         val nrm = math.sqrt(n2)
         v.map(x => (x / nrm).toFloat)
       }
-      def bookFrame(rows: Seq[(Int, Int, Array[Float])]): DataFrame = {
-        import s.implicits._
-        broadcast(rows.toDF("m", "cid", "ce"))
-      }
-      // Lloyd iterations with the 16×16 codebook materialized to the
-      // driver between passes (same rationale as E3: one corpus scan
-      // per pass, not a lazily-recomputed O(iters²) lineage)
-      var book = (0 until PqM).flatMap { m =>
+      val book = (0 until PqM).flatMap { m =>
         val subs = sampleNorm.map(_.slice(m * PqSub, (m + 1) * PqSub))
-        kppSeeds(subs, PqK, l2Dist2).zipWithIndex
+        lloydRefine(subs, kppSeeds(subs, PqK, l2Dist2),
+          PqLloydIters, l2Dist2).zipWithIndex
           .map { case (sv, cid) => (m, cid, sv) }
       }
-      (1 until PqLloydIters).foreach { _ =>
-        book = pqNearest(sub, bookFrame(book), Seq("vec_id"))
-          .groupBy(col("m"), col("cid"))
-          .agg(graft.functions.VectorAvgAgg.vector_avg(col("sv")).as("cd"))
-          .select(col("m"), col("cid"),
-            col("cd").cast(ArrayType(FloatType)).as("ce"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1),
-            r.getSeq[Float](2).toArray)).toIndexedSeq
-      }
-      pqNearest(sub, bookFrame(book), Seq("vec_id"))
-        .groupBy(col("m"), col("cid"))
-        .agg(graft.functions.VectorAvgAgg.vector_avg(col("sv")).as("cd"))
-        .select(col("m"), col("cid"),
-          col("cd").cast(ArrayType(FloatType)).as("ce"))
+      import s.implicits._
+      broadcast(book.toDF("m", "cid", "ce"))
     }
 
   /** Encoded corpus (vec_id, m, cid) — 16 bytes per vector at scale —
