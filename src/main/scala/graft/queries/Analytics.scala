@@ -791,9 +791,252 @@ object Analytics {
         col("n_events"), col("n_users"))
   }
 
+  // --- B26: TPC-H Q8 national market share --------------------------------
+  // Share of EUROPE-customer ECONOMY-part revenue supplied by NATION_9,
+  // by order year. Fact-fact shuffle on orderkey only; part (filtered),
+  // supplier→nation and customer→nation→region are broadcast dims. The
+  // share is a conditional-sum/sum of DECIMAL accumulators — one double
+  // division at the end, bit-identical cross-engine.
+  val q8 = QueryDef.oracled(
+    "q8_market_share",
+    s"""SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN sn.n_name = 'NATION_9' THEN $revTermSql END) AS DOUBLE)
+      |    / CAST(sum($revTermSql) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region   ON cn.n_regionkey = r_regionkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                      AND TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val custEurope = broadcast(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val suppNation = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          tsLit("1995-01-01 00:00:00"), tsLit("1996-12-31 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(custEurope, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_9", revTerm)).cast("double")
+        / sum(revTerm).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  // --- B27: TPC-H Q15 top supplier ----------------------------------------
+  // Revenue per supplier over one quarter; emit the rank-1 supplier(s).
+  // The rank compares the DECIMAL accumulator (exact — a double-cast
+  // rank could tie-split differently per engine); only the emitted
+  // value is cast. One shuffle on l_suppkey; supplier dim broadcast.
+  val q15 = QueryDef.oracled(
+    "q15_top_supplier",
+    s"""WITH rev AS (
+      |  SELECT l_suppkey AS s_suppkey, sum($revTermSql) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1),
+      |rk AS (SELECT s_suppkey, r, rank() OVER (ORDER BY r DESC) AS rnk FROM rev)
+      |SELECT rk.s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM rk JOIN supplier ON rk.s_suppkey = supplier.s_suppkey
+      |WHERE rnk = 1 ORDER BY rk.s_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(revTerm).as("r"))
+      .withColumn("rnk", rank().over(Window.orderBy(col("r").desc)))
+      .filter(col("rnk") === 1)
+      .join(broadcast(Tables.supplier(s, d)), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("r").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  // --- B28: TPC-H Q17 small-quantity-order revenue ------------------------
+  // Brand#5 lineitems below 20% of their part's average quantity; the
+  // correlated scalar subquery becomes a per-part window average (one
+  // extra window pass over the filtered join, no second scan).
+  // l_quantity is integral, so sum-then-one-divide stays bit-identical.
+  val q17 = QueryDef.oracled(
+    "q17_small_quantity",
+    """WITH j AS (
+      |  SELECT l_quantity, l_extendedprice,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |           / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#5')
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly
+      |FROM j WHERE l_quantity < 0.2 * avg_qty""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#5")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(dec(col("l_quantity"))).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  // --- B29: TPC-H Q18 large-volume customers ------------------------------
+  // Orders whose lineitems total > 250 units (top ~1% here), with
+  // customer context. The HAVING side aggregates lineitem FIRST (one
+  // shuffle on orderkey, map-side partials), then joins orders on the
+  // already-tiny key set — never the other way around.
+  val q18 = QueryDef.oracled(
+    "q18_large_volume",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qdec"))
+      .filter(col("qdec") > 250)
+      .withColumn("sum_qty", col("qdec").cast("double"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // --- B30: TPC-H Q19 discounted revenue (OR-of-ANDs predicate) -----------
+  // Equi-join on partkey with a three-branch residual predicate — the
+  // optimizer keeps the equi-key join and evaluates the disjunction as
+  // a post-join filter; part is broadcast, lineitem scanned once.
+  val q19 = QueryDef.oracled(
+    "q19_discounted_revenue",
+    s"""SELECT CAST(sum($revTermSql) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 35)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 35)))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
+  // --- B31: TPC-H Q22 dormant high-balance customers ----------------------
+  // Customers above the positive-balance average with NO order since
+  // 2000 (the testdata has no orderless customers, so the classic
+  // no-orders-ever predicate is recast as recent dormancy), rolled up
+  // by nation. The scalar average broadcasts as a single-row frame;
+  // the dormancy test is a LEFT ANTI join against the filtered orders
+  // keys — no correlated subquery survives to execution in either
+  // engine.
+  val q22 = QueryDef.oracled(
+    "q22_dormant_customers",
+    """WITH avg_bal AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |           / count(*) AS a
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name AS nation, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, avg_bal
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > a
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val avgBal = broadcast(Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("a")))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsLit("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .crossJoin(avgBal)
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("nation"))
+  }
+
+  // --- B32: exact per-type value percentiles ------------------------------
+  // p50/p90/p99 by the ceil-rank definition (value at row ceil(p*n) of
+  // the sorted column) — chosen over interpolated percentile_cont
+  // because the rank formula is pure integer arithmetic + a stored
+  // value, bit-identical across engines, while interpolation's
+  // floating (n-1)*p walk is not guaranteed to round alike. One
+  // shuffle on event_type; the window sort is the honest cost of an
+  // exact percentile (the approximate alternative is a sketch, as
+  // B13 is to the exact distinct).
+  val valuePercentiles = QueryDef.oracled(
+    "events_value_percentiles",
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN value END)       AS p50,
+      |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END)  AS p90,
+      |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+      |  max(n) AS n_events
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value"))).as("p99"),
+        max(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
-    approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths)
+    approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
+    q8, q15, q17, q18, q19, q22, valuePercentiles)
 }
