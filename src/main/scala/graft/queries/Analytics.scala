@@ -1033,10 +1033,49 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // --- B33: full cohort retention matrix -----------------------------------
+  // The B17 generalization: users grouped by their FIRST active week
+  // (the cohort), counted at every later week offset — the full
+  // retention triangle, not just week+1. One shuffle on user_id serves
+  // both the distinct activity frame and the per-user min-week window;
+  // the matrix itself is calendar-bounded (weeks²/2 cells regardless
+  // of row count), so the rate window over it is free. week_offset is
+  // exact integer arithmetic (both wk and cohort are week-truncated,
+  // datediff is always a multiple of 7); the rate divides two exact
+  // longs in one correctly-rounded double op — engine-identical.
+  val cohortMatrix = QueryDef.oracled(
+    "events_cohort_matrix",
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |             FROM events),
+      |c AS (SELECT user_id, wk,
+      |             min(wk) OVER (PARTITION BY user_id) AS cohort FROM act),
+      |g AS (SELECT cohort, date_diff('day', cohort, wk) // 7 AS week_offset,
+      |             count(*) AS n_users
+      |      FROM c GROUP BY 1, 2)
+      |SELECT cohort, week_offset, n_users,
+      |  CAST(n_users AS DOUBLE)
+      |    / max(CASE WHEN week_offset = 0 THEN n_users END)
+      |        OVER (PARTITION BY cohort) AS retention_rate
+      |FROM g ORDER BY cohort, week_offset""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+      .withColumn("cohort", min(col("wk")).over(byUser))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("retention_rate",
+        col("n_users").cast("double")
+          / max(when(col("week_offset") === 0, col("n_users")))
+              .over(Window.partitionBy(col("cohort"))))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
-    q8, q15, q17, q18, q19, q22, valuePercentiles)
+    q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix)
 }

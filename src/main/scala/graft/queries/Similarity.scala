@@ -863,12 +863,145 @@ object Similarity {
         .select(col("vec_id"), col("m"), col("cid"))
     }
 
-  /** Materialize the staged PQ index (bench warms this off the
-    * measured path, under `_stage`).
+  // --- E11: IVFADC — coarse quantizer + residual PQ (Jégou et al.
+  // TPAMI'11 §IV) — the composition FAISS ships as IVFPQ and the real
+  // 100 TB ANN architecture: the coarse quantizer prunes the scan to
+  // nProbe of nLists inverted lists, and the PQ encodes RESIDUALS
+  // x − c(list), which concentrate near zero and quantize far better
+  // than raw vectors at the same code budget. One PQ is trained on the
+  // pooled residuals of all lists (the standard factoring — per-list
+  // codebooks would need nLists × the training data and broadcast
+  // bytes). Score decomposition for cosine on normalized vectors:
+  // dot(qn, xn) ≈ dot(qn, c_l) + Σ_m dot(qn_m, r̂_m) — the coarse term
+  // is per probed list (nProbe rows/query), the residual LUT is per
+  // (query, m, cid) and list-INDEPENDENT (2.5k rows broadcast), so the
+  // probe join ships only 8-byte keys + one double. Exact re-rank of
+  // the top ADC candidates, as in E10.
+
+  /** Staged IVFADC model frame — one artifact, FAISS-index-file style:
+    * rows with m = -1 are the coarse centroids (cid = list id, trained
+    * k-means++ + Lloyd on the normalized sample, L2 = the assignment
+    * metric); rows with m ≥ 0 are the residual PQ codebooks (trained
+    * on the sample's pooled residuals). One training run, one small
+    * broadcastable frame (16 + 16×16 rows).
+    */
+  private def ivfPqBook(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"sim.ivfpq.book:$d") {
+      val sampleNorm = seedSample(s, d).map { v =>
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        v.map(x => (x / nrm).toFloat)
+      }
+      val coarse = lloydRefine(sampleNorm,
+        kppSeeds(sampleNorm, NCentroids, l2Dist2), PqLloydIters, l2Dist2)
+      // pooled residuals w.r.t. each sample point's assigned list
+      val residuals = sampleNorm.map { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < coarse.length) {
+          val dd = l2Dist2(p, coarse(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        val ce = coarse(best)
+        Array.tabulate(p.length)(i => p(i) - ce(i))
+      }
+      val book = (0 until PqM).flatMap { m =>
+        val subs = residuals.map(_.slice(m * PqSub, (m + 1) * PqSub))
+        lloydRefine(subs, kppSeeds(subs, PqK, l2Dist2),
+          PqLloydIters, l2Dist2).zipWithIndex
+          .map { case (sv, cid) => (m, cid, sv) }
+      }
+      val coarseRows = coarse.zipWithIndex.map { case (ce, l) => (-1, l, ce) }
+      import s.implicits._
+      broadcast((coarseRows ++ book).toDF("m", "cid", "ce"))
+    }
+
+  /** Encoded corpus: (vec_id, list, m, cid) — the inverted lists with
+    * 16 residual codes per vector. One corpus scan (the encode pass);
+    * staged alongside the book.
+    */
+  private def ivfPqCodes(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"sim.ivfpq.codes:$d") {
+      val book = ivfPqBook(s, d)
+      val coarse = broadcast(book.filter(col("m") === -1)
+        .select(col("cid").as("list"), col("ce").as("le")))
+      val xn = Tables.spread(Tables.embeddings(s, d), s, "vec_id")
+        .withColumn("nrm", F.l2norm(col("embedding")))
+        .filter(col("nrm") > 0)
+        .withColumn("xn", expr("transform(embedding, x -> CAST(x / nrm AS FLOAT))"))
+        .select(col("vec_id"), col("xn"))
+      // assign each vector to its nearest list (L2 in normalized space)
+      val assigned = xn.crossJoin(coarse)
+        .withColumn("dist2", l2d(col("xn"), col("le")))
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list"))))
+        .filter(col("lrk") === 1)
+        // residual subvectors, sliced per subspace
+        .select(col("vec_id"), col("list"), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |  m -> struct(m AS m, slice(zip_with(xn, le,
+             |    (x, c) -> CAST(x - c AS FLOAT)), m * $PqSub + 1, $PqSub) AS sv))"""
+            .stripMargin)).as("p"))
+        .select(col("vec_id"), col("list"), col("p.m").as("m"),
+          col("p.sv").as("sv"))
+      pqNearest(assigned, broadcast(ivfPqBook(s, d).filter(col("m") >= 0)),
+        Seq("vec_id", "list"))
+        .select(col("vec_id"), col("list"), col("m"), col("cid"))
+    }
+
+  val ivfPq = QueryDef.rowsOnly("knn_ivfpq") { (s, d) =>
+    val book = ivfPqBook(s, d)
+    val codes = ivfPqCodes(s, d)
+    val qn = queriesDf(s, d)
+      .withColumn("nrm", F.l2norm(col("qe")))
+      .filter(col("nrm") > 0)
+      .withColumn("qn", expr("transform(qe, x -> CAST(x / nrm AS FLOAT))"))
+      .select(col("query_id"), col("qn"))
+    // probe: nProbe nearest lists per query, carrying the coarse term
+    val probes = broadcast(qn.crossJoin(broadcast(book.filter(col("m") === -1)
+        .select(col("cid").as("list"), col("ce").as("le"))))
+      .withColumn("dist2", l2d(col("qn"), col("le")))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("list"))))
+      .filter(col("lrk") <= NProbe)
+      .select(col("query_id"), col("list"),
+        F.dot_product(col("qn"), col("le")).as("coarse")))
+    // residual ADC lookup table: list-independent, (query, m, cid)
+    val lut = broadcast(qn
+      .select(col("query_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  m -> struct(m AS m, slice(qn, m * $PqSub + 1, $PqSub) AS qsv))"""
+          .stripMargin)).as("p"))
+      .select(col("query_id"), col("p.m").as("m"), col("p.qsv").as("qsv"))
+      .join(book.filter(col("m") >= 0), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        F.dot_product(col("qsv"), col("ce")).as("part")))
+    // probed-list codes only: the join on list IS the IVF pruning
+    val cand = codes.join(probes, Seq("list"))
+      .join(lut, Seq("query_id", "m", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((max(col("coarse")) + sum(col("part"))).as("adc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("crk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    topK(cand
+      .join(queriesDf(s, d), Seq("query_id"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+  }
+
+  /** Materialize the staged PQ + IVFADC indexes (bench warms these off
+    * the measured path, under `_stage`).
     */
   private[graft] def warmStages(s: SparkSession, d: String): Unit = {
     pqCodebook(s, d).queryExecution.toRdd.count()
     pqCodes(s, d).queryExecution.toRdd.count()
+    ivfPqBook(s, d).queryExecution.toRdd.count()
+    ivfPqCodes(s, d).queryExecution.toRdd.count()
   }
 
   val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
@@ -901,5 +1034,5 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh, pq)
+    maxip, maxipLsh, pq, ivfPq)
 }

@@ -540,8 +540,150 @@ object TextAnalysis {
       .limit(50)
   }
 
+  // --- C15: TF-IDF keyword extraction --------------------------------------
+  // The idf-weighted upgrade of C9: score = tf · (N / df) — raw idf
+  // rather than log(N/df) because log is a transcendental whose last
+  // ulp is not pinned by IEEE 754 across engines, while the raw ratio
+  // is two correctly-rounded ops (×, ÷) on exact integers — bit-equal
+  // in Spark and DuckDB as long as both evaluate the same
+  // left-associated tree, and monotone in the log variant at fixed tf,
+  // so the RANKING only reorders across tf levels (which is the point
+  // of idf). Same two shuffles as C9 ((doc,term) tf and the term df);
+  // the corpus size N broadcasts as a single-row frame. At 100 TB the
+  // df table is vocabulary-sized (≪ corpus) and the top-3 filter is a
+  // WindowGroupLimit partial — no new scale surface beyond C9's.
+  val tfidf = QueryDef.oracled(
+    "text_tfidf", {
+      val stops = sqlList(stopwords)
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term NOT IN ($stops) GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |       WHERE term NOT IN ($stops) GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |              CAST(tf.tf AS DOUBLE) * n_docs / df.df AS score,
+        |              row_number() OVER (PARTITION BY tf.doc_id
+        |                ORDER BY CAST(tf.tf AS DOUBLE) * n_docs / df.df DESC,
+        |                         tf.term) AS rk
+        |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+        |SELECT doc_id, rk, term, tf, df, score FROM sc WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
+    tf.join(dfr, Seq("term")).crossJoin(nd)
+      // same left-associated tree as the oracle: (tf · N) / df
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  // --- C16: cross-document bigram novelty ----------------------------------
+  // Per-document fraction of its DISTINCT adjacent bigrams that occur
+  // in no other document — the diversity/boilerplate signal dual to
+  // C12's intra-document repetition: near-zero novelty marks template
+  // text (navigation chrome, license headers) that survives exact and
+  // near dedup because the surrounding document differs. Shares the D2
+  // shingle philosophy but at the bigram granularity the LM actually
+  // trains on. Exact integer counts; the one double op is the final
+  // correctly-rounded divide.
+  //
+  // Scale (100 TB): the distinct (doc, bigram) projection and the
+  // bigram df table are the two shuffles, both keyed on the bigram —
+  // classic word-count partial aggregation; the join back is
+  // bigram-keyed equi-join (AQE handles hot boilerplate bigrams, the
+  // same skew class the D2 cap spec pins). Native Bigrams2 kernel,
+  // one codegen call per row — not the CollapseProject HOF trap.
+  val bigramNovelty = QueryDef.oracled(
+    "text_bigram_novelty",
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |              FROM documents),
+      |bi AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+      |       FROM toks),
+      |db AS (SELECT DISTINCT doc_id, bg FROM bi),
+      |df AS (SELECT bg, count(*) AS df FROM db GROUP BY 1)
+      |SELECT db.doc_id, count(*) AS n_distinct,
+      |       count(*) FILTER (WHERE df = 1) AS n_novel,
+      |       CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*) AS novelty
+      |FROM db JOIN df USING (bg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val db = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"),
+        explode(F.bigrams2(F.tokenize_words(col("text")))).as("bg"))
+      .distinct()
+    val df = db.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    db.join(df, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("df") === 1, lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- C17: source rebalancing (deterministic downsampling) ----------------
+  // The pretraining-mix primitive: a doc budget of N/2 is allocated
+  // uniformly across sources, cap = ceil(N / (2·|sources|)) — sources
+  // over their allocation are downsampled to it, sources under it kept
+  // whole (the flattening direction of temperature-<1 source mixing).
+  // Keep doc iff fingerprint64(text) mod n_source < cap, so the kept
+  // count per source is ≈ min(n_source, cap) with ZERO floating point
+  // (the keep test is pure integer arithmetic) and no RNG state.
+  // Hashing the CONTENT (same argument as C11) keeps byte-identical
+  // duplicates together: they are either all kept or all dropped, so
+  // the rebalanced corpus never splits a dup cluster.
+  //
+  // Scale (100 TB): map-only over the corpus — the per-source counts
+  // and the cap are two tiny broadcast frames (|sources| rows and one
+  // row); no shuffle of the fact table at all, which is exactly what a
+  // sampling pass over 100 TB must be.
+  val rebalance = QueryDef.oracled(
+    "corpus_rebalance",
+    """WITH h AS (SELECT doc_id, source, list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(text, '[\s\S]'),
+      |                     c -> CAST(ord(c) AS HUGEINT))),
+      |    (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM documents),
+      |sn AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+      |cap AS (SELECT (count(*) + 2 * count(DISTINCT source) - 1)
+      |                 // (2 * count(DISTINCT source)) AS cap FROM documents)
+      |SELECT doc_id, source, n_source, cap
+      |FROM h JOIN sn USING (source), cap
+      |WHERE h % n_source < cap
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sn = broadcast(docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source")))
+    val cap = broadcast(docs
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(expr("(n_docs + 2 * n_sources - 1) DIV (2 * n_sources)")
+        .as("cap")))
+    docs.join(sn, Seq("source"))
+      .crossJoin(cap)
+      .filter(graft.queries.Coordination.fpUnsigned(col("text"))
+        % col("n_source") < col("cap"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("cap"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
-      repetition, collocations, corpusPack)
+      repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance)
 }

@@ -79,4 +79,49 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("tau28") >= r.getAs[Long]("dau"))
     }
   }
+
+  test("events_cohort_matrix: offset-0 rate is 1, cells bounded by cohort size") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_cohort_matrix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val size0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(r => r.getAs[java.sql.Timestamp]("cohort") -> r.getAs[Long]("n_users"))
+      .toMap
+    // every cohort has an offset-0 cell and its rate is exactly 1.0
+    val cohorts = rows.map(_.getAs[java.sql.Timestamp]("cohort")).distinct
+    assert(size0.keySet == cohorts.toSet)
+    rows.foreach { r =>
+      val c = r.getAs[java.sql.Timestamp]("cohort")
+      val off = r.getAs[Long]("week_offset")
+      val n = r.getAs[Long]("n_users")
+      assert(off >= 0 && n > 0 && n <= size0(c), s"cell out of bounds: $r")
+      if (off == 0) assert(r.getAs[Double]("retention_rate") == 1.0)
+      else assert(r.getAs[Double]("retention_rate") == n.toDouble / size0(c))
+    }
+    // offset-0 cohort sizes partition the distinct-user universe
+    val users = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    assert(size0.values.sum == users)
+  }
+
+  test("text_tfidf: top-3 per doc, score is tf*N/df descending") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val rows = SparkEntry.queries("text_tfidf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to byRk.length))
+      assert(byRk.length <= 3)
+      byRk.foreach { r =>
+        val expect = r.getAs[Long]("tf").toDouble * nDocs / r.getAs[Long]("df")
+        assert(r.getAs[Double]("score") == expect, s"score mismatch: $r")
+      }
+      // rank order is non-increasing in score
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+  }
 }

@@ -179,6 +179,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("knn_ivfpq recall vs brute force >= 0.9, emitted cosines exact") {
+    val got = neighbors("knn_ivfpq")
+    val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    info(s"IVFADC (nProbe=12/16, residual PQ 16x16, rerank 128) recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+    val exactCos = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    SparkEntry.queries("knn_ivfpq")(spark, sf).collect().foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   // sf0.01: the smallest SF with qualifying pairs (28), so both the
   // pruning measurement and the lossless-bound check have teeth
   test("user_activity_pairs: CS bound prunes >50% of pairs yet loses none") {

@@ -252,4 +252,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected,
       s"source overlap diverges: got ${got.size} pairs, expected ${expected.size}")
   }
+
+  test("text_bigram_novelty equals a driver-side bigram-df replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val perDoc: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+      id -> toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = perDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = perDoc.collect { case (id, bgs) if bgs.nonEmpty =>
+      val novel = bgs.count(df(_) == 1)
+      id -> ((bgs.size.toLong, novel.toLong, novel.toDouble / bgs.size))
+    }
+    val got = SparkEntry.queries("text_bigram_novelty")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+    assert(got == expected.toMap, s"novelty diverges: got ${got.size} docs")
+  }
+
+  test("corpus_rebalance: integer keep rule replayed, small sources kept whole") {
+    def ref(s: String): Long = s.codePoints().toArray
+      .foldLeft(0L)((h, c) => h * 31L + c)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val bySource = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cap = (docs.length + 2 * bySource.size - 1) / (2 * bySource.size)
+    val expected = docs.collect {
+      case (id, src, text) if java.lang.Long.remainderUnsigned(
+          ref(text), bySource(src)) < cap => id -> src
+    }.toMap
+    val rows = SparkEntry.queries("corpus_rebalance")(spark, sf).collect()
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    assert(got == expected, s"keep set diverges: got ${got.size}, " +
+      s"expected ${expected.size}")
+    rows.foreach(r => assert(r.getAs[Long]("cap") == cap))
+    // sources at or under the uniform share are never downsampled
+    val keptBySource = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    bySource.foreach { case (src, n) =>
+      if (n <= cap) assert(keptBySource.getOrElse(src, 0L) == n,
+        s"small source $src downsampled: ${keptBySource.get(src)} of $n")
+      else assert(keptBySource.getOrElse(src, 0L) <= n)
+    }
+    // the budget actually bites on this corpus: something was dropped
+    assert(rows.length < docs.length, "rebalance kept everything — cap inert")
+  }
 }
