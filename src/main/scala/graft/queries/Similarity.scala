@@ -1032,7 +1032,53 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
   }
 
+  // --- E12: k-NN graph construction ---------------------------------------
+  // Top-K neighbor graph over the WHOLE corpus — the primitive behind
+  // SemDeDup-style semantic pruning, cluster-based curation, and graph
+  // ANN index builds (NN-Descent's seed graph). Same SRP machinery as
+  // E2, but corpus↔corpus: every vector lands in 16 bucket keys (one
+  // per table), candidates = the bucket SELF-join (radius-0 — the
+  // graph's neighbor cosines sit well below the query set's top-5, so
+  // radius-0 collisions are rare — measured recall 0.25; the E2
+  // multiprobe dial, radius ≤ 2 on the PROBE side of the self-join,
+  // recovers it the same way it does for E2), exact cosine re-rank
+  // keeps only the true top-K of each node's candidate set. Emitted
+  // cosines are exact.
+  //
+  // Scale (100 TB): the self-join shuffles (vec_id, bucket) pairs — 8
+  // bytes + an int, never the vectors; the 37×-per-table probe fan-out
+  // amplifies only those pairs, and vector bytes ship exactly twice
+  // per surviving candidate pair (the two equi-joins before re-rank).
+  // Bucket occupancy is the cost dial (more tables/bits → smaller
+  // buckets); hot buckets (degenerate embedding mass) are the same
+  // AQE-skew class the D3 band join spec pins. No n² anywhere.
+  val graph = QueryDef.rowsOnly("knn_graph") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val sig = Tables.spread(emb, s, "vec_id")
+      .withColumn("sigs", F.srpSigsArray(col("embedding"), LshTables, LshBits))
+    val b = sig.select(col("vec_id"),
+      explode(expr(F.srpBandBucketsExpr("sigs", LshTables, LshBits)))
+        .as("bucket"))
+    val probeMasks = (0 until (1 << LshBits))
+      .filter(m => Integer.bitCount(m) <= LshProbeRadius)
+    val probes = sig.select(col("vec_id").as("query_id"), explode(expr(
+      s"""flatten(transform(sequence(0, ${LshTables - 1}), t ->
+         |  transform(array(${probeMasks.mkString(",")}),
+         |    m -> t * ${1 << LshBits} + (${F.srpBandExpr("sigs", "t", LshBits)} ^ m))))"""
+        .stripMargin)).as("bucket"))
+    val pairs = probes
+      .join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    topK(pairs
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")),
+        Seq("vec_id")))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh, pq, ivfPq)
+    maxip, maxipLsh, pq, ivfPq, graph)
 }

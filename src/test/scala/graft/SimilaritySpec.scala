@@ -179,6 +179,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("knn_graph: per-node recall vs driver-side exact graph >= 0.9, cosines exact") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .filter { case (_, v) =>
+        v.foldLeft(0.0)((s, x) => s + x.toDouble * x) > 0 }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // exact top-5 per node, same (cosine desc, vec_id) tiebreak
+    val exactGraph = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }.take(5)
+    }.toMap
+    val rows = SparkEntry.queries("knn_graph")(spark, sf).collect()
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // every non-degenerate node appears in the graph
+    assert(got.keySet == exactGraph.keySet,
+      s"graph covers ${got.size} of ${exactGraph.size} nodes")
+    val hits = exactGraph.map { case (q, n) =>
+      (got(q) & n.map(_._1).toSet).size }.sum
+    val recall = hits.toDouble / exactGraph.values.map(_.size).sum
+    info(s"knn_graph (16 tables x 8 bits, multiprobe r<=2) recall@5 = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+    // re-ranked cosines are exact (same left-fold the kernel computes)
+    val exactCos = exactGraph.iterator.flatMap { case (q, ns) =>
+      ns.iterator.map { case (oid, c) => (q, oid) -> c } }.toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("knn_ivfpq recall vs brute force >= 0.9, emitted cosines exact") {
     val got = neighbors("knn_ivfpq")
     val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
