@@ -760,8 +760,55 @@ object Dedup {
     clusterLabels(s, d).queryExecution.toRdd.count()
   }
 
+  // --- D12: semantic decontamination --------------------------------------
+  // D9's embedding-space twin: the textual shingle containment check
+  // misses PARAPHRASED benchmark leakage, so production decontamination
+  // also screens the corpus against benchmark EMBEDDINGS (vec_id < 50
+  // stands in for the eval set). τ = 0.45 — the same
+  // above-random-cosine-background threshold D5 documents for this
+  // synthetic embedding space. Per corpus vector: how many benchmark
+  // vectors it matches and the closest one, exact cosines.
+  //
+  // Scale (100 TB): the benchmark set is small by nature (eval suites,
+  // not corpora) — broadcast it and the scan is MAP-ONLY: |bench|
+  // cosines per corpus vector, no shuffle of the corpus at all. The
+  // window runs on match survivors only (a few rows per contaminated
+  // vector). This is the one all-pairs shape where brute force IS the
+  // 100 TB plan — the left side never leaves its scan partition.
+  val semanticDecontaminate = QueryDef.oracled(
+    "corpus_decontaminate_semantic",
+    s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+      |           FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+      |sc AS (SELECT vec_id, bench_id,
+      |              ${Similarity.cosSql("embedding", "be")} AS cosine
+      |       FROM c, b),
+      |f AS (SELECT * FROM sc WHERE NOT isnan(cosine) AND cosine >= 0.45),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |               ORDER BY cosine DESC, bench_id) AS rk,
+      |             count(*) OVER (PARTITION BY vec_id) AS n_matches FROM f)
+      |SELECT vec_id, n_matches, bench_id, cosine
+      |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bench = broadcast(Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be")))
+    Tables.embeddings(s, d).filter(col("vec_id") >= 50)
+      .crossJoin(bench)
+      .withColumn("cosine", F.cosine_sim(col("embedding"), col("be")))
+      .filter(!isnan(col("cosine")) && col("cosine") >= 0.45)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("bench_id"))))
+      .withColumn("n_matches", count(lit(1)).over(
+        Window.partitionBy(col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("n_matches"), col("bench_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
-    sourceOverlap)
+    sourceOverlap, semanticDecontaminate)
 }

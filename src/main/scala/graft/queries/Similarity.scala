@@ -50,7 +50,7 @@ object Similarity {
   /** Shared DuckDB cosine: strict left-fold in double — bit-identical
     * to graft.functions.CosineSim (SURVEY §5).
     */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(list_zip($a, $b),
        |                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),

@@ -301,4 +301,35 @@ class TextDedupSpec extends AnyFunSuite {
     // the budget actually bites on this corpus: something was dropped
     assert(rows.length < docs.length, "rebalance kept everything — cap inert")
   }
+
+  test("corpus_decontaminate_semantic equals a driver-side cosine replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = vecs.filter(_._1 < 50)
+    val expected = vecs.filter(_._1 >= 50).flatMap { case (id, v) =>
+      val ms = bench.map { case (bid, bv) => (bid, cos(v, bv)) }
+        .filter { case (_, c) => !c.isNaN && c >= 0.45 }
+      if (ms.isEmpty) None
+      else {
+        val best = ms.minBy { case (bid, c) => (-c, bid) }
+        Some(id -> ((ms.length.toLong, best._1, best._2)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("corpus_decontaminate_semantic")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("bench_id"),
+          r.getAs[Double]("cosine")))).toMap
+    assert(got.nonEmpty, "no semantic contamination found — threshold inert")
+    assert(got == expected, s"diverges: got ${got.size}, expected ${expected.size}")
+  }
 }
