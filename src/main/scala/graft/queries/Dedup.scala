@@ -807,8 +807,100 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  // --- D13: the full curation pipeline as one DAG ---------------------------
+  // The reason the individual operators exist: a production corpus run
+  // is quality filter → exact dedup → near-dup keeper selection →
+  // decontamination → train/val/test split, and this query emits the
+  // per-document DISPOSITION of that cascade (group by disposition =
+  // the attrition funnel). Flags are computed globally from the staged
+  // component frames (quality scores, content-hash canon, the D7
+  // cluster map, D9 containment, C11 split) and applied in priority
+  // order — every stage reuses a FrameCache'd artifact another query
+  // already stages, so the pipeline costs little more than its most
+  // expensive stage.
+  //
+  // Scale (100 TB): every component join is doc_id-keyed — the first
+  // join shuffles both sides once and every later join reuses the
+  // hash(doc_id) partitioning (exchange reuse), so the composition adds
+  // ONE doc-keyed shuffle per new frame, each doc-count-sized; the
+  // heavy lifting (shingle index, cluster propagation) is the staged
+  // work the component queries already account for.
+  val curation = QueryDef.oracled(
+    "corpus_curation",
+    s"""WITH RECURSIVE $clusterCteSql,
+      |q AS (SELECT doc_id,
+      |        CAST(len(list_distinct(w)) AS DOUBLE)/len(w) * 0.5
+      |          + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'is', 'in', 'it', 'on', 'for'))) AS DOUBLE)/len(w)) * 0.3
+      |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)/length(text)) * 0.2 AS quality_score
+      |      FROM (SELECT doc_id, text,
+      |              regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |            FROM documents) t),
+      |x AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+      |        md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')))) AS keeper
+      |      FROM documents),
+      |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, len(s) AS n FROM sh
+      |       WHERE doc_id % 20 <> 0 AND len(s) > 0),
+      |exx AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+      |        WHERE doc_id % 20 <> 0 AND len(s) > 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hit FROM exx
+      |         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id),
+      |cont AS (SELECT tr.doc_id,
+      |           CAST(coalesce(h2.n_hit, 0) AS DOUBLE)/tr.n AS containment
+      |         FROM tr LEFT JOIN hits h2 USING (doc_id)),
+      |fp AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(text, '[\\s\\S]'),
+      |                     c -> CAST(ord(c) AS HUGEINT))),
+      |    (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 20 = 0 THEN 'benchmark'
+      |       WHEN q.quality_score < 0.65 THEN 'low_quality'
+      |       WHEN x.keeper <> d.doc_id THEN 'exact_dup'
+      |       WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id THEN 'near_dup'
+      |       WHEN coalesce(cont.containment, 0) >= 0.5 THEN 'contaminated'
+      |       WHEN fp.h % 100 < 98 THEN 'train'
+      |       WHEN fp.h % 100 = 98 THEN 'val' ELSE 'test' END AS disposition
+      |FROM documents d
+      |JOIN q USING (doc_id) JOIN x USING (doc_id)
+      |LEFT JOIN cl USING (doc_id) LEFT JOIN cont USING (doc_id)
+      |JOIN fp USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val q = TextAnalysis.quality.fn(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val canon = docs
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
+          .as("ch"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(col("ch"))))
+      .select(col("doc_id"), col("keeper"))
+    val cl = clusterLabels(s, d).withColumnRenamed("cluster_id", "cid")
+    val cont = decontaminate.fn(s, d)
+      .select(col("doc_id"), col("containment"))
+    val sp = TextAnalysis.trainSplit.fn(s, d)
+      .select(col("doc_id"), col("split"))
+    docs.select(col("doc_id"))
+      .join(q, Seq("doc_id")).join(canon, Seq("doc_id"))
+      .join(cl, Seq("doc_id"), "left").join(cont, Seq("doc_id"), "left")
+      .join(sp, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) === 0, lit("benchmark"))
+          .when(col("quality_score") < 0.65, lit("low_quality"))
+          .when(col("keeper") =!= col("doc_id"), lit("exact_dup"))
+          .when(col("cid").isNotNull && col("cid") =!= col("doc_id"),
+            lit("near_dup"))
+          .when(coalesce(col("containment"), lit(0.0)) >= 0.5,
+            lit("contaminated"))
+          .otherwise(col("split")).as("disposition"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
-    sourceOverlap, semanticDecontaminate)
+    sourceOverlap, semanticDecontaminate, curation)
 }

@@ -332,4 +332,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no semantic contamination found — threshold inert")
     assert(got == expected, s"diverges: got ${got.size}, expected ${expected.size}")
   }
+
+  test("corpus_curation disposition is consistent with the component queries") {
+    def byDoc(name: String): Map[Long, org.apache.spark.sql.Row] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val qual = byDoc("text_quality")
+    val keep = byDoc("corpus_keepers")
+    val dec = byDoc("corpus_decontaminate")
+    val split = byDoc("corpus_train_split")
+    // doc -> exact-dup canon, replayed with the D1 normalization
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val canon = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val norm = r.getAs[String]("text").toLowerCase
+          .replaceAll("[ \t\n\f\r]+", " ").trim
+        val h = md.digest(norm.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getAs[Long]("doc_id"), h)
+      }
+    val keeperOf = canon.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val canonOf = canon.map { case (id, h) => id -> keeperOf(h) }.toMap
+    val got = SparkEntry.queries("corpus_curation")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("disposition")).toMap
+    assert(got.keySet == canonOf.keySet)
+    got.foreach { case (id, disp) =>
+      val expected =
+        if (id % 20 == 0) "benchmark"
+        else if (qual(id).getAs[Double]("quality_score") < 0.65) "low_quality"
+        else if (canonOf(id) != id) "exact_dup"
+        else if (!keep(id).getAs[Boolean]("keep")) "near_dup"
+        else if (dec.get(id).exists(_.getAs[Boolean]("contaminated")))
+          "contaminated"
+        else split(id).getAs[String]("split")
+      assert(disp == expected, s"doc $id: got $disp, expected $expected")
+    }
+    // the cascade is non-degenerate on this corpus: at least benchmark
+    // and a kept split are present
+    val kinds = got.values.toSet
+    assert(kinds.contains("benchmark") && kinds.contains("train"),
+      s"degenerate cascade: $kinds")
+  }
 }
