@@ -23,7 +23,7 @@ object TextAnalysis {
   private def words(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "and", "of", "to", "is", "in", "it", "on", "for")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 

@@ -34,6 +34,9 @@ case class HashedDoc(content_hash: String, doc_id: Long)
 case class HashedDocIngest(
     content_hash: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
 case class BandedDoc(doc_id: Long, bucket: String, ingest_ts: java.sql.Timestamp)
+case class IngestDoc(doc_id: Long, content_hash: String, split: String,
+  ingest_ts: java.sql.Timestamp)
+case class IngestDecision(doc_id: Long, disposition: String)
 case class CandidatePair(doc_a: Long, doc_b: Long)
 case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
 case class FunnelStage(user_id: Long, stage: String)
@@ -932,8 +935,127 @@ object Streaming {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
+  // --- A30: streaming ingest curation (D13's online half) ------------------
+  // What ingest can decide ONLINE, per arriving document: the
+  // benchmark/quality gates are stateless projections, the exact-dedup
+  // gate is first-seen-wins keyed state (the A14 machinery), and the
+  // winner is stamped with its content-keyed split on the way through.
+  // Cluster/decontamination dispositions stay corpus-level (D13) — an
+  // online system cannot know them at arrival, and the honest split is
+  // exactly this one. Losers of a content-hash group emit 'exact_dup'
+  // whether they lose in-batch (min doc_id wins, matching the batch
+  // oracle under the single-batch replay, as A14) or cross-batch
+  // (state.exists — the multi-batch spec pins this). State expires via
+  // the standard ingest-time horizon: a re-arriving duplicate past it
+  // is re-admitted, the bounded-memory dedup-window tradeoff.
+  //
+  // The oracle mirrors the BRANCH structure (bench → quality-pass →
+  // dedup/split, else low_quality), not a flat flag priority, so edge
+  // semantics (e.g. a NaN quality score) stay engine-identical.
+  val corpusIngest = QueryDef.oracled(
+    "stream_corpus_ingest",
+    """WITH t AS (SELECT doc_id, text,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |          FROM documents),
+      |q AS (SELECT doc_id, text,
+      |        CAST(len(list_distinct(w)) AS DOUBLE)/len(w) * 0.5
+      |          + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'is', 'in', 'it', 'on', 'for'))) AS DOUBLE)/len(w)) * 0.3
+      |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)/length(text)) * 0.2 AS qs
+      |      FROM t),
+      |fp AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(regexp_extract_all(text, '[\s\S]'),
+      |                     c -> CAST(ord(c) AS HUGEINT))),
+      |    (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM documents),
+      |base AS (SELECT q.doc_id, q.text, q.qs, fp.h
+      |         FROM q JOIN fp USING (doc_id)),
+      |surv AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+      |           '[ \t\n\f\r]+', ' ', 'g'))) AS ch
+      |         FROM base WHERE doc_id % 20 <> 0 AND qs >= 0.65),
+      |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS keeper
+      |      FROM surv)
+      |SELECT b.doc_id,
+      |  CASE WHEN b.doc_id % 20 = 0 THEN 'benchmark'
+      |       WHEN b.qs >= 0.65 THEN
+      |         CASE WHEN k.keeper <> b.doc_id THEN 'exact_dup'
+      |              WHEN b.h % 100 < 98 THEN 'train'
+      |              WHEN b.h % 100 = 98 THEN 'val' ELSE 'test' END
+      |       ELSE 'low_quality' END AS disposition
+      |FROM base b LEFT JOIN k USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val path = s"$d/documents.parquet"
+    runCorpusIngest(s, s.readStream.schema(parquetSchema(s, path))
+      .parquet(symlinkedDir(path, "documents.parquet")))
+  }
+
+  /** The A30 pipeline over an arbitrary streaming documents frame —
+    * seam for the multi-batch state-carry spec.
+    */
+  private[graft] def runCorpusIngest(s: SparkSession, raw: DataFrame): DataFrame = {
+    import s.implicits._
+    val stopsSql = graft.queries.TextAnalysis.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    val scored = raw
+      // ingest-spread (see stream_dedup_minhash): scoring + hashing of
+      // the full text runs wide instead of on the one scan partition
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("w", graft.functions.expressions.tokenize_words(col("text")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(w, x -> x IN ($stopsSql))) AS DOUBLE)")
+          / size(col("w")))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(col("text"),
+          lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
+          .cast("double") / length(col("text")))
+      .withColumn("qs",
+        col("uniq_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3
+          + (lit(1.0) - col("punct_ratio")) * 0.2)
+      .withColumn("bucket",
+        (graft.queries.Coordination.fpUnsigned(col("text")) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val").otherwise("test"))
+    val nonBench = pmod(col("doc_id"), lit(20)) =!= 0
+    val bench = scored.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), lit("benchmark").as("disposition"))
+    val lowq = scored.filter(nonBench && !(col("qs") >= 0.65))
+      .select(col("doc_id"), lit("low_quality").as("disposition"))
+    val decided = scored.filter(nonBench && col("qs") >= 0.65)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
+          .as("content_hash"),
+        col("split"), current_timestamp().as("ingest_ts"))
+      .withWatermark("ingest_ts", "1 second")
+      .as[IngestDoc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[IngestDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = it.toSeq
+            state.setTimeoutTimestamp(
+              batch.map(e => tsMicros(e.ingest_ts)).max / 1000L +
+                StateHorizonMs)
+            if (state.exists)
+              batch.iterator.map(e => IngestDecision(e.doc_id, "exact_dup"))
+            else {
+              state.update(true)
+              val w = batch.minBy(_.doc_id)
+              batch.iterator.map(e =>
+                if (e.doc_id == w.doc_id) IngestDecision(e.doc_id, e.split)
+                else IngestDecision(e.doc_id, "exact_dup"))
+            }
+          })
+    runToMemory(s, decided.toDF().union(bench).union(lowq),
+      OutputMode.Append, needsNoDataBatch = false)
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures, groupFeed, intervalJoin)
+    leaderTenures, groupFeed, intervalJoin, corpusIngest)
 }

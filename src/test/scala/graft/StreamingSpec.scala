@@ -265,4 +265,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(opDigit(v) == sparkSide(v), s"op digit diverges at v=$v")
     }
   }
+
+  test("stream_corpus_ingest dedups across MULTIPLE micro-batches") {
+    import spark.implicits._
+    // planted corpus: batch 1 establishes content-hash state, batch 2
+    // re-arrives the same content under a new doc_id (cross-batch dup),
+    // plus a benchmark id (multiple of 20) and a low-quality doc
+    // (all-stopword text scores uniq 0.2*0.5 + (1-1)*0.3 + 1*0.2 < 0.65)
+    val good = "quick brown foxes jump over seven lazy dogs near riverbank " +
+      "while curious owls watch silently from tall ancient oaks"
+    val junk = "the the the the a a a and and of"
+    val b1 = Seq((1L, good, "en", "srcA", good.length.toLong),
+      (40L, "benchmark doc content here entirely unique words", "en", "srcA", 48L),
+      (3L, junk, "en", "srcB", junk.length.toLong))
+    val b2 = Seq((7L, good, "en", "srcC", good.length.toLong), // cross-batch dup of 1
+      (9L, "another perfectly fine document with plenty distinct " +
+        "vocabulary spread across many different tokens", "en", "srcB", 99L))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_multibatch").toString
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20) // distinct mod times -> deterministic batch order
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
+    val got = graft.streaming.Streaming.runCorpusIngest(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir))
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("disposition")).toMap
+    assert(got(40L) == "benchmark")
+    assert(got(3L) == "low_quality")
+    assert(Set("train", "val", "test").contains(got(1L)),
+      s"first arrival should be admitted: ${got(1L)}")
+    // the batch-2 re-arrival hits state established in batch 1
+    assert(got(7L) == "exact_dup", s"cross-batch dup missed: ${got(7L)}")
+    assert(Set("train", "val", "test").contains(got(9L)))
+    assert(got.size == 5)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }
