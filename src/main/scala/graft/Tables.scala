@@ -16,22 +16,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read it as raw nanos
-    * (spark.sql.legacy.parquet.nanosAsLong — set in
-    * [[graft.GraftSession]]) and truncate to micro precision with exact
-    * integer floor-division, matching DuckDB's nanos→micros truncation
-    * so oracle timestamps are bit-identical.
+  /** Normalize events.ts to TIMESTAMP (LTZ, micro precision) across
+    * generator vintages, so every downstream `unix_micros(ts)` call
+    * site sees one type:
+    *  - TIMESTAMP(NANOS) files (rounds ≤8): Spark's vectorized reader
+    *    rejects nanos, so they are read as raw longs
+    *    (spark.sql.legacy.parquet.nanosAsLong — set in
+    *    [[graft.GraftSession]]) and truncated to micros with exact
+    *    integer floor-division, matching DuckDB's nanos→micros
+    *    truncation so oracle timestamps are bit-identical.
+    *  - TIMESTAMP(MICROS, not UTC-adjusted) files (round 9 regen):
+    *    Spark reads TIMESTAMP_NTZ, which LTZ-only functions
+    *    (unix_micros) reject; cast to TIMESTAMP — the session zone is
+    *    pinned UTC, so the wall clock (and the stored micros DuckDB
+    *    sees) is unchanged.
     */
   private[graft] def withMicroTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      // exact integer FLOOR division (DIV alone truncates toward zero,
-      // which would diverge from DuckDB's floor for pre-epoch nanos)
-      df.withColumn("ts", expr(
-        "timestamp_micros(ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // exact integer FLOOR division (DIV alone truncates toward zero,
+        // which would diverge from DuckDB's floor for pre-epoch nanos)
+        df.withColumn("ts", expr(
+          "timestamp_micros(ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Name → loader, the single source of which tables need

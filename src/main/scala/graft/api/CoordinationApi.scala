@@ -75,13 +75,32 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
       case r if r.isNullAt(0) => 1L
       case r => r.getLong(0) + 1L
     }
-    // ts as INT64 nanos, matching the changelog's physical schema so
-    // part files merge (Tables.withMicroTs normalizes on read)
-    val tsNanos = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong
+    // ts written in the changelog's PHYSICAL type (footer-read, not the
+    // Tables.events-normalized one) so appended part files merge with
+    // the existing ones: INT64 nanos for legacy-nanos changelogs,
+    // TIMESTAMP_NTZ for micros changelogs (the round-9 generator),
+    // TIMESTAMP otherwise — Tables.withMicroTs normalizes all on read
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     import spark.implicits._
-    val row = Seq((eventId, tsNanos, key, namespace, payload,
-      null.asInstanceOf[String]))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rawTsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val row = rawTsType match {
+      case LongType =>
+        val tsNanos = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong
+        Seq((eventId, tsNanos, key, namespace, payload,
+          null.asInstanceOf[String])).toDF(cols: _*)
+      case TimestampNTZType =>
+        // session zone is pinned UTC — the wall clock written here is
+        // the same instant every LTZ consumer reads back
+        val ldt = java.time.LocalDateTime.ofInstant(
+          ts.toInstant, java.time.ZoneOffset.UTC)
+        Seq((eventId, ldt, key, namespace, payload,
+          null.asInstanceOf[String])).toDF(cols: _*)
+      case _ =>
+        Seq((eventId, ts, key, namespace, payload,
+          null.asInstanceOf[String])).toDF(cols: _*)
+    }
     try row.coalesce(1).write.mode("append")
       .parquet(s"$sfDir/events.parquet")
     catch { case e: Throwable =>

@@ -14,6 +14,13 @@ object ExplainTool {
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"[time] $name ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      // post-execution adaptive plan: shows which exchanges AQE actually
+      // materialized vs reused (the static plan repeats shared subtrees)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_FINAL")) {
+        df.collect()
+        println(s"===== $name (final adaptive plan) =====")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -104,6 +104,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(size0.values.sum == users)
   }
 
+  test("events_value_percentiles: distributed rank equals the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // reference: the round-8 one-window-task-per-type formulation — the
+    // semantics the distributed two-pass rank must reproduce exactly
+    val w = Window.partitionBy(col("event_type"))
+    val ref = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("value"))).as("p99"),
+        max(col("n")).as("n_events"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val df = SparkEntry.queries("events_value_percentiles")(spark, sf)
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == ref)
+    // plan shape: the scale contract is a RANGE partition of the event
+    // scan (each sort task owns 1/P of a type), not one hash partition
+    // per type
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "expected a range-partition exchange in the percentile plan")
+  }
+
   test("text_tfidf: top-3 per doc, score is tf*N/df descending") {
     val nDocs = Tables.documents(spark, sf).count()
     val rows = SparkEntry.queries("text_tfidf")(spark, sf).collect()
