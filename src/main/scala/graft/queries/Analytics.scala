@@ -856,13 +856,19 @@ object Analytics {
       |SELECT rk.s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
       |FROM rk JOIN supplier ON rk.s_suppkey = supplier.s_suppkey
       |WHERE rnk = 1 ORDER BY rk.s_suppkey""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    // rank()=1 as scalar-max broadcast + equality filter (identical
+    // rank-1 semantics incl. ties): the per-supplier aggregate is
+    // dimension-sized but grows with sf, so an unpartitioned rank
+    // window would funnel it through one task — the B31/C15 pattern
+    // instead. AQE reuses the one revenue-agg exchange across both
+    // consumers.
+    val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
         col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(sum(revTerm).as("r"))
-      .withColumn("rnk", rank().over(Window.orderBy(col("r").desc)))
-      .filter(col("rnk") === 1)
+    rev.join(broadcast(rev.agg(max(col("r")).as("max_r"))),
+        col("r") === col("max_r"))
       .join(broadcast(Tables.supplier(s, d)), Seq("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("r").cast("double").as("total_revenue"))

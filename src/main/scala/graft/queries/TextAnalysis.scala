@@ -465,13 +465,32 @@ object TextAnalysis {
         .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
     }
 
-  /** Materialize C13's staged count tables (the bench warms these off
-    * the measured path and reports them under `_stage`, like the dedup
-    * family's shingle stages).
+  /** Distinct per-document hashed-bigram pairs (doc_id, xxhash64(bg)),
+    * staged once per (session, sf dir). C16's two aggregations (per-doc
+    * distinct count, per-bigram df) both consume exactly this set; as
+    * two un-staged branches they each re-ran the scan + tokenize +
+    * bigram + hash pipeline — the suite's largest repeated CPU burst
+    * (the round-8 driver record's 10× outlier). The distinct is folded
+    * into the stage so the dedup shuffle also happens once.
+    */
+  private def docBigramHashes(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.dbh:$d") {
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(col("doc_id"),
+          explode(F.bigrams2(F.tokenize_words(col("text")))).as("bg"))
+        .select(col("doc_id"), xxhash64(col("bg")).as("bh"))
+        .distinct()
+    }
+
+  /** Materialize C13's staged count tables and C16's distinct
+    * doc-bigram frame (the bench warms these off the measured path and
+    * reports them under `_stage`, like the dedup family's shingle
+    * stages).
     */
   private[graft] def warmStages(s: SparkSession, d: String): Unit = {
     unigramCounts(s, d).queryExecution.toRdd.count()
     bigramCounts(s, d).queryExecution.toRdd.count()
+    docBigramHashes(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
@@ -517,17 +536,20 @@ object TextAnalysis {
     val bcnt = bcntAll.filter(col("n_ab") >= 5)
       .select(element_at(split(col("bg"), " "), 1).as("token_a"),
         element_at(split(col("bg"), " "), 2).as("token_b"), col("n_ab"))
-    // Shrink the vocabulary to the tokens the surviving bigrams touch
-    // BEFORE broadcasting: ucnt streams past a broadcast semi-join on
-    // the tiny token set, and only the survivors ship to executors.
-    val needed = bcnt.select(col("token_a").as("tok"))
-      .union(bcnt.select(col("token_b").as("tok"))).distinct()
-    val ucntNeeded = ucnt.join(broadcast(needed), Seq("tok"), "left_semi")
-    bcnt
-      .join(broadcast(ucntNeeded.select(col("tok").as("token_a"),
-        col("n").as("n_a"))), Seq("token_a"))
-      .join(broadcast(ucntNeeded.select(col("tok").as("token_b"),
-        col("n").as("n_b"))), Seq("token_b"))
+    // The support-filtered bigram list is the TINY side — broadcast IT
+    // into the vocabulary table (streamed map-only off the staged
+    // frame) rather than semi-joining the vocabulary down and
+    // broadcasting the survivors: same n_a/n_b values (bigram tokens
+    // are by construction unigram tokens), one less distinct and two
+    // fewer vocabulary broadcasts (the round-8 0.5 → 1.0 s regression),
+    // and at 100 TB the build side is the one the support filter
+    // bounds, while the vocabulary only ever streams.
+    val withA = ucnt.join(broadcast(bcnt), col("tok") === col("token_a"))
+      .select(col("token_a"), col("token_b"), col("n_ab"),
+        col("n").as("n_a"))
+    ucnt.join(broadcast(withA), col("tok") === col("token_b"))
+      .select(col("token_a"), col("token_b"), col("n_ab"), col("n_a"),
+        col("n").as("n_b"))
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(btot))
       // same association order as the oracle: ((n_ab·N)·N) / ((B·n_a)·n_b)
@@ -608,10 +630,11 @@ object TextAnalysis {
   // NO join back to the big frame — a bigram with df = 1 has exactly
   // one owning document, so min(doc_id) in the same df aggregation
   // names it, and filter(df=1).groupBy(owner) is a vocabulary-sized
-  // rollup. Two shuffles of (doc_id, hash) pairs total (per-doc
-  // distinct count, per-bigram df), both with map-side partials; the
-  // final join is doc-count-sized. First cut joined the 3M-row string
-  // frame back on bg: 14.5 s → this shape at sf0.1.
+  // rollup. The distinct (doc_id, hash) set is a staged frame
+  // (docBigramHashes — built once, read by both aggregations); each
+  // consumer is then one shuffle with map-side partials and the final
+  // join is doc-count-sized. First cut joined the 3M-row string frame
+  // back on bg: 14.5 s → this shape at sf0.1.
   val bigramNovelty = QueryDef.oracled(
     "text_bigram_novelty",
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -625,14 +648,11 @@ object TextAnalysis {
       |       CAST(count(*) FILTER (WHERE df = 1) AS DOUBLE) / count(*) AS novelty
       |FROM db JOIN df USING (bg)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val bi = Tables.spread(Tables.documents(s, d), s, "doc_id")
-      .select(col("doc_id"),
-        explode(F.bigrams2(F.tokenize_words(col("text")))).as("bg"))
-      .select(col("doc_id"), xxhash64(col("bg")).as("bh"))
-    val perDoc = bi.groupBy(col("doc_id"))
-      .agg(countDistinct(col("bh")).as("n_distinct"))
-    val novel = bi.groupBy(col("bh"))
-      .agg(countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("owner"))
+    val db = docBigramHashes(s, d)
+    val perDoc = db.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val novel = db.groupBy(col("bh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
       .filter(col("df") === 1)
       .groupBy(col("owner").as("doc_id"))
       .agg(count(lit(1)).as("n_novel"))
