@@ -130,6 +130,54 @@ object HashImpl {
     dot
   }
 
+  /** Index of the L2-nearest centroid: argmin over `centroids` (an
+    * array of float vectors — in practice a small literal/broadcast
+    * codebook) of squared distance to `v`, strict `<` so ties keep the
+    * LOWEST index — the same tiebreak as orderBy(dist2, cid) rank 1.
+    * The quantizer-encode kernel: one map-side call per vector replaces
+    * a |codebook|× crossJoin + per-vector window.
+    */
+  def argminL2(v: ArrayData, centroids: ArrayData): Int = {
+    val k = centroids.numElements()
+    val n = v.numElements()
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val ce = centroids.getArray(c)
+      var s = 0.0
+      var i = 0
+      val m = math.min(n, ce.numElements())
+      while (i < m) {
+        val dx = v.getFloat(i).toDouble - ce.getFloat(i).toDouble
+        s += dx * dx
+        i += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Index of the cosine-nearest centroid: argmax over `centroids` of
+    * cosineFF(v, c), strict `>` so ties (and all-NaN cosines of a
+    * zero-norm v) keep the LOWEST index — the same pick as
+    * orderBy(csim desc, cid) rank 1 (Spark sorts NaN above all values,
+    * so an all-NaN row group also resolves to the lowest cid).
+    */
+  def argmaxCos(v: ArrayData, centroids: ArrayData): Int = {
+    val k = centroids.numElements()
+    var best = 0
+    var bs = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val s = cosineFF(v, centroids.getArray(c))
+      if (s > bs) { bs = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** L2 norm of a float vector, double accumulation. */
   def l2normF(a: ArrayData): Double = {
     var s = 0.0

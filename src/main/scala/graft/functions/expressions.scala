@@ -128,6 +128,34 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): DequantizeI8 = copy(child = c)
   }
 
+  /** 0-based index of the L2-nearest centroid in an array-of-vectors
+    * codebook (ties → lowest index). The quantizer-encode kernel: a
+    * map-side argmin against a literal codebook, replacing the
+    * crossJoin + window assignment shape flagged in round 8.
+    */
+  case class ArgminL2(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any, cs: Any): Any =
+      HashImpl.argminL2(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, cs) => s"graft.functions.HashImpl.argminL2($v, $cs)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminL2 =
+      copy(l, r)
+  }
+
+  /** 0-based index of the cosine-nearest centroid (ties and all-NaN →
+    * lowest index). The IVF list-assignment twin of [[ArgminL2]].
+    */
+  case class ArgmaxCos(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(v: Any, cs: Any): Any =
+      HashImpl.argmaxCos(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, cs) => s"graft.functions.HashImpl.argmaxCos($v, $cs)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgmaxCos =
+      copy(l, r)
+  }
+
   /** Cosine over int8-quantized vectors (integer accumulation). */
   case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -228,4 +256,6 @@ object expressions {
   def quantize_i8(c: Column, scale: Float): Column = toCol(QuantizeI8(ex(c), scale))
   def dequantize_i8(c: Column, scale: Float): Column = toCol(DequantizeI8(ex(c), scale))
   def cosine_sim_i8(a: Column, b: Column): Column = toCol(CosineSimI8(ex(a), ex(b)))
+  def argmin_l2(v: Column, centroids: Column): Column = toCol(ArgminL2(ex(v), ex(centroids)))
+  def argmax_cos(v: Column, centroids: Column): Column = toCol(ArgmaxCos(ex(v), ex(centroids)))
 }

@@ -294,12 +294,14 @@ object Similarity {
         .map { case (v, i) => (i.toLong, v) }.toDF("cid", "ce"))
     }
     val emb = Tables.embeddings(s, d)
-    // invert: every vector → nearest refined-centroid list
-    val assigned = emb.crossJoin(centroids)
-      .withColumn("csim", F.cosine_sim(col("embedding"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
-      .filter(col("crk") === 1)
+    // invert: every vector → nearest refined-centroid list, as a
+    // map-side argmax against the literal centroid array (the encode
+    // pass is a per-row pure function — round 8 crossJoined the corpus
+    // 16× and ranked through a window; same assignment incl. the
+    // lowest-cid tie/NaN resolution, zero shuffle)
+    val assigned = emb
+      .withColumn("cid", F.argmax_cos(col("embedding"),
+        typedlit(refined.map(_.toSeq))).cast("long"))
       .select(col("cid"), col("vec_id"), col("embedding").as("ea"))
     // query → nProbe nearest lists
     val probes = queriesDf(s, d).crossJoin(centroids)
@@ -800,14 +802,18 @@ object Similarity {
   private def l2d(a: Column, b: Column): Column =
     F.dot_product(a, a) - lit(2.0) * F.dot_product(a, b) + F.dot_product(b, b)
 
-  private def pqNearest(frame: DataFrame, book: DataFrame,
-      idCols: Seq[String]): DataFrame =
-    frame.join(book, Seq("m"))
-      .withColumn("dist2", l2d(col("sv"), col("ce")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy((idCols :+ "m").map(col): _*)
-          .orderBy(col("dist2"), col("cid"))))
-      .filter(col("rk") === 1)
+  /** A staged codebook frame collected to the literal-array form the
+    * map-side argmin encode consumes: Seq indexed [m][cid] → centroid.
+    * Bounded collect (PqM × PqK = 256 rows) of an already-broadcast
+    * staged frame — the FAISS "load the index header" step, run once
+    * per encode-stage build.
+    */
+  private def bookAsArrays(book: DataFrame): Seq[Seq[Seq[Float]]] = {
+    val rows = book.select(col("m"), col("cid"), col("ce")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
 
   /** The per-(session, dir) L2-normalized subvector frame. NOT staged:
     * read once per index build, which is itself staged.
@@ -855,11 +861,21 @@ object Similarity {
     }
 
   /** Encoded corpus (vec_id, m, cid) — 16 bytes per vector at scale —
-    * staged once per (session, dir) alongside its codebook.
+    * staged once per (session, dir) alongside its codebook. The code
+    * assignment is a MAP-SIDE argmin against the literal codebook (one
+    * native-kernel call per subvector row): the round-8 shape joined
+    * every subvector with all 16 centroids and ranked per (vec, m)
+    * through a window — a 16× row amplification plus a corpus-sized
+    * shuffle in what is a per-row pure function. Same codes modulo
+    * float rounding (Σ(x−c)² vs the expanded ‖x‖²−2x·c+‖c‖²), same
+    * lowest-cid tiebreak.
     */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.pq.codes:$d") {
-      pqNearest(pqSubvectors(s, d), broadcast(pqCodebook(s, d)), Seq("vec_id"))
+      val books = typedlit(bookAsArrays(pqCodebook(s, d)))
+      pqSubvectors(s, d)
+        .withColumn("cid",
+          F.argmin_l2(col("sv"), element_at(books, col("m") + 1)))
         .select(col("vec_id"), col("m"), col("cid"))
     }
 
@@ -924,20 +940,24 @@ object Similarity {
   private def ivfPqCodes(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.ivfpq.codes:$d") {
       val book = ivfPqBook(s, d)
-      val coarse = broadcast(book.filter(col("m") === -1)
-        .select(col("cid").as("list"), col("ce").as("le")))
+      // both quantizer levels as literal arrays: the whole encode pass
+      // is then one map-only pipeline over the corpus — no crossJoin
+      // row amplification, no per-vector window, no exchange at all
+      // (the round-8 shape shuffled 16× the corpus twice). Same
+      // lowest-index tiebreaks as the ranked form.
+      val coarseLit = typedlit(bookAsArrays(
+        book.filter(col("m") === -1).withColumn("m", lit(0))).head)
+      val booksLit = typedlit(bookAsArrays(book.filter(col("m") >= 0)))
       val xn = Tables.spread(Tables.embeddings(s, d), s, "vec_id")
         .withColumn("nrm", F.l2norm(col("embedding")))
         .filter(col("nrm") > 0)
         .withColumn("xn", expr("transform(embedding, x -> CAST(x / nrm AS FLOAT))"))
         .select(col("vec_id"), col("xn"))
-      // assign each vector to its nearest list (L2 in normalized space)
-      val assigned = xn.crossJoin(coarse)
-        .withColumn("dist2", l2d(col("xn"), col("le")))
-        .withColumn("lrk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list"))))
-        .filter(col("lrk") === 1)
-        // residual subvectors, sliced per subspace
+      // assign each vector to its nearest list (L2 in normalized
+      // space), then slice per-subspace residuals against that list's
+      // centroid
+      xn.withColumn("list", F.argmin_l2(col("xn"), coarseLit))
+        .withColumn("le", element_at(coarseLit, col("list") + 1))
         .select(col("vec_id"), col("list"), explode(expr(
           s"""transform(sequence(0, ${PqM - 1}),
              |  m -> struct(m AS m, slice(zip_with(xn, le,
@@ -945,8 +965,8 @@ object Similarity {
             .stripMargin)).as("p"))
         .select(col("vec_id"), col("list"), col("p.m").as("m"),
           col("p.sv").as("sv"))
-      pqNearest(assigned, broadcast(ivfPqBook(s, d).filter(col("m") >= 0)),
-        Seq("vec_id", "list"))
+        .withColumn("cid",
+          F.argmin_l2(col("sv"), element_at(booksLit, col("m") + 1)))
         .select(col("vec_id"), col("list"), col("m"), col("cid"))
     }
 
