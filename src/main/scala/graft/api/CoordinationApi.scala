@@ -34,6 +34,13 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
 
   private def events: DataFrame = Tables.events(spark, sfDir)
 
+  /** Next event_id for [[append]] — 0 = unseeded; first append seeds it
+    * from the log end, later appends are a pure in-process increment
+    * (thread-safe within this instance; see the single-writer contract
+    * in [[append]]'s scaladoc).
+    */
+  private val nextEventId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ---- Write path (changelog append) -------------------------------------
 
   /** The write-side seam: `Storage.put/update/delete`, `join`, `leave`
@@ -49,12 +56,16 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     * per the A16 convention (round(value·100) % 10: 0 = delete, 1..3 =
     * put, 4..9 = update — [[graft.queries.Coordination.kvStorageReplay]]);
     * the digit is FORCED to the op's canonical value (1 / 4 / 0), so the
-    * written payload may differ from `value` by < 0.1. Negative payloads
-    * land in the sign-preserved −9..−1 digit class, which replays as
-    * PUT — so `update` requires value ≥ 0. Returns the event_id assigned
-    * (log-position tiebreak: max over the current log + 1 — the
-    * single-writer driver-side form; a distributed ingest would take
-    * ids from the broker offset, like the A13 sink).
+    * written payload may differ from `value` by < 0.1. Returns the
+    * event_id assigned from an in-process monotonic counter seeded ONCE
+    * per CoordinationApi instance by a full-log max() scan (O(log) once,
+    * not per mutation). SINGLE-WRITER BY CONTRACT: two live
+    * CoordinationApi instances (or processes) appending to the same
+    * changelog can seed the same base and assign colliding event_ids —
+    * a distributed ingest takes ids from the broker offset instead,
+    * like the A13 sink. Negative payloads land in the sign-preserved
+    * −9..−1 digit class, which replays as PUT — so `update` requires
+    * value ≥ 0.
     */
   def append(namespace: String, key: Long, op: String, value: Double,
       ts: java.sql.Timestamp): Long = {
@@ -71,10 +82,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     val cents0 = math.round(value * 100)
     val cents = cents0 - (((cents0 % 10) + 10) % 10) + digit
     val payload = cents / 100.0
-    val eventId = events.agg(max(col("event_id"))).collect()(0) match {
-      case r if r.isNullAt(0) => 1L
-      case r => r.getLong(0) + 1L
+    if (nextEventId.get() == 0L) {
+      val logEnd = events.agg(max(col("event_id"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      nextEventId.compareAndSet(0L, logEnd) // loser keeps the winner's seed
     }
+    val eventId = nextEventId.incrementAndGet()
     // ts written in the changelog's PHYSICAL type (footer-read, not the
     // Tables.events-normalized one) so appended part files merge with
     // the existing ones: INT64 nanos for legacy-nanos changelogs,

@@ -65,13 +65,18 @@ object TextAnalysis {
     val stops = sqlList(stopwords)
     Tables.documents(s, d)
       .withColumn("w", words(col("text")))
+      // nullif'd denominators: a zero-token/empty doc yields NULL
+      // ratios exactly like the oracle's x/0 = NULL in DuckDB, instead
+      // of an ANSI DIVIDE_BY_ZERO error
       .withColumn("uniq_ratio",
-        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+        size(array_distinct(col("w"))).cast("double")
+          / nullif(size(col("w")), lit(0)))
       .withColumn("stop_ratio",
-        expr(s"CAST(size(filter(w, x -> x IN ($stops))) AS DOUBLE)") / size(col("w")))
+        expr(s"CAST(size(filter(w, x -> x IN ($stops))) AS DOUBLE)")
+          / nullif(size(col("w")), lit(0)))
       .withColumn("punct_ratio",
         size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
-          .cast("double") / length(col("text")))
+          .cast("double") / nullif(length(col("text")), lit(0)))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
         col("uniq_ratio"), col("stop_ratio"), col("punct_ratio"),
         (col("uniq_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3

@@ -1001,15 +1001,18 @@ object Streaming {
       // the full text runs wide instead of on the one scan partition
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("w", graft.functions.expressions.tokenize_words(col("text")))
+      // nullif'd denominators: a zero-token/empty doc must yield NULL
+      // ratios (DuckDB's x/0 = NULL), not an ANSI DIVIDE_BY_ZERO error
       .withColumn("uniq_ratio",
-        size(array_distinct(col("w"))).cast("double") / size(col("w")))
+        size(array_distinct(col("w"))).cast("double")
+          / nullif(size(col("w")), lit(0)))
       .withColumn("stop_ratio",
         expr(s"CAST(size(filter(w, x -> x IN ($stopsSql))) AS DOUBLE)")
-          / size(col("w")))
+          / nullif(size(col("w")), lit(0)))
       .withColumn("punct_ratio",
         size(regexp_extract_all(col("text"),
           lit("[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
-          .cast("double") / length(col("text")))
+          .cast("double") / nullif(length(col("text")), lit(0)))
       .withColumn("qs",
         col("uniq_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.3
           + (lit(1.0) - col("punct_ratio")) * 0.2)
@@ -1019,11 +1022,19 @@ object Streaming {
         when(col("bucket") < 98, "train")
           .when(col("bucket") === 98, "val").otherwise("test"))
     val nonBench = pmod(col("doc_id"), lit(20)) =!= 0
+    // three-valued-logic-safe quality split: a degenerate doc (empty
+    // text / zero tokens) makes the ratio divisions NULL, and a NULL qs
+    // fails BOTH `qs >= 0.65` and `!(qs >= 0.65)` — the row would
+    // silently vanish where the oracle's CASE lands it in
+    // 'low_quality'. coalesce(..., false) pins NULL to the low-quality
+    // branch in both engines (spec-pinned by a degenerate doc row in
+    // StreamingSpec's ingest corpus).
+    val passesQ = coalesce(col("qs") >= 0.65, lit(false))
     val bench = scored.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), lit("benchmark").as("disposition"))
-    val lowq = scored.filter(nonBench && !(col("qs") >= 0.65))
+    val lowq = scored.filter(nonBench && !passesQ)
       .select(col("doc_id"), lit("low_quality").as("disposition"))
-    val decided = scored.filter(nonBench && col("qs") >= 0.65)
+    val decided = scored.filter(nonBench && passesQ)
       .select(col("doc_id"),
         md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")))
           .as("content_hash"),

@@ -277,7 +277,11 @@ class StreamingSpec extends AnyFunSuite {
     val junk = "the the the the a a a and and of"
     val b1 = Seq((1L, good, "en", "srcA", good.length.toLong),
       (40L, "benchmark doc content here entirely unique words", "en", "srcA", 48L),
-      (3L, junk, "en", "srcB", junk.length.toLong))
+      (3L, junk, "en", "srcB", junk.length.toLong),
+      // degenerate doc: zero tokens -> NULL quality score; the 3VL-safe
+      // split must land it in low_quality (the oracle CASE's ELSE), not
+      // silently drop it from the output
+      (11L, "", "en", "srcB", 0L))
     val b2 = Seq((7L, good, "en", "srcC", good.length.toLong), // cross-batch dup of 1
       (9L, "another perfectly fine document with plenty distinct " +
         "vocabulary spread across many different tokens", "en", "srcB", 99L))
@@ -302,12 +306,14 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id") -> r.getAs[String]("disposition")).toMap
     assert(got(40L) == "benchmark")
     assert(got(3L) == "low_quality")
+    assert(got(11L) == "low_quality",
+      s"NULL quality score must classify as low_quality, not drop: $got")
     assert(Set("train", "val", "test").contains(got(1L)),
       s"first arrival should be admitted: ${got(1L)}")
     // the batch-2 re-arrival hits state established in batch 1
     assert(got(7L) == "exact_dup", s"cross-batch dup missed: ${got(7L)}")
     assert(Set("train", "val", "test").contains(got(9L)))
-    assert(got.size == 5)
+    assert(got.size == 6)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 }

@@ -122,8 +122,12 @@ def main() -> int:
     with open(out, "w") as f:
         json.dump(rec, f, separators=(",", ":"))
         f.write("\n")
-    with open(HISTORY, "w") as f:
-        json.dump((history + [round(stage, 2)])[-10:], f)
+    # the accepted-stage history backs the degraded-box gate for the
+    # CANONICAL artifact only — experimental --out refreshes must not
+    # shift the trailing median the gate compares against
+    if out == "BENCH_local.json":
+        with open(HISTORY, "w") as f:
+            json.dump((history + [round(stage, 2)])[-10:], f)
     n_err = sum(1 for v in merged.values() if v < 0)
     print(f"ACCEPTED: {out} <- confirmed minima over {len(runs)} runs, "
           f"total={rec['value']}s (_stage {stage:.1f}s, {len(merged)} "
