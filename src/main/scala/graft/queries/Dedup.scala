@@ -549,53 +549,86 @@ object Dedup {
     * the whole propagation). One copy per (session, dir); the iterative
     * build executes at most once per session.
     */
+  /** Min-label propagation to convergence over an undirected pair list
+    * (two id columns) → (id, cluster_id) for every id that appears in
+    * a pair. The shared CC kernel behind D7 (shingle graph) and D14
+    * (embedding graph).
+    *
+    * The dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
+    * corpus, here hundreds of rows at sf0.1) — keep the iteration
+    * frames on a fraction of the session's shuffle parallelism so
+    * per-sweep scheduling doesn't dominate; a billion-edge deployment
+    * turns the same one dial (spark.sql.shuffle.partitions).
+    */
+  private def propagateMin(s: SparkSession, pairs: DataFrame,
+      what: String): DataFrame = {
+    val sweepParts = math.max(2,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+    val ab = pairs.toDF("a", "b")
+    val edges = ab.union(ab.select(col("b"), col("a")))
+      .toDF("src", "dst").repartition(sweepParts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var sweeps = 0
+    while (changed > 0 && sweeps < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("src", "id")
+      // the change flag rides in the checkpointed frame: convergence
+      // check is a scan of materialized data, not a recompute-join
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("ch"))
+        .localCheckpoint()
+      changed = next.filter(col("ch")).count()
+      labels = next.drop("ch")
+      sweeps += 1
+    }
+    // fail LOUDLY if the sweep cap cut propagation short (a >64-diameter
+    // dup chain): silently-wrong cluster ids would cascade into the
+    // keep/drop decisions built on this map
+    require(changed == 0,
+      s"$what did not converge after $sweeps sweeps — " +
+        "graph diameter exceeds the cap; raise it or switch to " +
+        "star-contraction rounds")
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"dedup.clusters:$d") {
       // the pair graph comes from the DF-CAPPED path (== the exact
       // graph under D2b's cost model, spec-checked): at warehouse
       // scale the uncapped self-join's O(df²) hot keys would dominate
       // the whole CC build — and locally it halves the staged build
-      val pairs = cappedJaccardPairs(s, d, 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      // the dup graph is tiny relative to the corpus (|edges| ≈ dup rate ×
-      // corpus, here hundreds of rows at sf0.1) — keep the iteration
-      // frames on a fraction of the session's shuffle parallelism so
-      // per-sweep scheduling doesn't dominate; a billion-edge deployment
-      // turns the same one dial (spark.sql.shuffle.partitions)
-      val sweepParts = math.max(2,
-        s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").repartition(sweepParts, col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
-      var sweeps = 0
-      while (changed > 0 && sweeps < 64) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-          .withColumnRenamed("src", "id")
-        // the change flag rides in the checkpointed frame: convergence
-        // check is a scan of materialized data, not a recompute-join
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-            (col("nlbl") < col("lbl")).as("ch"))
-          .localCheckpoint()
-        changed = next.filter(col("ch")).count()
-        labels = next.drop("ch")
-        sweeps += 1
-      }
-      // fail LOUDLY if the sweep cap cut propagation short (a >64-diameter
-      // dup chain): silently-wrong cluster ids would cascade into D8's
-      // keep/drop decisions
-      require(changed == 0,
-        s"dedup_clusters did not converge after $sweeps sweeps — " +
-          "graph diameter exceeds the cap; raise it or switch to " +
-          "star-contraction rounds")
-      edges.unpersist()
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      propagateMin(s,
+        cappedJaccardPairs(s, d, 0.8).select(col("doc_a"), col("doc_b")),
+        "dedup_clusters")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }
+
+  /** Staged semantic cluster map (vec_id, cluster_id) — SemDeDup-style
+    * (Abbas et al. 2023) components of the EMBEDDING near-dup graph:
+    * edges = exact cosine ≥ τ over the D5 SRP candidate set, labels =
+    * the same min-label propagation as D7. The edge family is D5's
+    * 96-table SRP (not E12's 16-table top-k graph) because THIS map is
+    * oracled against the all-pairs exact edge set — D5's green oracle
+    * row is the standing proof that family misses nothing at τ=0.45 on
+    * this data, while E12's recall contract is per-node top-k, not
+    * every-edge-above-τ.
+    */
+  private[graft] def semanticClusterLabels(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"dedup.semclusters:$d") {
+      propagateMin(s,
+        embeddingNearDup(Tables.spread(Tables.embeddings(s, d), s, "vec_id"),
+          EmbTau, EmbTables, EmbBandBits)
+          .select(col("vec_a"), col("vec_b")),
+        "corpus_keepers_semantic")
+        .select(col("id").as("vec_id"), col("cluster_id"))
     }
 
   val clusters = QueryDef.oracled(
@@ -631,6 +664,59 @@ object Dedup {
         coalesce(col("cid"), col("doc_id")).as("cluster_id"),
         (col("cid").isNull || col("cid") === col("doc_id")).as("keep"))
       .orderBy(col("doc_id"))
+  }
+
+  // --- D14: SemDeDup — the semantic keeper decision ------------------------
+  // The embedding-space twin of D8 (Abbas et al. 2023, "SemDeDup"):
+  // documents whose EMBEDDINGS are near-duplicates (exact cosine ≥ τ
+  // over the D5 candidate set) form clusters; each cluster keeps one
+  // representative (min vec_id), everything else is a semantic dup a
+  // curator drops. Composition of two staged artifacts — the D5 pair
+  // machinery and the D7 propagation kernel — with the cluster map
+  // itself staged (semanticClusterLabels), so the query proper is one
+  // broadcast-sized left join against the corpus id list.
+  //
+  // Scale (100 TB): identical shape to D8 — the semantic-dup cluster
+  // map is orders of magnitude smaller than the corpus, the corpus
+  // side is a map-only scan + broadcast join, and the edge build ships
+  // (vec_id, int bucket) pairs only (D5's argument).
+  val semanticKeepers = QueryDef.oracled(
+    "corpus_keepers_semantic",
+    """WITH RECURSIVE p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(list_zip(a.embedding, b.embedding),
+      |                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+      |      (x, y) -> x + y) AS dot,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (x, y) -> x + y) AS na,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (x, y) -> x + y) AS nb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |dup AS (SELECT vec_a, vec_b FROM p
+      |        WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.45
+      |          AND NOT isnan(dot/(sqrt(na)*sqrt(nb)))),
+      |e AS (SELECT vec_a AS a, vec_b AS b FROM dup
+      |      UNION ALL SELECT vec_b, vec_a FROM dup),
+      |reach AS (
+      |  SELECT DISTINCT a, a AS r FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b),
+      |cl AS (SELECT a AS vec_id, min(r) AS cluster_id FROM reach GROUP BY a)
+      |SELECT em.vec_id,
+      |       coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+      |       (cl.cluster_id IS NULL OR cl.cluster_id = em.vec_id) AS keep
+      |FROM embeddings em LEFT JOIN cl USING (vec_id)
+      |ORDER BY em.vec_id""".stripMargin) { (s, d) =>
+    val cl = semanticClusterLabels(s, d)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(cl.withColumnRenamed("cluster_id", "cid"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cid"), col("vec_id")).as("cluster_id"),
+        (col("cid").isNull || col("cid") === col("vec_id")).as("keep"))
+      .orderBy(col("vec_id"))
   }
 
   // --- D10: exact-substring window dedup ------------------------------------
@@ -758,6 +844,7 @@ object Dedup {
     shingled(s, d).queryExecution.toRdd.count()
     cappedIndex(s, d).queryExecution.toRdd.count()
     clusterLabels(s, d).queryExecution.toRdd.count()
+    semanticClusterLabels(s, d).queryExecution.toRdd.count()
   }
 
   // --- D12: semantic decontamination --------------------------------------
@@ -902,5 +989,5 @@ object Dedup {
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
-    sourceOverlap, semanticDecontaminate, curation)
+    sourceOverlap, semanticDecontaminate, curation, semanticKeepers)
 }

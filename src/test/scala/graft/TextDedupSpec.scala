@@ -183,6 +183,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("corpus_keepers_semantic equals union-find over the D5 pair list") {
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.nonEmpty, "spec needs at least one semantic near-dup pair")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = SparkEntry.queries("corpus_keepers_semantic")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    // full corpus coverage: one row per embedding, singletons keep
+    assert(got.length == Tables.embeddings(spark, sf).count())
+    got.foreach { case (v, c, keep) =>
+      assert(c == clustered.getOrElse(v, v), s"cluster mismatch for $v")
+      assert(keep == (c == v), s"keep flag inconsistent for $v")
+    }
+    // exactly one keeper per cluster
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $c keeper count != 1")
+    }
+  }
+
   test("approx_distinct_users within 5% of exact") {
     val approx = SparkEntry.queries("approx_distinct_users")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
