@@ -952,47 +952,63 @@ object Streaming {
   // The oracle mirrors the BRANCH structure (bench → quality-pass →
   // dedup/split, else low_quality), not a flat flag priority, so edge
   // semantics (e.g. a NaN quality score) stay engine-identical.
-  val corpusIngest = QueryDef.oracled(
+  /** A30 factory with the curation knobs threaded the way TTL is
+    * through the A-family ([[graft.queries.Coordination]]'s `*Ttl`
+    * factories): the quality gate and the train/val split percentiles
+    * drive BOTH the Spark builder and the oracle SQL, so the pair
+    * stays hash-identical at any setting — tools/VerifyCuration is the
+    * non-default proof run. Split contract: content-hash bucket (mod
+    * 100) < trainPct → train, < trainPct+valPct → val, else test.
+    */
+  def corpusIngestWith(qualityMin: Double, trainPct: Int,
+      valPct: Int): QueryDef = QueryDef.oracled(
     "stream_corpus_ingest",
-    """WITH t AS (SELECT doc_id, text,
+    s"""WITH t AS (SELECT doc_id, text,
       |            regexp_extract_all(lower(text), '[a-z0-9]+') AS w
       |          FROM documents),
       |q AS (SELECT doc_id, text,
       |        CAST(len(list_distinct(w)) AS DOUBLE)/len(w) * 0.5
       |          + (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'is', 'in', 'it', 'on', 'for'))) AS DOUBLE)/len(w)) * 0.3
-      |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)/length(text)) * 0.2 AS qs
+      |          + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)/length(text)) * 0.2 AS qs
       |      FROM t),
       |fp AS (SELECT doc_id, list_reduce(
       |    list_prepend(CAST(0 AS HUGEINT),
-      |      list_transform(regexp_extract_all(text, '[\s\S]'),
+      |      list_transform(regexp_extract_all(text, '[\\s\\S]'),
       |                     c -> CAST(ord(c) AS HUGEINT))),
       |    (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
       |  FROM documents),
       |base AS (SELECT q.doc_id, q.text, q.qs, fp.h
       |         FROM q JOIN fp USING (doc_id)),
       |surv AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
-      |           '[ \t\n\f\r]+', ' ', 'g'))) AS ch
-      |         FROM base WHERE doc_id % 20 <> 0 AND qs >= 0.65),
+      |           '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS ch
+      |         FROM base WHERE doc_id % 20 <> 0 AND qs >= $qualityMin),
       |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS keeper
       |      FROM surv)
       |SELECT b.doc_id,
       |  CASE WHEN b.doc_id % 20 = 0 THEN 'benchmark'
-      |       WHEN b.qs >= 0.65 THEN
+      |       WHEN b.qs >= $qualityMin THEN
       |         CASE WHEN k.keeper <> b.doc_id THEN 'exact_dup'
-      |              WHEN b.h % 100 < 98 THEN 'train'
-      |              WHEN b.h % 100 = 98 THEN 'val' ELSE 'test' END
+      |              WHEN b.h % 100 < $trainPct THEN 'train'
+      |              WHEN b.h % 100 < ${trainPct + valPct} THEN 'val' ELSE 'test' END
       |       ELSE 'low_quality' END AS disposition
       |FROM base b LEFT JOIN k USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
     val path = s"$d/documents.parquet"
     runCorpusIngest(s, s.readStream.schema(parquetSchema(s, path))
-      .parquet(symlinkedDir(path, "documents.parquet")))
+      .parquet(symlinkedDir(path, "documents.parquet")),
+      qualityMin, trainPct, valPct)
   }
 
+  /** The default-knob A30 (quality ≥ 0.65, 98/1/1 split). */
+  val corpusIngest: QueryDef = corpusIngestWith(0.65, 98, 1)
+
   /** The A30 pipeline over an arbitrary streaming documents frame —
-    * seam for the multi-batch state-carry spec.
+    * seam for the multi-batch state-carry spec; knobs per
+    * [[corpusIngestWith]].
     */
-  private[graft] def runCorpusIngest(s: SparkSession, raw: DataFrame): DataFrame = {
+  private[graft] def runCorpusIngest(s: SparkSession, raw: DataFrame,
+      qualityMin: Double = 0.65, trainPct: Int = 98,
+      valPct: Int = 1): DataFrame = {
     import s.implicits._
     val stopsSql = graft.queries.TextAnalysis.stopwords
       .map(w => s"'$w'").mkString(", ")
@@ -1019,8 +1035,8 @@ object Streaming {
       .withColumn("bucket",
         (graft.queries.Coordination.fpUnsigned(col("text")) % 100).cast("int"))
       .withColumn("split",
-        when(col("bucket") < 98, "train")
-          .when(col("bucket") === 98, "val").otherwise("test"))
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
     val nonBench = pmod(col("doc_id"), lit(20)) =!= 0
     // three-valued-logic-safe quality split: a degenerate doc (empty
     // text / zero tokens) makes the ratio divisions NULL, and a NULL qs
@@ -1029,7 +1045,7 @@ object Streaming {
     // 'low_quality'. coalesce(..., false) pins NULL to the low-quality
     // branch in both engines (spec-pinned by a degenerate doc row in
     // StreamingSpec's ingest corpus).
-    val passesQ = coalesce(col("qs") >= 0.65, lit(false))
+    val passesQ = coalesce(col("qs") >= qualityMin, lit(false))
     val bench = scored.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), lit("benchmark").as("disposition"))
     val lowq = scored.filter(nonBench && !passesQ)
