@@ -1,23 +1,46 @@
 #!/usr/bin/env python3
 """Compare two bench records on their shared query subset.
 
-Usage: python3 tools/bench_compare.py <old.json> <new.json>
+Usage: python3 tools/bench_compare.py <old.json> <new.json> [--out report.json]
 
-Prints the shared-subset totals and the per-query deltas beyond 25%,
-excluding `_stage`/`_rest` bookkeeping entries. The subset total is the
+Accepts either a raw Bench stdout record (one `{"metric": ...}` line)
+or a driver wrapper object whose `tail` field embeds that line. Prints
+the shared-subset totals and the per-query deltas beyond 25%, excluding
+`_stage`/`_rest` bookkeeping entries. The subset total is the
 round-over-round comparability statistic SURVEY quotes (new queries are
 additive surface and excluded by construction).
+
+With --out, also writes a JSON report naming every shared query whose
+old/new ratio exceeds 2x in either direction — the contended-driver-box
+self-identification artifact (VERDICT r8 ask #6): a driver record whose
+entries run >2x the gated BENCH_local.json values is a degraded box, not
+a regression.
 """
 import json
+import re
 import sys
 
 
 def load(path: str) -> dict:
     with open(path) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        raw = f.read()
+    obj = json.loads(raw)
+    if "queries" in obj:
+        return obj
+    # driver wrapper: the bench stdout line is embedded in `tail`
+    m = re.findall(r'\{"metric".*?"sf":[0-9.]+\}', obj.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: no bench record found in driver wrapper")
+    return json.loads(m[-1])
 
 
-def main(old_path: str, new_path: str) -> int:
+def main(argv: list) -> int:
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    old_path, new_path = argv
     old, new = load(old_path), load(new_path)
     qo, qn = old["queries"], new["queries"]
     skip = {"_stage", "_rest", "_rest_n"}
@@ -32,12 +55,41 @@ def main(old_path: str, new_path: str) -> int:
         added = sum(qn[q] for q in only_new)
         print(f"new-only queries: {len(only_new)} totalling {added:.1f}s")
     print("per-query deltas >25% (shared, both >=0.5s):")
+    flagged = []
     for q in shared:
         a, b = qo[q], qn[q]
         if min(a, b) >= 0.5 and abs(b - a) / a > 0.25:
             print(f"  {q}: {a:.2f} -> {b:.2f}  ({b / a:.2f}x)")
+        if min(a, b) >= 0.5 and max(a / b, b / a) > 2.0:
+            flagged.append({"query": q, "old": a, "new": b,
+                            "ratio": round(a / b, 2)})
+    if out_path:
+        # driver records fold `_stage` into the total without a line
+        # item; the implied value (total minus every query entry) is the
+        # degraded-box fingerprint bench_refresh.py gates on
+        def stage(rec):
+            q = rec["queries"]
+            if "_stage" in q:
+                return q["_stage"]
+            return round(rec["value"] - sum(v for k, v in q.items()
+                                            if k not in skip) - q.get("_rest", 0), 1)
+        report = {
+            "old": old_path, "new": new_path,
+            "shared_queries": len(shared),
+            "old_total_sec": round(to, 1), "new_total_sec": round(tn, 1),
+            "old_stage_sec": stage(old),
+            "new_stage_sec": stage(new),
+            "flagged_over_2x": sorted(flagged, key=lambda r: -r["ratio"]),
+            "note": "flagged = shared queries (both >=0.5s) whose "
+                    "old/new ratio exceeds 2x either way; a cluster of "
+                    "old>2x*new rows with old_stage >> new_stage means "
+                    "the OLD record came from a contended box",
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_path}: {len(flagged)} queries flagged >2x")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1:]))
