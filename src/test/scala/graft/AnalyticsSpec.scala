@@ -135,6 +135,37 @@ class AnalyticsSpec extends AnyFunSuite {
       "expected a range-partition exchange in the percentile plan")
   }
 
+  test("events_value_percentiles_sketch: GK rank error within contract vs exact") {
+    import org.apache.spark.sql.functions._
+    val eps = 1.0 / graft.queries.Analytics.SketchAccuracy
+    val exact = SparkEntry.queries("events_value_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val sketch = SparkEntry.queries("events_value_percentiles_sketch")(spark, sf)
+      .collect()
+    assert(sketch.map(_.getString(0)).toSet == exact.keySet)
+    // per type: each sketched pXX must sit within the GK rank band
+    // rank(v) ∈ [⌈p·n⌉ − εn − 1, ⌈p·n⌉ + εn + 1] in the exact order
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    sketch.foreach { r =>
+      val t = r.getString(0)
+      val sorted = vals(t)
+      val n = exact(t)
+      assert(r.getLong(4) == n, s"$t: n_events mismatch")
+      Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+          0.99 -> r.getDouble(3)).foreach { case (p, v) =>
+        val lo = sorted.count(_ < v) + 1   // lowest rank v could hold
+        val hi = sorted.count(_ <= v)      // highest rank v could hold
+        val target = math.ceil(p * n)
+        val band = eps * n + 1
+        assert(lo <= target + band && hi >= target - band,
+          s"$t p$p: value $v ranks [$lo,$hi], target $target ± $band")
+      }
+    }
+  }
+
   test("text_tfidf: top-3 per doc, score is tf*N/df descending") {
     val nDocs = Tables.documents(spark, sf).count()
     val rows = SparkEntry.queries("text_tfidf")(spark, sf).collect()

@@ -117,6 +117,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media_keepers equals union-find over the F4 pair list") {
+    val pairs = SparkEntry.queries("media_phash")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = SparkEntry.queries("media_keepers")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+    assert(got.length == Tables.documents(spark, sf).count())
+    got.foreach { case (v, c, keep) =>
+      assert(c == clustered.getOrElse(v, v), s"cluster mismatch for $v")
+      assert(keep == (c == v), s"keep flag inconsistent for $v")
+    }
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.count(_._3) == 1, s"cluster $c keeper count != 1")
+    }
+  }
+
   test("media_dedup: md5-over-payload refcounts partition the corpus exactly") {
     val rows = SparkEntry.queries("media_dedup")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
