@@ -28,7 +28,8 @@ def load(path: str) -> dict:
     if "queries" in obj:
         return obj
     # driver wrapper: the bench stdout line is embedded in `tail`
-    m = re.findall(r'\{"metric".*?"sf":[0-9.]+\}', obj.get("tail", ""))
+    # sf is numeric in current records, a quoted path in round-1-era ones
+    m = re.findall(r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")\}', obj.get("tail", ""))
     if not m:
         raise SystemExit(f"{path}: no bench record found in driver wrapper")
     return json.loads(m[-1])
