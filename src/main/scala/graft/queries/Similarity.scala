@@ -1110,6 +1110,36 @@ object Similarity {
         Seq("vec_id")))
   }
 
+  // --- E14: attribute-filtered vector search -------------------------------
+  // The filtered-ANN shape every production vector store grew
+  // (metadata predicate + similarity): top-k among corpus vectors
+  // sharing the QUERY's label — pre-filtering, not post-filtering, so
+  // k survivors are guaranteed (post-filtering an unfiltered top-k can
+  // return < k after the predicate). The label equi-join prunes the
+  // candidate set BEFORE any vector arithmetic; on label-partitioned
+  // storage at 100 TB the same join is partition pruning, and within a
+  // label the E2-E11 bucketed machinery applies unchanged. Exact within
+  // the filter → oracled (no recall contract needed).
+  val filtered = QueryDef.oracled(
+    "knn_filtered",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+      |           FROM embeddings WHERE vec_id < $NQueries),
+      |s AS (SELECT query_id, vec_id, ${cosSql("qe", "embedding")} AS cosine
+      |      FROM q JOIN embeddings USING (label) WHERE vec_id <> query_id),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf)
+      |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+      |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label"))
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("ea"), col("label"))
+    topK(broadcast(q).join(corpus, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id")))
+  }
+
   // --- E13: per-dimension embedding statistics -----------------------------
   // The embedding-store diagnostic pass (the whitening / dead-dimension
   // check a vector pipeline runs before training an index): per
@@ -1167,5 +1197,5 @@ object Similarity {
 
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh, pq, ivfPq, graph, dimStats)
+    maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered)
 }

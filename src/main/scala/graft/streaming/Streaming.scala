@@ -30,6 +30,11 @@ case class KeyedEvent(
     namespace: String, key: Long, ts: java.sql.Timestamp,
     event_id: Long, value: Double)
 case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
+case class DwellEvent(
+    event_type: String, user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+case class DwellGap(
+    event_type: String, user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, gap_us: Long)
 case class HashedDoc(content_hash: String, doc_id: Long)
 case class HashedDocIngest(
     content_hash: String, doc_id: Long, ingest_ts: java.sql.Timestamp)
@@ -270,6 +275,63 @@ object Streaming {
     // no presentation sort: the gate canonicalizes row order, and the
     // batch twins ship O(N) outputs unsorted (SURVEY §8)
     runToMemory(s, changed.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
+  // --- A31: streaming think-time (dwell) feed, online half of B35 ---------
+  // Per arriving event: the gap since the SAME user's previous event —
+  // the live telemetry feed B35 aggregates offline. Exactly the A10
+  // state pattern with a different payload: state per user_id = last
+  // event's micros, batch-internal event-time sort, event-time timeout
+  // evicts users silent past the horizon. A user's first event emits
+  // nothing (no predecessor), matching the batch lag semantics, so the
+  // feed ≡ the batch window query → same oracle SQL.
+  val dwellFeed = QueryDef.oracled(
+    "stream_dwell",
+    """WITH o AS (
+      |  SELECT event_type, user_id, ts, event_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, user_id, ts, event_id, gap_us
+      |FROM o WHERE gap_us IS NOT NULL
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed: Dataset[DwellEvent] = eventStream(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .as[DwellEvent]
+    runDwellFeed(s, typed)
+  }
+
+  /** The A31 pipeline over an arbitrary typed stream — seam for the
+    * multi-batch state-carry spec.
+    */
+  private[graft] def runDwellFeed(s: SparkSession,
+      typed: Dataset[DwellEvent]): DataFrame = {
+    import s.implicits._
+    val gaps = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[DwellEvent], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DwellGap]
+            var last: Option[Long] = state.getOption
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              last.foreach(p => out += DwellGap(
+                e.event_type, e.user_id, e.ts, e.event_id, us - p))
+              last = Some(us)
+            }
+            last.foreach(state.update)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+    runToMemory(s, gaps.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
   // --- A11: continuous hourly rollup, streaming twin of B9 ----------------
@@ -1084,5 +1146,5 @@ object Streaming {
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures, groupFeed, intervalJoin, corpusIngest)
+    leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed)
 }

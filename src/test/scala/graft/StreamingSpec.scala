@@ -152,6 +152,46 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_dwell carries last-seen state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 time-split files, one per trigger: every cross-batch gap (a
+    // user whose consecutive events straddle a file boundary) exists
+    // ONLY if the per-user last-ts state carries between batches
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_dwell_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.DwellEvent]
+    val got = graft.streaming.Streaming.runDwellFeed(spark, typed)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("gap_us"))).toSet
+    val batch = SparkEntry.queries("stream_dwell")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("gap_us"))).toSet
+    assert(got === batch)
+    // the boundary gaps must be present: at least one per-user pair
+    // straddles each of the 3 file boundaries on this corpus
+    assert(got.size == batch.size && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_group_change_feed carries membership state across MULTIPLE micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
