@@ -137,6 +137,55 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(frac > 0.3 && frac < 0.7, s"cross-seed bit agreement $frac")
   }
 
+  private def farr(xs: Seq[Float]): ArrayData =
+    new GenericArrayData(xs.toArray[Any])
+  private def farr2(vs: Seq[Seq[Float]]): ArrayData =
+    new GenericArrayData(vs.map(farr).toArray[Any])
+  private val fvec: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-4.0f, 4.0f))
+
+  test("argminL2 agrees with a reference scan (lowest-index ties)") {
+    val book: Gen[List[List[Float]]] = Gen.listOfN(16, fvec)
+    forAll2(fvec, book) { (v, cs) =>
+      whenever(cs.nonEmpty) {
+        val d = cs.map(c => v.zip(c).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum)
+        val expected = d.indexOf(d.min)
+        assert(HashImpl.argminL2(farr(v), farr2(cs)) == expected)
+      }
+    }
+  }
+
+  test("argminL2 breaks exact ties toward the lowest index") {
+    val v = List(1.0f, 2.0f)
+    val cs = List(List(3.0f, 4.0f), List(3.0f, 4.0f), List(0.0f, 0.0f),
+      List(0.0f, 0.0f))
+    // centroids 2 and 3 tie at the minimum distance — index 2 wins
+    assert(HashImpl.argminL2(farr(v), farr2(cs)) == 2)
+  }
+
+  test("argmaxCos agrees with a reference scan and pins NaN to lowest index") {
+    val book: Gen[List[List[Float]]] = Gen.listOfN(16, fvec)
+    forAll2(fvec, book) { (v, cs) =>
+      whenever(cs.nonEmpty) {
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+          dot / (na * nb)
+        }
+        val scores = cs.map(c => cos(v, c))
+        // strict > scan: NaN never wins, ties keep the lowest index
+        var best = 0; var bs = Double.NegativeInfinity
+        scores.zipWithIndex.foreach { case (s, i) => if (s > bs) { bs = s; best = i } }
+        assert(HashImpl.argmaxCos(farr(v), farr2(cs)) == best)
+      }
+    }
+    // all-NaN (zero-norm query): every cosine is NaN, index 0 returned
+    assert(HashImpl.argmaxCos(farr(List(0.0f, 0.0f)),
+      farr2(List(List(1.0f, 0.0f), List(0.0f, 1.0f)))) == 0)
+  }
+
   test("simhash hamming distance grows with token divergence") {
     val base = (0 until 50).map(i => s"tok$i")
     val s0 = HashImpl.simhash64(arr(base))
