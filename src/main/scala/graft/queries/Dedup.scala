@@ -994,8 +994,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- D15: dup-cluster size distribution ----------------------------------
+  // The dedup REPORT every curation run prints before anyone trusts
+  // the keeper decision: how many near-dup clusters exist at each
+  // size, how many documents they hold, and how many would be dropped
+  // (n_docs − n_clusters — everything but the representative). The
+  // size-1 row counts the unclustered singletons; a fat tail here
+  // (one giant cluster) is the classic symptom of boilerplate gluing
+  // the corpus together, which is exactly when D2b's DF cap and the
+  // propagation's convergence guard matter.
+  //
+  // Scale (100 TB): rides the STAGED cluster map (built once, shared
+  // with D7/D8/D13) — the histogram is two aggregations over a
+  // dup-cluster-sized frame (≪ corpus), and the singleton row is one
+  // anti-join of a doc_id projection against that same tiny map
+  // (AQE-broadcast), aggregated map-side to a single row.
+  val clusterStats = QueryDef.oracled(
+    "dedup_cluster_stats",
+    s"""WITH RECURSIVE $clusterCteSql,
+      |sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+      |h AS (SELECT sz AS cluster_size, count(*) AS n_clusters,
+      |             CAST(sum(sz) AS BIGINT) AS n_docs
+      |      FROM sizes GROUP BY 1),
+      |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+      |                   count(*) AS n_clusters, count(*) AS n_docs
+      |            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |            WHERE cl.doc_id IS NULL HAVING count(*) > 0)
+      |SELECT cluster_size, n_clusters, n_docs,
+      |       n_docs - n_clusters AS n_dropped
+      |FROM (SELECT * FROM h UNION ALL SELECT * FROM singles)
+      |ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val cl = clusterLabels(s, d)
+    val hist = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    val singles = Tables.documents(s, d).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"))
+    hist.unionByName(singles)
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
-    sourceOverlap, semanticDecontaminate, curation, semanticKeepers)
+    sourceOverlap, semanticDecontaminate, curation, semanticKeepers,
+    clusterStats)
 }

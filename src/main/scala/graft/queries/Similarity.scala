@@ -1195,7 +1195,123 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  // --- E15: range (radius) search ------------------------------------------
+  // The OTHER primitive a vector store exposes next to top-k: ALL
+  // corpus vectors with cosine ≥ τ of each query — the shape behind
+  // "find everything semantically close to this" (dedup sweeps, policy
+  // screens, recall-complete retrieval). Exact and deterministic →
+  // oracled. τ = 0.35 sits above the synthetic corpus's random-cosine
+  // background (D5 uses 0.45 for near-dup grade).
+  //
+  // Scale (100 TB): with a bounded query set the right plan IS the
+  // map-only corpus scan below — broadcast queries, no shuffle at all,
+  // rows leave the scan only when they clear τ. When the query side
+  // grows past broadcast size, the D5 machinery applies unchanged
+  // (seeded SRP bands at P(miss) ≈ 7.5e-9 per pair + exact verify):
+  // range search at near-dup τ is exactly the query→corpus half of
+  // dedup_embedding's pair enumeration.
+  private val RangeTau = 0.35
+  val rangeSearch = QueryDef.oracled(
+    "knn_range",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < $NQueries),
+      |s AS (SELECT query_id, vec_id, ${cosSql("qe", "embedding")} AS cosine
+      |      FROM q JOIN embeddings ON vec_id <> query_id)
+      |SELECT query_id, vec_id AS neighbor_id, cosine
+      |FROM s WHERE NOT isnan(cosine) AND cosine >= $RangeTau
+      |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    broadcast(queriesDf(s, d))
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")) && col("cosine") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  // --- E16: binary (1-bit) quantized search --------------------------------
+  // Sign-bit binary quantization — the memory-floor scan path modern
+  // vector stores ship under names like "binary quantization"/"BQ":
+  // each 64-dim float vector compresses to 64 SIGN bits (256 B → 16 B,
+  // 16× below even E5's int8), the cheap pass scores candidates by
+  // hamming distance (XOR + popcount — no multiplies), and only the
+  // top-C survivors are re-ranked by exact cosine on the full vectors.
+  // Sign-bit hamming approximates angle the same way SRP does (E2),
+  // with the identity basis as the projection.
+  //
+  // Every step is deterministic (strict x > 0 sign test, hamming ties
+  // broken by vec_id) → ORACLED, unlike the probe-tuned ANN family:
+  // the candidate set is a pure function of the data. C = 64 ≫ K = 5
+  // absorbs the 1-bit ranking error (spec also measures recall vs E1).
+  //
+  // Bits pack into TWO 32-bit halves (lo = dims 0–31, hi = 32–63):
+  // all shifts stay ≤ 31, which both engines' BIGINT shift accepts
+  // (DuckDB rejects 1 << 63 as overflow), and the packed words stay
+  // non-negative so no sign-extension subtleties cross engines.
+  //
+  // Scale (100 TB): packing is map-only; the hamming pass scans 16 B
+  // per vector with broadcast query signatures (no shuffle); exact
+  // vectors are fetched once per surviving candidate — the E10/E11
+  // compressed-scan-then-rerank architecture with the simplest codec.
+  private val BinaryCand = 64
+  private def packBitsSql(v: String, from: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 32),
+       |    i -> CASE WHEN CAST($v[i + ${from + 1}] AS DOUBLE) > 0
+       |              THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+       |              ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin
+  private def packBitsExpr(v: String, from: Int): String =
+    s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc + IF(element_at($v, i + ${from + 1}) > CAST(0 AS DOUBLE),
+       |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin
+  val binary = QueryDef.oracled(
+    "knn_binary",
+    s"""WITH p AS (SELECT vec_id, embedding,
+      |             ${packBitsSql("embedding", 0)} AS lo,
+      |             ${packBitsSql("embedding", 32)} AS hi
+      |            FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, lo AS qlo, hi AS qhi
+      |      FROM p WHERE vec_id < $NQueries),
+      |h AS (SELECT query_id, qe, vec_id, embedding,
+      |        bit_count(xor(qlo, lo)) + bit_count(xor(qhi, hi)) AS ham
+      |      FROM q JOIN p ON vec_id <> query_id),
+      |c AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY ham, vec_id) AS hrk FROM h),
+      |s AS (SELECT query_id, vec_id, ${cosSql("qe", "embedding")} AS cosine
+      |      FROM c WHERE hrk <= $BinaryCand),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf)
+      |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+      |FROM r WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val packed = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(packBitsExpr("embedding", 0)).as("lo"),
+        expr(packBitsExpr("embedding", 32)).as("hi"))
+    val qp = packed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    // cheap pass: 16 B/vector, broadcast query signatures, popcount only
+    val cand = broadcast(qp)
+      .join(packed, col("vec_id") =!= col("query_id"))
+      .withColumn("ham",
+        bit_count(col("qlo").bitwiseXOR(col("lo")))
+          + bit_count(col("qhi").bitwiseXOR(col("hi"))))
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ham"), col("vec_id"))))
+      .filter(col("hrk") <= BinaryCand)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: full vectors fetched only for the C candidates
+    topK(cand
+      .join(queriesDf(s, d), Seq("query_id"))
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
-    maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered)
+    maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
+    binary)
 }

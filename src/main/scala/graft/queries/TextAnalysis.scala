@@ -730,7 +730,19 @@ object TextAnalysis {
   // explode → BROADCAST left join against the 1000-row vocab → one
   // doc-keyed aggregation with map-side partials — the C16 shape: the
   // only shuffle ships (doc_id, two counts).
-  private val VocabK = 1000
+  private[graft] val VocabK = 1000
+
+  /** Single-row frame holding the corpus top-[[VocabK]] vocabulary as
+    * one sorted array — the broadcastable static side of the A32
+    * stream-static join (an online OOV monitor joins arriving docs
+    * against the vocabulary a batch job derived). Ties at the cutoff
+    * break (count desc, token asc), exactly C18's rule, so the SET is
+    * deterministic in both engines; array order is presentation-only
+    * (membership tests don't see it).
+    */
+  private[graft] def topVocabRow(s: SparkSession, d: String): DataFrame =
+    unigramCounts(s, d).orderBy(col("n").desc, col("tok")).limit(VocabK)
+      .agg(sort_array(collect_list(col("tok"))).as("vocab"))
   val vocabCoverage = QueryDef.oracled(
     "vocab_coverage",
     s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -762,9 +774,102 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C19: document chunking (overlapping token windows) ------------------
+  // The RAG/embedding-prep primitive C14's packing is NOT: packing
+  // concatenates docs into training contexts, chunking splits ONE doc
+  // into overlapping windows each embedded/indexed on its own. Window
+  // W=32 tokens, stride S=24 (8-token overlap keeps boundary context);
+  // chunk count = 1 + ceil((n-W)/S) in pure integer arithmetic, last
+  // chunk clamps at the doc end. Output = one row per chunk with its
+  // token span and content digest.
+  //
+  // Scale (100 TB): map-only — tokenize, explode a per-doc chunk-index
+  // sequence (fan-out ≈ n/S per doc, bounded by doc length), slice +
+  // digest. No shuffle anywhere; the ORDER BY is presentation-only.
+  private val ChunkW = 32
+  private val ChunkS = 24
+  val corpusChunk = QueryDef.oracled(
+    "corpus_chunk",
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |              FROM documents),
+      |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+      |c AS (SELECT doc_id, t, n,
+      |        unnest(range(0, 1 + CASE WHEN n <= $ChunkW THEN 0
+      |          ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) AS chunk_idx
+      |      FROM d)
+      |SELECT doc_id, chunk_idx, chunk_idx * $ChunkS AS start_tok,
+      |  least($ChunkW, n - chunk_idx * $ChunkS) AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(t, chunk_idx * $ChunkS + 1,
+      |      chunk_idx * $ChunkS + $ChunkW), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val toks = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), F.tokenize_words(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+    // extra chunks past the first: ceil((n-W)/S) via integer div (all
+    // operands positive, so truncation = floor)
+    val extra = when(col("n") <= ChunkW, lit(0L))
+      .otherwise(expr(s"(n - $ChunkW + ${ChunkS - 1}) div $ChunkS"))
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0L), extra)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkS).as("start_tok"),
+        least(lit(ChunkW.toLong), col("n") - col("chunk_idx") * ChunkS)
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"),
+          (col("chunk_idx") * ChunkS + 1).cast("int"), lit(ChunkW))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // --- C20: unigram-LM document scoring ------------------------------------
+  // The CCNet-family quality signal (Wenzek et al. 2020 score docs by
+  // LM perplexity; the unigram degeneration of that is "how common are
+  // this doc's tokens in the corpus"): per doc, the mean and min
+  // corpus frequency over its token OCCURRENCES. A doc of rare tokens
+  // (low mean, min 1) is gibberish-or-treasure; a doc of stopwords
+  // scores high. RAW counts, not log-probs — log's last ulp is not
+  // IEEE-pinned across engines while integer sums + one divide are
+  // correctly rounded (the C15 raw-idf argument), and the score is
+  // order-equivalent for fixed doc length.
+  //
+  // Scale (100 TB): rides the staged unigram table (vocabulary-sized —
+  // built once under `_stage`, the tokenizer's count table); the
+  // corpus pass is explode → join on token (AQE broadcasts the vocab
+  // when it fits, hash join otherwise — no hint pinned) → one
+  // doc-keyed aggregate with map-side partials. DECIMAL(38,0) exact
+  // frequency sums: sum of counts overflows BIGINT at corpus scale.
+  val unigramLm = QueryDef.oracled(
+    "text_unigram_lm",
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |             FROM documents),
+      |u AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+      |pd AS (SELECT t.doc_id, count(*) AS nt,
+      |         CAST(sum(u.n) AS DOUBLE) / count(*) AS mean_n,
+      |         min(u.n) AS min_n
+      |       FROM tok t JOIN u USING (tok) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.nt, 0) AS n_tokens,
+      |  pd.mean_n AS mean_tok_count, pd.min_n AS min_tok_count
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pd = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+      .join(unigramCounts(s, d), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        (sum(col("n").cast("decimal(38,0)")).cast("double") / count(lit(1)))
+          .as("mean_n"),
+        min(col("n")).as("min_n"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        col("mean_n").as("mean_tok_count"), col("min_n").as("min_tok_count"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
-      vocabCoverage)
+      vocabCoverage, corpusChunk, unigramLm)
 }
