@@ -1143,8 +1143,68 @@ object Streaming {
       OutputMode.Append, needsNoDataBatch = false)
   }
 
+  // --- A32: streaming OOV-rate feed — C18's online half --------------------
+  // The STREAM-STATIC join contract, the one streaming join class the
+  // suite didn't yet exercise (A29 covers stream-stream): arriving
+  // documents join a STATIC broadcast side — the top-1000 vocabulary a
+  // batch job derived (TextAnalysis.topVocabRow) — and emit their OOV
+  // stats stateless, in the arrival batch. The production shape is an
+  // ingest-quality monitor scoring each doc against last night's
+  // tokenizer vocab: static side refreshes per deployment, stream side
+  // never keys any state, so there is no watermark and nothing to
+  // evict. Output ≡ C18's per-doc rows (same vocab, same corpus) →
+  // same oracle.
+  //
+  // Scale: the vocab rides ONE broadcast row (an array); per-doc work
+  // is a map-side membership fold. A vocab too big for one broadcast
+  // array switches to the exploded equi-join form of C18 — the trade
+  // is per-doc latency (stateless here) vs vocab size.
+  val oovFeed = QueryDef.oracled(
+    "stream_oov_feed",
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |              FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+      |      ORDER BY n DESC, tok LIMIT ${graft.queries.TextAnalysis.VocabK}),
+      |pd AS (SELECT t.doc_id, count(*) AS n_tokens, count(v.tok) AS n_in
+      |       FROM toks t LEFT JOIN v ON t.tok = v.tok GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_tokens, 0) AS n_tokens,
+      |  coalesce(pd.n_tokens - pd.n_in, 0) AS n_oov,
+      |  CAST(pd.n_tokens - pd.n_in AS DOUBLE) / pd.n_tokens AS oov_rate
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val path = s"$d/documents.parquet"
+    runOovFeed(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "documents.parquet")),
+      graft.queries.TextAnalysis.topVocabRow(s, d))
+  }
+
+  /** The A32 pipeline over an arbitrary streaming documents frame —
+    * seam for the multi-batch spec. `vocabRow` is the single-row
+    * static vocabulary frame (one `vocab` array column).
+    */
+  private[graft] def runOovFeed(s: SparkSession, raw: DataFrame,
+      vocabRow: DataFrame): DataFrame = {
+    val scored = raw
+      // ingest-spread: tokenization runs wide, not on the scan partition
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("k", lit(1))
+      // stream-static equi-join; the static side is one broadcast row
+      .join(broadcast(vocabRow.withColumn("k", lit(1))), Seq("k"))
+      .withColumn("w", graft.functions.expressions.tokenize_words(col("text")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(w, x -> NOT array_contains(vocab, x))) AS BIGINT)")
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / nullif(col("n_tokens"), lit(0L)))
+          .as("oov_rate"))
+    runToMemory(s, scored, OutputMode.Append, needsNoDataBatch = false)
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed)
+    leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed)
 }

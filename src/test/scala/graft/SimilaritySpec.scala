@@ -339,4 +339,45 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"norm-augmented SRP-LSH MIPS recall@5 = $recall")
     assert(recall >= 0.9, s"recall $recall too low")
   }
+
+  test("knn_binary: deterministic output, exact cosines, measured recall") {
+    // knn_binary is ORACLED (the candidate set is a pure function of
+    // the data) — recall vs brute force is a quality property, not the
+    // correctness contract; measure it and hold a floor.
+    val rows = SparkEntry.queries("knn_binary")(spark, sf).collect()
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }.sum
+    val recall = hits.toDouble / exact.values.map(_.size).sum
+    info(s"binary quantization (64 sign bits, rerank 64) recall@5 = $recall")
+    assert(recall >= 0.6, s"recall $recall too low")
+    // re-ranked cosines are EXACT where brute force ranked the same pair
+    val exactCos = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("knn_range: complete and sound at tau (cross-checked vs brute force)") {
+    val tau = 0.35
+    val got = SparkEntry.queries("knn_range")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got.nonEmpty)
+    // sound: every emitted pair clears tau
+    got.values.foreach(c => assert(c >= tau && c <= 1.0 + 1e-9))
+    // complete: every brute-force TOP-K pair above tau must appear with
+    // the identical cosine (range output ⊇ thresholded top-k)
+    SparkEntry.queries("knn_bruteforce")(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      if (c >= tau) {
+        val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        assert(got.get(k).contains(c),
+          s"range search missed thresholded top-k pair $k @ $c")
+      }
+    }
+  }
 }

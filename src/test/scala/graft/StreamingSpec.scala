@@ -356,4 +356,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 6)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
+    import spark.implicits._
+    // static vocab side: three in-vocab tokens; the stream arrives in
+    // TWO micro-batches — stateless stream-static join, so batch
+    // boundaries must not change any row
+    val vocabRow = Seq(Tuple1(Seq("alpha", "beta", "gamma"))).toDF("vocab")
+    val b1 = Seq((1L, "alpha beta novel alpha", "en", "s", 22L),
+      (2L, "", "en", "s", 0L)) // zero tokens -> NULL rate, row kept
+    val b2 = Seq((3L, "gamma gamma unknown words here", "en", "s", 30L),
+      (4L, "alpha beta gamma", "en", "s", 16L))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_oov_multibatch").toString
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
+    val got = graft.streaming.Streaming.runOovFeed(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), vocabRow)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 4)
+    def check(id: Long, nt: Long, oov: Long): Unit = {
+      assert(got(id).getAs[Long]("n_tokens") == nt, s"doc $id n_tokens")
+      assert(got(id).getAs[Long]("n_oov") == oov, s"doc $id n_oov")
+      if (nt > 0)
+        assert(got(id).getAs[Double]("oov_rate") == oov.toDouble / nt)
+    }
+    check(1L, 4, 1) // "novel" is OOV
+    check(3L, 5, 3)
+    check(4L, 3, 0)
+    assert(got(2L).getAs[Long]("n_tokens") == 0)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("oov_rate")),
+      "zero-token doc must keep its row with a NULL rate")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }

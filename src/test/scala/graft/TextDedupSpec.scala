@@ -404,4 +404,70 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kinds.contains("benchmark") && kinds.contains("train"),
       s"degenerate cascade: $kinds")
   }
+
+  test("corpus_chunk tiles each doc: stride, clamp, count formula") {
+    val W = 32; val S = 24
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = SparkEntry.queries("corpus_chunk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == nTok.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (id, rows) =>
+      val n = nTok(id)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      val expectChunks = 1 + math.max(0, (n - W + S - 1) / S)
+      assert(sorted.length == expectChunks, s"doc $id chunk count")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i)
+        assert(r.getAs[Long]("start_tok") == i.toLong * S)
+        assert(r.getAs[Long]("n_chunk_tokens") ==
+          math.min(W.toLong, n - i.toLong * S))
+      }
+      // coverage: the last chunk reaches the doc end
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_chunk_tokens") == n)
+    }
+  }
+
+  test("dedup_cluster_stats accounting matches corpus_keepers") {
+    val stats = SparkEntry.queries("dedup_cluster_stats")(spark, sf).collect()
+    val corpusN = Tables.documents(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == corpusN,
+      "histogram must partition the corpus")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+    val dropped = stats.filter(_.getAs[Long]("cluster_size") > 1)
+      .map(_.getAs[Long]("n_dropped")).sum
+    val keepersDropped = SparkEntry.queries("corpus_keepers")(spark, sf)
+      .filter(!col("keep")).count()
+    assert(dropped == keepersDropped,
+      s"n_dropped $dropped != keepers' non-survivors $keepersDropped")
+  }
+
+  test("text_unigram_lm agrees with a driver-side frequency fold") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1)).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+    val got = SparkEntry.queries("text_unigram_lm")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      if (toks.nonEmpty) {
+        val counts = toks.map(freq)
+        assert(r.getAs[Long]("min_tok_count") == counts.min)
+        assert(math.abs(r.getAs[Double]("mean_tok_count") -
+          counts.map(_.toLong).sum.toDouble / toks.length) < 1e-9)
+      } else assert(r.isNullAt(r.fieldIndex("mean_tok_count")))
+    }
+  }
 }
