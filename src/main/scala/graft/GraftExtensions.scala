@@ -41,7 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("srp_sig", "signed-random-projection LSH signature (literal nBits)",
       es => SrpSig(es.head, evalInt(es(1)))),
     ("srp_sig_seeded", "seeded SRP signature for multi-table LSH (literal nBits, seed)",
-      es => SrpSigSeeded(es.head, evalInt(es(1)), evalLong(es(2)))))
+      es => SrpSigSeeded(es.head, evalInt(es(1)), evalLong(es(2)))),
+    ("misra_gries", "Misra-Gries heavy-hitters summary of a string column (literal k)",
+      es => graft.functions.MisraGriesAgg(es.head, evalInt(es(1)))))
 
   private def evalScale(e: Expression): Float = {
     require(e.foldable, "quantization scale must be a literal")

@@ -1196,11 +1196,43 @@ object Analytics {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  // --- B36: heavy hitters via a Misra–Gries sketch -------------------------
+  // The frequent-items sketch completing the engine's sketch shelf
+  // (B13 HLL distinct, B34 GK percentiles): which keys dominate the
+  // stream, in ONE pass with O(k) state per partition — the
+  // top-talkers / hot-key / abusive-user primitive at 100 TB, where an
+  // exact groupBy(key).count() of a high-cardinality key is a full
+  // shuffle of the key space and a sketch is a broadcastable summary.
+  // Custom TypedImperativeAggregate (functions/MisraGriesAgg.scala,
+  // Agarwal et al. PODS'12 mergeable formulation): the shuffle carries
+  // ≤ k−1 counters + a total per partition, never the stream.
+  //
+  // Returned rows are the summary entries with est > n/k. Two
+  // order-independent guarantees (spec-asserted): every returned key
+  // has TRUE count > n/k, and every key with true count > 2n/k is
+  // returned (est ≥ true − n/k > n/k). Which keys in the gray band
+  // (n/k, 2n/k] appear depends on merge order — the sketch contract —
+  // so this is rows+spec like the other sketches, with the bounds
+  // checked against exact counts by spec.
+  private val HhK = 8
+  val heavyHitters = QueryDef.rowsOnly("events_heavy_hitters") { (s, d) =>
+    Tables.events(s, d)
+      .agg(graft.functions.MisraGriesAgg.misra_gries(
+        col("event_type"), HhK).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.est").as("est_count"),
+        col("e.n").as("n_total"))
+      .filter(col("est_count") * HhK > col("n_total"))
+      .select(col("event_type"), col("est_count"), col("n_total"),
+        expr(s"n_total div $HhK").as("max_underestimate"))
+      .orderBy(col("est_count").desc, col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
-    valuePercentilesSketch, eventsDwell)
+    valuePercentilesSketch, eventsDwell, heavyHitters)
 }

@@ -1310,8 +1310,59 @@ object Similarity {
         .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
   }
 
+  /** Shared sample-trained codebook (k-means++ seeds + Lloyd over the
+    * fingerprint-keyed sample, cosine metric) — the E3 list quantizer,
+    * factored so E17's clustering and the spec's driver-side replay
+    * train identical centroids.
+    */
+  private[graft] def trainedCentroids(s: SparkSession, d: String): IndexedSeq[Array[Float]] = {
+    val sample = seedSample(s, d)
+    lloydRefine(sample, kppSeeds(sample, NCentroids, cosDist),
+      IvfLloydIters, cosDist)
+  }
+
+  // --- E17: corpus clustering — the cluster-then-curate primitive ----------
+  // K-means clustering surfaced as a first-class query (SemDeDup and
+  // cluster-balanced sampling both start from exactly this table):
+  // every vector assigned to its nearest sample-trained centroid
+  // (argmax cosine — the E3 quantizer, shared via trainedCentroids),
+  // with per-cluster population and cohesion stats. Training is
+  // sample-bounded (never scans the corpus); the corpus pass is
+  // MAP-ONLY — argmax_cos against the literal codebook, cosine to the
+  // OWN centroid via element_at on the same literal — into one
+  // NCentroids-key aggregate with map-side partials (the E13 shape:
+  // low-cardinality GROUP BY is safe where a low-cardinality window
+  // is not, because aggregation combines map-side).
+  //
+  // Bit-exactness discipline (E7/E13 idiom): per-row cosines are
+  // integerized to micro-unit BIGINTs, accumulated in exact
+  // DECIMAL(38,0), and emitted through one double expression tree —
+  // deterministic across runs, asserted by the spec's driver-side
+  // replay. No DuckDB oracle because the centroids are driver-trained
+  // (rows+spec, like the rest of the trained-quantizer family).
+  val clustering = QueryDef.rowsOnly("embedding_clusters") { (s, d) =>
+    val refined = trainedCentroids(s, d)
+    val lits = typedlit(refined.map(_.toSeq))
+    val meanCos = col("sc").cast("double") / 1000000.0 / col("n_vecs")
+    Tables.embeddings(s, d)
+      .withColumn("nrm", F.l2norm(col("embedding")))
+      .filter(col("nrm") > 0) // zero vectors have no angle — excluded
+      .withColumn("cid", F.argmax_cos(col("embedding"), lits).cast("long"))
+      .withColumn("cos_own", F.cosine_sim(col("embedding"),
+        element_at(lits, (col("cid") + 1).cast("int"))))
+      // micro-unit integerized cosine to the OWN centroid
+      .withColumn("cm", expr("CAST(round(cos_own * 1000000) AS BIGINT)"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cm").cast("decimal(38,0)")).as("sc"),
+        min(col("cm")).as("mn"))
+      .select(col("cid"), col("n_vecs"), meanCos.as("mean_cos"),
+        (col("mn").cast("double") / 1000000.0).as("min_cos"))
+      .orderBy(col("cid"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary)
+    binary, clustering)
 }

@@ -867,9 +867,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C21: bigram-LM transition scoring ------------------------------------
+  // The bigram upgrade of C20's unigram scoring — the LM-filter family
+  // complete at both orders: per doc, over its adjacent-bigram
+  // OCCURRENCES, the pooled corpus transition mass
+  // sum(cnt(ab)) / sum(cnt(a)) (how strongly the corpus backs the
+  // doc's token TRANSITIONS, not just its tokens) and the weakest
+  // single transition min(cnt(ab)/cnt(a)). A doc of common words in a
+  // never-seen order scores high on C20 and low here — the word-salad
+  // signal. All scores are ratios of exact integers (DECIMAL sums, one
+  // double divide; each per-bigram p is one divide) — bit-identical
+  // cross-engine, the C15/C20 raw-count argument at order 2.
+  //
+  // Scale (100 TB): rides BOTH staged count tables (unigram vocab +
+  // bigram table — built once under `_stage`); the corpus pass is one
+  // (doc, bigram) explode joined to the bigram counts on the bigram
+  // key (the one big shuffle), the first-token vocab join (AQE
+  // broadcast when it fits), then a doc-keyed aggregate with map-side
+  // partials.
+  val bigramLm = QueryDef.oracled(
+    "text_bigram_lm",
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |              FROM documents),
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |ucnt AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+      |bi AS (SELECT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+      |       FROM toks),
+      |bcnt AS (SELECT bg, count(*) AS n_ab FROM bi GROUP BY 1),
+      |sc AS (SELECT b.doc_id, c.n_ab, u.n AS n_a,
+      |         CAST(c.n_ab AS DOUBLE) / u.n AS pab
+      |       FROM bi b JOIN bcnt c USING (bg)
+      |                 JOIN ucnt u ON split_part(b.bg, ' ', 1) = u.tok),
+      |pd AS (SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(n_ab) AS DOUBLE) / CAST(sum(n_a) AS DOUBLE) AS trans_mass,
+      |         min(pab) AS min_pab
+      |       FROM sc GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+      |       pd.trans_mass, pd.min_pab
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val bi = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"),
+        explode(F.bigrams2(F.tokenize_words(col("text")))).as("bg"))
+    val pd = bi
+      .join(bigramCounts(s, d), Seq("bg"))
+      .withColumn("tok", element_at(split(col("bg"), " "), 1))
+      .join(unigramCounts(s, d), Seq("tok"))
+      .withColumn("pab", col("n_ab").cast("double") / col("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("n_ab").cast("decimal(38,0)")).cast("double")
+          / sum(col("n").cast("decimal(38,0)")).cast("double")).as("trans_mass"),
+        min(col("pab")).as("min_pab"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("trans_mass"), col("min_pab"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
-      vocabCoverage, corpusChunk, unigramLm)
+      vocabCoverage, corpusChunk, unigramLm, bigramLm)
 }

@@ -186,4 +186,43 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events_heavy_hitters: MG guarantees vs exact counts") {
+    import org.apache.spark.sql.functions._
+    val k = 8
+    val rows = SparkEntry.queries("events_heavy_hitters")(spark, sf).collect()
+    val exact = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = exact(r.getAs[String]("event_type"))
+      val est = r.getAs[Long]("est_count")
+      assert(r.getAs[Long]("n_total") == n)
+      assert(r.getAs[Long]("max_underestimate") == n / k)
+      assert(est <= t, "MG estimates never overestimate")
+      assert(t - est <= n / k, "underestimate bounded by n/k")
+      assert(t > n / k, "every returned key is truly frequent")
+    }
+    // completeness: every key with true count > 2n/k must be returned
+    val got = rows.map(_.getAs[String]("event_type")).toSet
+    exact.filter(_._2 > 2L * n / k).keys.foreach(key =>
+      assert(got(key), s"guaranteed heavy hitter missing: $key"))
+  }
+
+  test("misra_gries finds a planted hot key across many partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5000 rows over 64 partitions: one key holds 30%, 997 cold keys
+    val hot = Seq.fill(1500)("hot")
+    val cold = (0 until 3500).map(i => s"cold${i % 997}")
+    val df = spark.createDataset(hot ++ cold).repartition(64).toDF("key")
+    val out = df.agg(graft.functions.MisraGriesAgg.misra_gries(col("key"), 16).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.n")).collect()
+    val byItem = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.head.getLong(2) == 5000L)
+    assert(byItem.contains("hot"), s"planted 30% key missing: $byItem")
+    assert(byItem("hot") <= 1500L && 1500L - byItem("hot") <= 5000L / 16)
+  }
 }

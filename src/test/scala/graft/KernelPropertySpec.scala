@@ -196,4 +196,40 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(HashImpl.hamming64(s0, HashImpl.simhash64(arr(base))) == 0)
     assert(dHalf < dAll)
   }
+
+  test("misra-gries bounds hold under random stream splits and merge orders") {
+    import graft.functions.MisraGriesAgg
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 25) {
+      val k = 2 + rnd.nextInt(12)
+      val n = 200 + rnd.nextInt(1800)
+      // zipf-ish stream over ~30 items (gaussian fold)
+      val stream = IndexedSeq.fill(n)(
+        "item" + math.min(29, math.abs(rnd.nextGaussian() * 8).toInt))
+      val exact = stream.groupBy(identity).map { case (i, o) => i -> o.size.toLong }
+      // random partition into chunks, summarize each, merge in random order
+      val nChunks = 1 + rnd.nextInt(6)
+      val chunks = stream.grouped(math.max(1, n / nChunks)).toIndexedSeq
+      val bufs = chunks.map { ch =>
+        val b = new MisraGriesAgg.Buf(0L, scala.collection.mutable.HashMap.empty)
+        ch.foreach(MisraGriesAgg.updateItem(b, _, k))
+        b
+      }
+      val merged = rnd.shuffle(bufs).reduce { (a, b) =>
+        MisraGriesAgg.mergeInto(a, b, k); a }
+      assert(merged.n == n)
+      assert(merged.m.size <= k - 1, s"summary wider than k-1: ${merged.m.size}")
+      val bound = n.toDouble / k
+      merged.m.foreach { case (item, est) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(est <= t, s"overestimate: $item est=$est true=$t")
+        assert(t - est <= bound,
+          s"underestimate beyond n/k: $item est=$est true=$t n/k=$bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach { item =>
+        assert(merged.m.contains(item),
+          s"frequent item (> n/k) missing from summary: $item")
+      }
+    }
+  }
 }

@@ -361,6 +361,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_clusters equals a driver-side assignment replay") {
+    import org.apache.spark.sql.functions._
+    val cents = queries.Similarity.trainedCentroids(spark, sf)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .filter { case (_, e) => dot(e, e) > 0 }
+    // replay: argmax cosine, first-lowest-index on strict >
+    val assigned = vecs.map { case (_, e) =>
+      var best = 0; var bestC = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val cc = cos(e, c); if (cc > bestC) { bestC = cc; best = i } }
+      (best.toLong, // micro-unit HALF_UP — exactly Spark SQL round
+        scala.math.BigDecimal(bestC * 1000000)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val expect = assigned.groupBy(_._1).map { case (cid, xs) =>
+      cid -> (xs.length.toLong,
+        xs.map(_._2).sum.toDouble / 1000000.0 / xs.length,
+        xs.map(_._2).min.toDouble / 1000000.0)
+    }
+    val got = SparkEntry.queries("embedding_clusters")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum == vecs.length.toLong)
+    got.foreach { r =>
+      val (n, mean, mn) = expect(r.getAs[Long]("cid"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(math.abs(r.getAs[Double]("mean_cos") - mean) < 1e-12)
+      assert(r.getAs[Double]("min_cos") == mn)
+    }
+    assert(got.length == expect.size)
+  }
+
   test("knn_range: complete and sound at tau (cross-checked vs brute force)") {
     val tau = 0.35
     val got = SparkEntry.queries("knn_range")(spark, sf).collect()
