@@ -67,6 +67,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     * −9..−1 digit class, which replays as PUT — so `update` requires
     * value ≥ 0.
     */
+  /** The changelog's physical ts type, footer-read ONCE per instance —
+    * it is invariant for the instance's lifetime (appends write the
+    * same type), and re-reading the footer per append would be the
+    * per-mutation-I/O pattern the event-id counter seeding removed.
+    */
+  private lazy val physicalTsType: org.apache.spark.sql.types.DataType =
+    spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+
   def append(namespace: String, key: Long, op: String, value: Double,
       ts: java.sql.Timestamp): Long = {
     val digit = op match {
@@ -98,8 +106,7 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     import spark.implicits._
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val rawTsType =
-      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val rawTsType = physicalTsType
     val row = rawTsType match {
       case LongType =>
         val tsNanos = (ts.getTime / 1000L) * 1000000000L + ts.getNanos.toLong

@@ -160,10 +160,18 @@ object HashImpl {
   }
 
   /** Index of the cosine-nearest centroid: argmax over `centroids` of
-    * cosineFF(v, c), strict `>` so ties (and all-NaN cosines of a
-    * zero-norm v) keep the LOWEST index — the same pick as
-    * orderBy(csim desc, cid) rank 1 (Spark sorts NaN above all values,
-    * so an all-NaN row group also resolves to the lowest cid).
+    * cosineFF(v, c), strict `>` so ties keep the LOWEST index — the
+    * orderBy(csim desc, cid) rank-1 pick for real-valued cosines.
+    *
+    * NaN contract (differs from a NaN-first sort, deliberately): a NaN
+    * cosine never wins against any real cosine (`NaN > x` is false),
+    * so a DEGENERATE centroid in an otherwise-real codebook is
+    * skipped — where the round-8 window form (Spark sorts NaN above
+    * all values) would have funneled every vector into it. Only when
+    * ALL cosines are NaN (zero-norm v) does the fallback index 0
+    * apply, matching the window form there. Current callers train on
+    * norm-filtered samples so degenerate centroids cannot arise; the
+    * contract is pinned by KernelPropertySpec for future callers.
     */
   def argmaxCos(v: ArrayData, centroids: ArrayData): Int = {
     val k = centroids.numElements()

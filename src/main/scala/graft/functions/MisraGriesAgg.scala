@@ -7,6 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -49,6 +50,17 @@ case class MisraGriesAgg(
   extends TypedImperativeAggregate[MisraGriesAgg.Buf] {
 
   require(k >= 2, s"misra_gries needs k >= 2, got $k")
+
+  // declared input contract: update() reads UTF8String, so a
+  // non-string key (e.g. SQL misra_gries(user_id, 8) on a BIGINT)
+  // must fail at ANALYSIS with a clear message, not as a per-task
+  // ClassCastException (AbstractDataType is private[sql] in Spark 4,
+  // so the check lives here instead of an inputTypes declaration)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a STRING key column; got ${child.dataType.sql} " +
+        "— cast the key explicitly")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

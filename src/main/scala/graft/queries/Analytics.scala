@@ -1030,6 +1030,20 @@ object Analytics {
   // pins it against pushdown rewrites that could split the subtrees).
   // AnalyticsSpec cross-checks the result against the single-window
   // reference implementation.
+  /** Pass 1 of the B32 two-pass exact rank: the range-partitioned
+    * (event_type, value, event_id) frame with its slice id stamped.
+    * Exposed un-checkpointed so the spec can assert the
+    * RangePartitioning plan shape; the query checkpoints it (one
+    * materialization by construction — see the comment at the call).
+    */
+  private[graft] def percentileParted(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .repartitionByRange(p, col("event_type"), col("value"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+  }
+
   val valuePercentiles = QueryDef.oracled(
     "events_value_percentiles",
     """WITH ranked AS (
@@ -1044,11 +1058,18 @@ object Analytics {
       |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
       |  max(n) AS n_events
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = Tables.events(s, d)
-      .select(col("event_type"), col("value"), col("event_id"))
-      .repartitionByRange(p, col("event_type"), col("value"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
+    // pass 1 materializes ONCE, by construction: the census and the
+    // pick pass both key on pid, and RangePartitioner samples its
+    // boundaries with a seed derived from the shuffle RDD — two
+    // independent materializations could draw DIFFERENT boundaries and
+    // silently desynchronize the offsets from the local ranks. Round 9
+    // first leaned on AQE exchange reuse for this; the checkpoint cut
+    // below makes the single materialization a structural guarantee
+    // instead of an optimizer courtesy (it is also what a warehouse
+    // does with a sorted run between passes). localCheckpoint = the
+    // local flavor (executor-resident); a cluster deployment with
+    // executor churn uses a reliable checkpoint dir, same semantics.
+    val parted = percentileParted(s, d).localCheckpoint()
     // pass 2: slice census — P × |types| rows, all windows/joins below
     // run on this dimension-sized frame, never on event-scale data
     val cnts = parted.groupBy(col("pid"), col("event_type"))

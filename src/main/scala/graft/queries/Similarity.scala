@@ -282,12 +282,11 @@ object Similarity {
   // Lists and probes then use the refined centroids; the corpus is
   // scanned exactly once, for list assignment.
   val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) =>
-    val sample = seedSample(s, d)
-    // train on the sample, driver-side: k-means++ seeds + Lloyd. The
-    // cluster never scans the corpus for training — only the one
-    // list-ASSIGNMENT pass below (the encode pass at 100 TB).
-    val refined = lloydRefine(sample,
-      kppSeeds(sample, NCentroids, cosDist), IvfLloydIters, cosDist)
+    // train on the sample, driver-side (shared trainedCentroids —
+    // k-means++ seeds + Lloyd, memoized per dir). The cluster never
+    // scans the corpus for training — only the one list-ASSIGNMENT
+    // pass below (the encode pass at 100 TB).
+    val refined = trainedCentroids(s, d)
     val centroids = {
       import s.implicits._
       broadcast(refined.zipWithIndex
@@ -1311,15 +1310,22 @@ object Similarity {
   }
 
   /** Shared sample-trained codebook (k-means++ seeds + Lloyd over the
-    * fingerprint-keyed sample, cosine metric) — the E3 list quantizer,
-    * factored so E17's clustering and the spec's driver-side replay
-    * train identical centroids.
+    * fingerprint-keyed sample, cosine metric) — THE training path for
+    * the E3 lists and E17's clusters, factored to one site so the two
+    * cannot desynchronize. Memoized per sf dir: training is fully
+    * deterministic in the data (fingerprint-ordered sample, seeded
+    * draws), so the dir alone keys the cache — E3 + E17 + the spec
+    * replay pay the sample collect + Lloyd once per process.
     */
-  private[graft] def trainedCentroids(s: SparkSession, d: String): IndexedSeq[Array[Float]] = {
-    val sample = seedSample(s, d)
-    lloydRefine(sample, kppSeeds(sample, NCentroids, cosDist),
-      IvfLloydIters, cosDist)
-  }
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Array[Float]]]()
+
+  private[graft] def trainedCentroids(s: SparkSession, d: String): IndexedSeq[Array[Float]] =
+    centroidCache.computeIfAbsent(d, { _ =>
+      val sample = seedSample(s, d)
+      lloydRefine(sample, kppSeeds(sample, NCentroids, cosDist),
+        IvfLloydIters, cosDist)
+    })
 
   // --- E17: corpus clustering — the cluster-then-curate primitive ----------
   // K-means clustering surfaced as a first-class query (SemDeDup and

@@ -129,10 +129,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == ref)
     // plan shape: the scale contract is a RANGE partition of the event
     // scan (each sort task owns 1/P of a type), not one hash partition
-    // per type
+    // per type. The query consumes it through a lineage-cut checkpoint
+    // (single materialization by construction), so the range exchange
+    // is asserted on the pass-1 seam and the checkpoint scan on the
+    // query plan itself.
+    val partedPlan = graft.queries.Analytics.percentileParted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(partedPlan.toLowerCase.contains("rangepartitioning"),
+      "expected a range-partition exchange in the percentile pass-1 plan")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"),
-      "expected a range-partition exchange in the percentile plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      "expected the query to read the checkpointed pass-1 frame")
+    // the event-scale (type, value, event_id) range shuffle must not
+    // re-run inside the query — the presentation ORDER BY event_type
+    // is also a (tiny, single-key) range partitioning, so match the
+    // multi-key form specifically
+    assert(!"(?i)rangepartitioning\\([^)]*value".r.findFirstIn(plan).isDefined,
+      "the event-scale range shuffle must not re-run inside the query")
   }
 
   test("events_value_percentiles_sketch: GK rank error within contract vs exact") {

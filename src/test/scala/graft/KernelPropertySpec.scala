@@ -181,6 +181,13 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(HashImpl.argmaxCos(farr(v), farr2(cs)) == best)
       }
     }
+    // MIXED NaN: a degenerate (zero-norm) centroid yields NaN cosine
+    // and must never win against any real cosine — the documented
+    // divergence from a NaN-first sort, pinned for future callers
+    assert(HashImpl.argmaxCos(farr(List(1.0f, 0.0f)),
+      farr2(List(List(0.0f, 0.0f), List(0.6f, 0.8f), List(1.0f, 0.0f)))) == 2)
+    assert(HashImpl.argmaxCos(farr(List(1.0f, 0.0f)),
+      farr2(List(List(0.0f, 0.0f), List(0.0f, 1.0f)))) == 1)
     // all-NaN (zero-norm query): every cosine is NaN, index 0 returned
     assert(HashImpl.argmaxCos(farr(List(0.0f, 0.0f)),
       farr2(List(List(1.0f, 0.0f), List(0.0f, 1.0f)))) == 0)

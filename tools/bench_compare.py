@@ -21,15 +21,26 @@ import re
 import sys
 
 
+RECORD_RE = r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")\}'
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         raw = f.read()
-    obj = json.loads(raw)
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError:
+        # captured Bench stdout with log lines around the record —
+        # scan for the last record-shaped line instead of crashing
+        m = re.findall(RECORD_RE, raw)
+        if not m:
+            raise SystemExit(f"{path}: no bench record found")
+        return json.loads(m[-1])
     if "queries" in obj:
         return obj
     # driver wrapper: the bench stdout line is embedded in `tail`
     # sf is numeric in current records, a quoted path in round-1-era ones
-    m = re.findall(r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")\}', obj.get("tail", ""))
+    m = re.findall(RECORD_RE, obj.get("tail", ""))
     if not m:
         raise SystemExit(f"{path}: no bench record found in driver wrapper")
     return json.loads(m[-1])
@@ -62,8 +73,12 @@ def main(argv: list) -> int:
         if min(a, b) >= 0.5 and abs(b - a) / a > 0.25:
             print(f"  {q}: {a:.2f} -> {b:.2f}  ({b / a:.2f}x)")
         if min(a, b) >= 0.5 and max(a / b, b / a) > 2.0:
+            # ratio is the symmetric magnitude; direction says which
+            # side is slow — a new-side regression must not sort below
+            # (or read as) a contended-old-box row
             flagged.append({"query": q, "old": a, "new": b,
-                            "ratio": round(a / b, 2)})
+                            "ratio": round(max(a / b, b / a), 2),
+                            "slower": "old" if a > b else "new"})
     if out_path:
         # driver records fold `_stage` into the total without a line
         # item; the implied value (total minus every query entry) is the
@@ -82,9 +97,10 @@ def main(argv: list) -> int:
             "new_stage_sec": stage(new),
             "flagged_over_2x": sorted(flagged, key=lambda r: -r["ratio"]),
             "note": "flagged = shared queries (both >=0.5s) whose "
-                    "old/new ratio exceeds 2x either way; a cluster of "
-                    "old>2x*new rows with old_stage >> new_stage means "
-                    "the OLD record came from a contended box",
+                    "ratio (symmetric, see 'slower') exceeds 2x; a "
+                    "cluster of slower=old rows with old_stage >> "
+                    "new_stage means the OLD record came from a "
+                    "contended box",
         }
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)

@@ -125,7 +125,8 @@ def main() -> int:
     # the accepted-stage history backs the degraded-box gate for the
     # CANONICAL artifact only — experimental --out refreshes must not
     # shift the trailing median the gate compares against
-    if out == "BENCH_local.json":
+    canonical = os.path.join(os.path.dirname(HISTORY), "..", "BENCH_local.json")
+    if os.path.realpath(out) == os.path.realpath(canonical):
         with open(HISTORY, "w") as f:
             json.dump((history + [round(stage, 2)])[-10:], f)
     n_err = sum(1 for v in merged.values() if v < 0)
