@@ -1249,11 +1249,163 @@ object Analytics {
       .orderBy(col("est_count").desc, col("event_type"))
   }
 
+  // --- B37: event-type transition matrix -----------------------------------
+  // First-order Markov structure of user behavior: for every consecutive
+  // pair of events by the SAME user, count (from_type → to_type) and the
+  // conditional probability P(to | from). The navigation-model /
+  // next-action-prediction primitive, and C21's bigram-LM idea lifted
+  // from tokens to the event stream.
+  //
+  // Exactness: counts are integers; the per-from row total is an exact
+  // integer window sum; the probability is ONE correctly-rounded double
+  // divide — engine-identical.
+  //
+  // Scale (100 TB): the lag window partitions by user_id (high
+  // cardinality — per-task slivers, B35's argument); the transition
+  // rollup groups on (from, to) — ≤ |types|² rows with map-side
+  // partials, and the probability window runs over that tiny matrix.
+  val eventsTransitions = QueryDef.oracled(
+    "events_transitions",
+    """WITH t AS (
+      |  SELECT user_id, event_type AS to_type,
+      |         lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n_transitions
+      |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  CAST(n_transitions AS DOUBLE)
+      |    / sum(n_transitions) OVER (PARTITION BY from_type) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p", col("n_transitions").cast("double")
+        / sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // --- B38: last-touch conversion attribution ------------------------------
+  // For every purchase, the most recent PRECEDING non-purchase event by
+  // the same user within a 7-day lookback — marketing attribution's
+  // workhorse, rolled up to attributed conversion counts and value per
+  // touch type. The ignore-nulls running-last window computes "latest
+  // preceding touch" in ONE pass — no self-join, no range join: the
+  // same stream carries conversions and touches, so `last(touch-only
+  // column, ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1 PRECEDING
+  // skips intervening purchases for free.
+  //
+  // Exactness: the lookback test is integer micros; attributed value
+  // accumulates in DECIMAL (order-independent) then one cast.
+  //
+  // Scale (100 TB): one user_id-partitioned window (high cardinality)
+  // then a |types|-row rollup with map-side partials. The window state
+  // is O(1) per row — `last ignore nulls` keeps one value, not the
+  // frame.
+  val eventsAttribution = QueryDef.oracled(
+    "events_attribution",
+    """WITH o AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS) OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS) OVER w AS touch_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT touch_type, count(*) AS n_conversions,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+      |FROM o
+      |WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+      |  AND us - touch_us <= 604800000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchUs = when(col("event_type") =!= "purchase", col("us"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("user_id"), col("ts"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(touchUs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_type").isNotNull
+        && col("us") - col("touch_us") <= 604800000000L)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(dec(col("value"))).cast("double").as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** The five event types are a closed enum in this schema; PIVOT needs
+    * the value list up front to keep the plan a single pass (Spark
+    * otherwise runs an extra distinct job to discover values — a full
+    * scan a 100 TB pipeline cannot afford).
+    */
+  private[graft] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // --- B39: hour-of-day × event-type pivot ---------------------------------
+  // The PIVOT operator class (rows → columns): activity-by-hour matrix
+  // with one column per event type. Explicit value list ⇒ Spark compiles
+  // it to ONE groupBy(hour) with five conditional counts — a single
+  // shuffle on a 24-row key with map-side partials; no
+  // distinct-discovery pre-job, no second pass.
+  val eventsPivot = QueryDef.oracled(
+    "events_pivot",
+    """SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+      |  count(*) FILTER (event_type = 'click')    AS click,
+      |  count(*) FILTER (event_type = 'error')    AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup')   AS signup,
+      |  count(*) FILTER (event_type = 'view')     AS "view"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pivoted = Tables.events(s, d)
+      .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes) // FILTER counts 0 where pivot leaves null
+    pivoted.orderBy(col("hour_of_day"))
+  }
+
+  // --- B40: sliding-window rollup ------------------------------------------
+  // Overlapping 3-hour windows advancing hourly — the smoothed-trend /
+  // alerting view a tumbling hourly rollup (B9) can't express. Spark's
+  // window(ts, '3 hours', '1 hour') expands each event to its 3 owning
+  // windows MAP-SIDE (no self-join), then one shuffle on the
+  // (window, type) key with map-side partials; the oracle makes the
+  // same expansion explicit with a 3-element unnest.
+  //
+  // Exactness: window starts are integer hour arithmetic; sums
+  // accumulate in DECIMAL then one cast.
+  val eventsSlidingWindow = QueryDef.oracled(
+    "events_sliding_window",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS win_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
-    valuePercentilesSketch, eventsDwell, heavyHitters)
+    valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
+    eventsAttribution, eventsPivot, eventsSlidingWindow)
 }

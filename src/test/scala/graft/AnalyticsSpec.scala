@@ -238,4 +238,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byItem.contains("hot"), s"planted 30% key missing: $byItem")
     assert(byItem("hot") <= 1500L && 1500L - byItem("hot") <= 5000L / 16)
   }
+
+  test("events_transitions: rows = events - users, per-from probs sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_transitions")(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    // every event except each user's first contributes one transition
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == nEvents - nUsers)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, g) =>
+      val p = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"P(.|$f) sums to $p")
+    }
+  }
+
+  test("events_attribution: touches are non-purchase, conversions bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.forall(_.getAs[String]("touch_type") != "purchase"))
+    assert(rows.map(_.getAs[Long]("n_conversions")).sum <= nPurchases)
+    rows.foreach(r => assert(r.getAs[Double]("attributed_value") >= 0))
+  }
+
+  test("events_pivot: cells partition the event count") {
+    val rows = SparkEntry.queries("events_pivot")(spark, sf).collect()
+    assert(rows.length <= 24)
+    val total = rows.map(r =>
+      graft.queries.Analytics.EventTypes.map(c => r.getAs[Long](c)).sum).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("events_sliding_window: every event owned by exactly 3 windows") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_sliding_window")(spark, sf)
+    val counted = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(counted == 3 * Tables.events(spark, sf).count())
+    // spot-check one window against a direct range filter
+    val r0 = out.limit(1).collect()(0)
+    val ws = r0.getAs[java.sql.Timestamp]("win_start")
+    val et = r0.getAs[String]("event_type")
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === et &&
+        col("ts") >= lit(ws) && col("ts") < lit(ws) + expr("INTERVAL 3 HOURS"))
+      .count()
+    assert(direct == r0.getAs[Long]("n_events"), s"window $ws/$et")
+  }
 }
