@@ -927,9 +927,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C22: importance scoring for targeted data selection ------------------
+  // The DSIR idea (Xie et al. 2023 select pretraining data by
+  // importance weights between a small target domain and the raw
+  // corpus) in the engine's integer-exact form: target = the held-out
+  // benchmark set (doc_id % 20 = 0, the D9/D12 convention), and each
+  // candidate doc scores target_mass / corpus_mass over its token
+  // OCCURRENCES — what fraction of the corpus-wide usage of this doc's
+  // tokens comes from the target domain. High score = the doc speaks
+  // the target's vocabulary; the downstream sampler keeps the top
+  // slice. RAW count sums, not log-ratios: log's last ulp is not
+  // IEEE-pinned across engines (the C15/C20 argument) while integer
+  // sums + one divide per output are bit-identical, and for selection
+  // only the ORDER of scores matters.
+  //
+  // Scale (100 TB): the target-side count table is eval-suite-sized —
+  // broadcast; the corpus side rides the STAGED unigram table (built
+  // once under `_stage`, AQE broadcasts it when it fits) and the scan
+  // is explode → two vocab joins → one doc-keyed aggregate with
+  // map-side partials. No corpus self-join, no window.
+  val importance = QueryDef.oracled(
+    "corpus_importance",
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |             FROM documents),
+      |u AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+      |tgt AS (SELECT tok, count(*) AS tn FROM tok WHERE doc_id % 20 = 0 GROUP BY 1)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(coalesce(tgt.tn, 0)) AS BIGINT) AS target_mass,
+      |  CAST(sum(u.n) AS BIGINT) AS corpus_mass,
+      |  CAST(sum(coalesce(tgt.tn, 0)) AS DOUBLE)
+      |    / CAST(sum(u.n) AS DOUBLE) AS importance
+      |FROM tok t JOIN u USING (tok) LEFT JOIN tgt USING (tok)
+      |WHERE t.doc_id % 20 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val tok = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+    val tgt = broadcast(tok.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tn")))
+    tok.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(unigramCounts(s, d), Seq("tok"))
+      .join(tgt, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("tn"), lit(0L)).cast("decimal(38,0)"))
+          .cast("long").as("target_mass"),
+        sum(col("n").cast("decimal(38,0)")).cast("long").as("corpus_mass"),
+        (sum(coalesce(col("tn"), lit(0L)).cast("decimal(38,0)")).cast("double")
+          / sum(col("n").cast("decimal(38,0)")).cast("double")).as("importance"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
-      vocabCoverage, corpusChunk, unigramLm, bigramLm)
+      vocabCoverage, corpusChunk, unigramLm, bigramLm, importance)
 }

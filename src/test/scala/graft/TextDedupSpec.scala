@@ -470,4 +470,28 @@ class TextDedupSpec extends AnyFunSuite {
       } else assert(r.isNullAt(r.fieldIndex("mean_tok_count")))
     }
   }
+
+  test("corpus_importance equals a driver-side mass replay") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> "[a-z0-9]+".r.findAllIn(r.getString(1)).toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+    val tgtFreq = docs.filter(_._1 % 20 == 0).flatMap(_._2)
+      .groupBy(identity).map { case (t, o) => t -> o.size }
+    val got = SparkEntry.queries("corpus_importance")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // benchmark docs are never scored; empty docs drop out on both sides
+    assert(got.keySet.forall(_ % 20 != 0))
+    assert(got.size == docs.count { case (id, t) => id % 20 != 0 && t.nonEmpty })
+    docs.filter { case (id, t) => id % 20 != 0 && t.nonEmpty }.foreach {
+      case (id, toks) =>
+        val r = got(id)
+        val tm = toks.map(t => tgtFreq.getOrElse(t, 0).toLong).sum
+        val cm = toks.map(t => freq(t).toLong).sum
+        assert(r.getAs[Long]("target_mass") == tm, s"doc $id")
+        assert(r.getAs[Long]("corpus_mass") == cm, s"doc $id")
+        val imp = r.getAs[Double]("importance")
+        assert(imp >= 0.0 && imp <= 1.0 && imp == tm.toDouble / cm.toDouble)
+    }
+  }
 }
