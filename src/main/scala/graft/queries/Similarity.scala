@@ -1367,8 +1367,129 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  // --- E18: hybrid lexical+vector retrieval with RRF fusion ----------------
+  // The RAG retrieval stack in one operator: a lexical (sparse,
+  // tf·idf-ranked) top-10 and a vector (dense, exact-cosine) top-10
+  // per query, fused by Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
+  // the score-free fusion every hybrid search engine ships): each list
+  // contributes 1/(60+rank). Queries are the first NQueries docs
+  // (doc_id ≡ vec_id in this corpus).
+  //
+  // Determinism: the lexical score is Σ tf · (N div df) — the C15
+  // raw-idf family with an INTEGER idf, so ranks are exact-integer
+  // sorts; cosine ranks come from the oracle-anchored E1 kernel; and
+  // the RRF sum 1/(60+rl) + 1/(60+rv) is carried as an exact rational
+  // (num = 120+rl+rv, den = (60+rl)(60+rv); single-list rows are
+  // 1/(60+r)) with ONE double divide at the end — bit-identical
+  // cross-engine, hence a full hash oracle on a fusion op.
+  //
+  // Scale (100 TB): the lexical side is the D2b inverted-index shape —
+  // the distinct query-term set broadcasts, the (tok → posting) join
+  // shuffles on the token key, and the per-(query, doc) rollup has
+  // map-side partials; in production tf/df are the staged index
+  // artifact. The vector side is E1's broadcast map-only scan (or any
+  // E-family index). Fusion joins are query×10-sized — driver-free,
+  // exchange-negligible.
+  private val FuseL = 10 // per-list candidate depth fed to the fusion
+  val hybrid = QueryDef.oracled(
+    "knn_hybrid",
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |             FROM documents),
+      |ftok AS (SELECT * FROM tok
+      |         WHERE tok NOT IN (${TextAnalysis.stopwordsSql})),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM ftok GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ftok GROUP BY 1),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM ftok
+      |       WHERE doc_id < $NQueries),
+      |ls AS (SELECT qt.query_id, tf.doc_id,
+      |              sum(tf.tf * (n // df.df)) AS lex_score
+      |       FROM qt JOIN tf USING (tok) JOIN df USING (tok) CROSS JOIN nd
+      |       WHERE tf.doc_id <> qt.query_id GROUP BY 1, 2),
+      |lr AS (SELECT query_id, doc_id, row_number() OVER (
+      |         PARTITION BY query_id ORDER BY lex_score DESC, doc_id)
+      |         AS lex_rank
+      |       FROM ls WHERE lex_score > 0),
+      |lrf AS (SELECT query_id, doc_id, lex_rank FROM lr WHERE lex_rank <= $FuseL),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe
+      |      FROM embeddings WHERE vec_id < $NQueries),
+      |vs AS (SELECT query_id, vec_id AS doc_id, ${cosSql("qe", "embedding")} AS cosine
+      |       FROM q JOIN embeddings ON vec_id <> query_id),
+      |vr AS (SELECT query_id, doc_id, row_number() OVER (
+      |         PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS vec_rank
+      |       FROM vs WHERE NOT isnan(cosine)),
+      |vrf AS (SELECT query_id, doc_id, vec_rank FROM vr WHERE vec_rank <= $FuseL),
+      |fused AS (SELECT
+      |    coalesce(l.query_id, v.query_id) AS query_id,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |    CAST(CASE WHEN l.lex_rank IS NOT NULL AND v.vec_rank IS NOT NULL
+      |              THEN 120 + l.lex_rank + v.vec_rank ELSE 1 END AS BIGINT)
+      |      AS rrf_num,
+      |    CAST(CASE WHEN l.lex_rank IS NOT NULL AND v.vec_rank IS NOT NULL
+      |              THEN (60 + l.lex_rank) * (60 + v.vec_rank)
+      |              WHEN l.lex_rank IS NOT NULL THEN 60 + l.lex_rank
+      |              ELSE 60 + v.vec_rank END AS BIGINT) AS rrf_den
+      |  FROM lrf l FULL OUTER JOIN vrf v
+      |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+      |rr AS (SELECT *,
+      |         CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) AS rrf_score,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY
+      |           CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) DESC,
+      |           doc_id) AS rank
+      |       FROM fused)
+      |SELECT query_id, rank, doc_id, lex_rank, vec_rank, rrf_score
+      |FROM rr WHERE rank <= $K ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val ftok = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+      .filter(!col("tok").isin(TextAnalysis.stopwords: _*))
+    val tf = ftok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfr = ftok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n")))
+    val qt = broadcast(ftok.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"), col("tok")).distinct())
+    val lex = qt.join(tf, Seq("tok")).join(dfr, Seq("tok")).crossJoin(nd)
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * expr("n div df")).as("lex_score"))
+      .filter(col("lex_score") > 0)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("lex_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= FuseL)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val vec = broadcast(queriesDf(s, d))
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("ea")),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("vec_rank") <= FuseL)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+    val both = col("lex_rank").isNotNull && col("vec_rank").isNotNull
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_num",
+        when(both, lit(120L) + col("lex_rank") + col("vec_rank"))
+          .otherwise(lit(1L)))
+      .withColumn("rrf_den",
+        when(both, (lit(60L) + col("lex_rank")) * (lit(60L) + col("vec_rank")))
+          .when(col("lex_rank").isNotNull, lit(60L) + col("lex_rank"))
+          .otherwise(lit(60L) + col("vec_rank")))
+      .withColumn("rrf_score",
+        col("rrf_num").cast("double") / col("rrf_den").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("lex_rank"),
+        col("vec_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering)
+    binary, clustering, hybrid)
 }

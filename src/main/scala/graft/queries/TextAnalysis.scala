@@ -26,6 +26,8 @@ object TextAnalysis {
   private[graft] val stopwords =
     Seq("the", "a", "and", "of", "to", "is", "in", "it", "on", "for")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  /** The stopword list as a SQL IN-list — shared with E18's oracle. */
+  private[queries] def stopwordsSql: String = sqlList(stopwords)
 
   // --- C1: token counting ------------------------------------------------
   val tokenStats = QueryDef.oracled(

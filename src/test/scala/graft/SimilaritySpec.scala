@@ -418,4 +418,36 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("knn_hybrid: RRF arithmetic replays, vector side consistent with E1") {
+    val fused = SparkEntry.queries("knn_hybrid")(spark, sf).collect()
+    assert(fused.nonEmpty)
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Number]("rank").longValue) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    fused.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      // scores non-increasing in fused rank
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"q=$q")
+      sorted.foreach { r =>
+        val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+        val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+        assert(lex.nonEmpty || vec.nonEmpty)
+        val expected = (lex, vec) match {
+          case (Some(l), Some(v)) => (120.0 + l + v) / ((60.0 + l) * (60.0 + v))
+          case (Some(l), None)    => 1.0 / (60.0 + l)
+          case (None, Some(v))    => 1.0 / (60.0 + v)
+          case _                  => fail("rankless fused row")
+        }
+        assert(r.getAs[Double]("rrf_score") == expected, s"q=$q row=$r")
+        // a fused row claiming vector rank <= 5 must BE that E1 neighbor
+        vec.filter(_ <= 5).foreach { v =>
+          assert(brute((q, v)) == r.getAs[Long]("doc_id"),
+            s"vec_rank $v of q=$q disagrees with knn_bruteforce")
+        }
+      }
+    }
+  }
 }
