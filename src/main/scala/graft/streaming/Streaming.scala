@@ -48,6 +48,10 @@ case class FunnelStage(user_id: Long, stage: String)
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
+case class TransitionState(lastUs: Long, lastType: String)
+case class TransitionRow(
+    user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    from_type: String, to_type: String)
 
 object Streaming {
 
@@ -1203,8 +1207,99 @@ object Streaming {
     runToMemory(s, scored, OutputMode.Append, needsNoDataBatch = false)
   }
 
+  // --- A34: live event-type transition feed, streaming twin of B37 --------
+  // Per arriving event: the SAME user's previous event type — the
+  // online source for the Markov matrix B37 aggregates offline. The
+  // A31/A10 state pattern with the predecessor's TYPE as payload:
+  // state per user_id = last (micros, type), batch-internal event-time
+  // sort, event-time timeout evicts users silent past the horizon. A
+  // user's first event emits nothing, matching the batch lag — so the
+  // feed ≡ the batch window query → hash oracle.
+  val transitionFeed = QueryDef.oracled(
+    "stream_transition_feed",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type AS to_type,
+      |         lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events)
+      |SELECT user_id, ts, event_id, from_type, to_type
+      |FROM o WHERE from_type IS NOT NULL
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed: Dataset[DwellEvent] = eventStream(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .as[DwellEvent]
+    runTransitionFeed(s, typed)
+  }
+
+  /** The A34 pipeline over an arbitrary typed stream — seam for the
+    * multi-batch state-carry spec.
+    */
+  private[graft] def runTransitionFeed(s: SparkSession,
+      typed: Dataset[DwellEvent]): DataFrame = {
+    import s.implicits._
+    val feed = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[DwellEvent], state: GroupState[TransitionState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[TransitionRow]
+            var last: Option[TransitionState] = state.getOption
+            sorted.foreach { e =>
+              last.foreach(p => out += TransitionRow(
+                e.user_id, e.ts, e.event_id, p.lastType, e.event_type))
+              last = Some(TransitionState(tsMicros(e.ts), e.event_type))
+            }
+            last.foreach(state.update)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+    runToMemory(s, feed.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
+  // --- A33: streaming heavy hitters, online twin of B36 --------------------
+  // The Misra–Gries summary as LIVE state: a complete-mode global
+  // aggregation whose state-store entry IS the serialized sketch
+  // buffer — each micro-batch's partial summaries MERGE into it (the
+  // PODS'12 mergeability that makes the aggregate shuffle-safe is
+  // exactly what makes it restart-safe here). The sketch (≤ k−1
+  // counters), never the stream, persists between batches; output
+  // after each batch = current heavy-hitter set. Same est > n/k
+  // emission rule and error contract as B36 — sketch-by-contract, so
+  // rows+spec (multi-batch state-carry + MG bounds), not a hash oracle.
+  val heavyHittersFeed = QueryDef.rowsOnly("stream_heavy_hitters") { (s, d) =>
+    runHeavyHitters(s, eventStream(s, d).select(col("event_type")))
+  }
+
+  /** The A33 pipeline over an arbitrary stream of (event_type) rows —
+    * seam for the multi-batch spec.
+    */
+  private[graft] def runHeavyHitters(s: SparkSession, rows: DataFrame,
+      k: Int = 8): DataFrame = {
+    val sketch = rows
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("event_type"), k)
+        .as("mg"))
+    // the sink holds the one sketch row; heavy-hitter extraction is a
+    // batch-side projection over it (≤ k−1 entries)
+    runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false)
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.est").as("est_count"),
+        col("e.n").as("n_total"))
+      .filter(col("est_count") * k > col("n_total"))
+      .select(col("event_type"), col("est_count"), col("n_total"),
+        expr(s"n_total div $k").as("max_underestimate"))
+      .orderBy(col("est_count").desc, col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
-    leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed)
+    leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
+    transitionFeed, heavyHittersFeed)
 }

@@ -400,4 +400,80 @@ class StreamingSpec extends AnyFunSuite {
       "zero-token doc must keep its row with a NULL rate")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_transition_feed carries last-type state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the stream_dwell harness with the transition payload: cross-batch
+    // transitions (a user's consecutive events straddling a file
+    // boundary) exist ONLY if the last-type state carries
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_trans_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.DwellEvent]
+    val got = graft.streaming.Streaming.runTransitionFeed(spark, typed)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet
+    val batch = SparkEntry.queries("stream_transition_feed")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
+  test("stream_heavy_hitters merges the MG sketch across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 files, one per trigger. The merge proof is n_total = 3000: a
+    // sketch restarting per batch would report the last batch's 1000.
+    // The planted 40% key must also survive with the MG bound applied
+    // to its GLOBAL count — a bound no single batch's counters imply.
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_hh_multibatch").toString
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { i =>
+      val hot = Seq.fill(400)("hot")
+      val cold = (0 until 600).map(_ => s"cold${rng.nextInt(400)}")
+      rng.shuffle(hot ++ cold).toDF("event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val out = graft.streaming.Streaming.runHeavyHitters(spark, rows, k = 8)
+      .collect()
+    val byItem = out.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("est_count")).toMap
+    // all 3000 rows reached the one sketch
+    assert(out.forall(_.getAs[Long]("n_total") == 3000L))
+    // 40% hot key survives with the MG bound: est in [true - n/k, true]
+    assert(byItem.contains("hot"), s"hot key lost across batches: $byItem")
+    assert(byItem("hot") <= 1200L && 1200L - byItem("hot") <= 3000L / 8)
+    // emission rule: everything shown clears n/k
+    assert(out.forall(_.getAs[Long]("est_count") > 3000L / 8))
+  }
 }
