@@ -43,7 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("srp_sig_seeded", "seeded SRP signature for multi-table LSH (literal nBits, seed)",
       es => SrpSigSeeded(es.head, evalInt(es(1)), evalLong(es(2)))),
     ("misra_gries", "Misra-Gries heavy-hitters summary of a string column (literal k)",
-      es => graft.functions.MisraGriesAgg(es.head, evalInt(es(1)))))
+      es => graft.functions.MisraGriesAgg(es.head, evalInt(es(1)))),
+    ("bottom_k", "k smallest (string key, bigint tag) pairs per group (literal k)",
+      es => graft.functions.BottomKAgg(es.head, es(1), evalInt(es(2)))))
 
   private def evalScale(e: Expression): Float = {
     require(e.foldable, "quantization scale must be a literal")

@@ -1400,6 +1400,45 @@ object Analytics {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  // --- B41: deterministic per-type user sample via bottom-k hashing --------
+  // The repeatable-sampling primitive: per event type, the 64 distinct
+  // users with the smallest md5(user_id) — a uniform sample that is
+  // IDENTICAL across runs, partitionings, and engines (hash-priority
+  // sampling), unlike rand()-based sampling which can never be oracled.
+  // The same bottom-k set is the KMV distinct-count sketch: the spec
+  // derives the (k−1)/R estimator from it and checks it against the
+  // exact count (±25% — the ~1/√k = 12.5% std error band at k=64).
+  //
+  // Custom mergeable TypedImperativeAggregate (functions/BottomKAgg
+  // .scala, SQL-registered as `bottom_k`): duplicate pairs
+  // self-collapse in the sorted buffer, so the plan needs NO distinct
+  // pre-shuffle — one aggregation whose map-side state is O(k) per
+  // type, versus the oracle's full (type, user) distinct + per-type
+  // rank sort. At 100 TB that is the difference between shipping 64
+  // pairs per partition and shuffling every distinct (type, user) pair
+  // into a per-type sort.
+  private val KmvK = 64
+  val userSample = QueryDef.oracled(
+    "events_user_sample",
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type, user_id,
+      |             md5(CAST(user_id AS VARCHAR)) AS user_hash FROM du),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |               ORDER BY user_hash, user_id) AS rk FROM h)
+      |SELECT event_type, rk, user_id, user_hash
+      |FROM r WHERE rk <= $KmvK ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottom_k(
+        col("user_hash"), col("user_id"), KmvK).as("bk"))
+      .select(col("event_type"), posexplode(col("bk")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.tag").as("user_id"), col("e.key").as("user_hash"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -1407,5 +1446,5 @@ object Analytics {
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
-    eventsAttribution, eventsPivot, eventsSlidingWindow)
+    eventsAttribution, eventsPivot, eventsSlidingWindow, userSample)
 }

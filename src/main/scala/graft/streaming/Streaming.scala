@@ -52,6 +52,12 @@ case class TransitionState(lastUs: Long, lastType: String)
 case class TransitionRow(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long,
     from_type: String, to_type: String)
+case class AttribEvent(
+    event_type: String, user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, value: Double)
+case class AttribRow(
+    user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    touch_type: String, value: Double)
 
 object Streaming {
 
@@ -1263,6 +1269,73 @@ object Streaming {
     runToMemory(s, feed.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
+  // --- A35: live last-touch attribution feed, streaming twin of B38 --------
+  // Per arriving PURCHASE: the same user's most recent preceding
+  // non-purchase event type, if within the 7-day lookback — the
+  // per-conversion feed B38 rolls up offline. State per user_id = last
+  // non-purchase (micros, type); a purchase reads it (and leaves it in
+  // place — purchases don't reset the touch, matching the batch
+  // ignore-nulls window), a non-purchase overwrites it. Batch-internal
+  // event-time sort + event-time timeout, the A31/A34 pattern. The
+  // feed ≡ the batch window query → hash oracle.
+  private val AttribLookbackUs = 604800000000L // 7 days
+  val attributionFeed = QueryDef.oracled(
+    "stream_attribution",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS) OVER w AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS) OVER w AS touch_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, ts, event_id, touch_type, value
+      |FROM o
+      |WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+      |  AND epoch_us(ts) - touch_us <= 604800000000
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed: Dataset[AttribEvent] = eventStream(s, d)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .as[AttribEvent]
+    runAttributionFeed(s, typed)
+  }
+
+  /** The A35 pipeline over an arbitrary typed stream — seam for the
+    * multi-batch state-carry spec.
+    */
+  private[graft] def runAttributionFeed(s: SparkSession,
+      typed: Dataset[AttribEvent]): DataFrame = {
+    import s.implicits._
+    val feed = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, it: Iterator[AttribEvent], state: GroupState[TransitionState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttribRow]
+            var touch: Option[TransitionState] = state.getOption
+            sorted.foreach { e =>
+              if (e.event_type == "purchase") {
+                touch.filter(t => tsMicros(e.ts) - t.lastUs <= AttribLookbackUs)
+                  .foreach(t => out += AttribRow(
+                    e.user_id, e.ts, e.event_id, t.lastType, e.value))
+              } else touch = Some(TransitionState(tsMicros(e.ts), e.event_type))
+            }
+            touch.foreach(state.update)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+    runToMemory(s, feed.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
   // --- A33: streaming heavy hitters, online twin of B36 --------------------
   // The Misra–Gries summary as LIVE state: a complete-mode global
   // aggregation whose state-store entry IS the serialized sketch
@@ -1301,5 +1374,5 @@ object Streaming {
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
-    transitionFeed, heavyHittersFeed)
+    transitionFeed, heavyHittersFeed, attributionFeed)
 }

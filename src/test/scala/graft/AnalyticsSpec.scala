@@ -271,6 +271,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("events_user_sample: KMV estimator from the bottom-64 within 25% of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("events_user_sample")(spark, sf).collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("nd")).toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rk"))
+      // ranks dense from 1; hashes ascending (the order statistic)
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length))
+      val hashes = sorted.map(_.getAs[String]("user_hash"))
+      assert(hashes.zip(hashes.tail).forall { case (a, b) => a <= b })
+      val k = sorted.length
+      if (exact(et) <= 64) assert(k == exact(et).toInt) // small group: exact
+      else {
+        assert(k == 64)
+        // KMV: distinct ~ (k-1)/R, R = kth smallest hash as a fraction
+        val r = java.lang.Long.parseLong(hashes.last.take(8), 16)
+          .toDouble / (1L << 32).toDouble
+        val est = (k - 1).toDouble / r
+        val rel = math.abs(est - exact(et)) / exact(et)
+        assert(rel < 0.25, s"$et: est=$est exact=${exact(et)} rel=$rel")
+      }
+    }
+  }
+
   test("events_sliding_window: every event owned by exactly 3 windows") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("events_sliding_window")(spark, sf)

@@ -239,4 +239,29 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bottom-k equals sort-take-k under random splits, merge orders, duplicates") {
+    import graft.functions.BottomKAgg
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 25) {
+      val k = 1 + rnd.nextInt(20)
+      val n = 50 + rnd.nextInt(500)
+      // duplicate-heavy pair stream (small key space forces collisions)
+      val stream = IndexedSeq.fill(n)(
+        (f"h${rnd.nextInt(60)}%03d", rnd.nextInt(40).toLong))
+      val expect = stream.distinct.sorted.take(k)
+      val nChunks = 1 + rnd.nextInt(6)
+      val bufs = stream.grouped(math.max(1, n / nChunks)).toIndexedSeq.map { ch =>
+        val b = new BottomKAgg.Buf(scala.collection.mutable.TreeSet.empty)
+        ch.foreach { case (key, tag) => BottomKAgg.insert(b, key, tag, k) }
+        b
+      }
+      val merged = rnd.shuffle(bufs).reduce { (a, b) =>
+        b.s.foreach { case (key, tag) => BottomKAgg.insert(a, key, tag, k) }
+        a
+      }
+      assert(merged.s.toSeq == expect,
+        s"bottom-$k mismatch: got ${merged.s.toSeq} want $expect")
+    }
+  }
 }

@@ -438,6 +438,44 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_attribution carries touch state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // time-split harness: a purchase whose latest touch landed in an
+    // earlier batch is attributed ONLY if the per-user touch state
+    // carries between triggers
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_attrib_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.AttribEvent]
+    val got = graft.streaming.Streaming.runAttributionFeed(spark, typed)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("touch_type"))).toSet
+    val batch = SparkEntry.queries("stream_attribution")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("touch_type"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_heavy_hitters merges the MG sketch across MULTIPLE micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
