@@ -1439,6 +1439,38 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  // --- B42: UNPIVOT — the wide→long reshaping class -------------------------
+  // The inverse of B39: melt the per-type count columns back into
+  // (hour, type, n) rows via the native unpivot operator — what a
+  // pipeline does when normalizing a wide metric table (one column per
+  // KPI) into the long form every downstream groupBy/join wants.
+  // Unpivot is a MAP-SIDE row expansion (each input row → 5 output
+  // rows, no shuffle beyond what built the wide frame) — the oracle
+  // reconstructs the same long form from first principles with a
+  // present-hours × types grid so the pivot's filled zeros round-trip.
+  val eventsUnpivot = QueryDef.oracled(
+    "events_unpivot",
+    """WITH hrs AS (SELECT DISTINCT EXTRACT(hour FROM ts) AS hour_of_day
+      |             FROM events),
+      |g AS (SELECT hour_of_day, et AS event_type FROM hrs CROSS JOIN
+      |      (SELECT unnest(['click','error','purchase','signup','view']) AS et)),
+      |c AS (SELECT EXTRACT(hour FROM ts) AS hour_of_day, event_type,
+      |             count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT g.hour_of_day, g.event_type, coalesce(c.n, 0) AS n_events
+      |FROM g LEFT JOIN c USING (hour_of_day, event_type)
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val wide = Tables.events(s, d)
+      .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+    wide.unpivot(
+      Array(col("hour_of_day")), EventTypes.map(col).toArray,
+      "event_type", "n_events")
+      .orderBy(col("hour_of_day"), col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -1446,5 +1478,6 @@ object Analytics {
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
-    eventsAttribution, eventsPivot, eventsSlidingWindow, userSample)
+    eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
+    eventsUnpivot)
 }

@@ -305,6 +305,64 @@ object Multimodal {
       d: String): Unit =
     phashClusterLabels(s, d).queryExecution.toRdd.count()
 
+  // --- F6: image-text pairing table -----------------------------------------
+  // The LAION-style multimodal training-pair builder: each media asset
+  // joined to its caption's text stats, with the pair-admission
+  // decision (caption length, payload size, aspect-ratio bounds) the
+  // downstream image-text trainer consumes. The decode side reuses
+  // F1's batched-stub dims; the caption side is one tokenizer pass.
+  // The admission predicate is ALL-INTEGER (aspect bound as the
+  // cross-multiplied width*2 >= height, not a float ratio) so the flag
+  // is trivially engine-identical; the one double is the aspect ratio
+  // emitted for human consumption.
+  //
+  // Scale (100 TB): both sides are doc_id-keyed — one equi-join, no
+  // window; with assets and captions bucketed by doc_id (the A1
+  // changelog dial) the join is zero-Exchange. A real decoder swap
+  // changes ONLY the width/height source (F1's caveat).
+  private val PairMinTokens = 5L
+  private val PairMinBytes = 64L
+  val captionPairs = QueryDef.oracled(
+    "media_caption_pairs", {
+      val (z1, z2, z3, h) = graft.queries.U64Sql.mix64Stages("h0")
+      s"""WITH s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM documents),
+        |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
+        |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
+        |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
+        |mix AS (SELECT doc_id, 64 + h % 64 AS width, 64 + (h // 64) % 64 AS height
+        |        FROM (SELECT doc_id, $h AS h FROM s3) q),
+        |cap AS (SELECT doc_id,
+        |          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |          length(text) AS n_bytes
+        |        FROM documents)
+        |SELECT d.doc_id, 'media/' || d.source AS format,
+        |  CAST(c.n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(m.width AS BIGINT) AS width, CAST(m.height AS BIGINT) AS height,
+        |  CAST(c.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(m.width AS DOUBLE) / m.height AS aspect,
+        |  (c.n_tokens >= $PairMinTokens AND c.n_bytes >= $PairMinBytes
+        |   AND m.width * 2 >= m.height AND m.height * 2 >= m.width) AS pair_keep
+        |FROM documents d JOIN mix m USING (doc_id) JOIN cap c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+    val caps = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(graft.functions.expressions.tokenize_words(col("text")))
+          .cast("long").as("n_tokens"))
+    mediaFeaturesRaw(s, d)
+      .select(col("doc_id"), col("format"), col("n_bytes").cast("long"),
+        col("width").cast("long"), col("height").cast("long"))
+      .join(caps, Seq("doc_id"))
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("width"),
+        col("height"), col("n_tokens"),
+        (col("width").cast("double") / col("height")).as("aspect"),
+        (col("n_tokens") >= PairMinTokens && col("n_bytes") >= PairMinBytes
+          && col("width") * 2 >= col("height")
+          && col("height") * 2 >= col("width")).as("pair_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash, mediaKeepers)
+    Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash, mediaKeepers,
+      captionPairs)
 }

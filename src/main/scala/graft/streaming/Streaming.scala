@@ -1370,9 +1370,48 @@ object Streaming {
       .orderBy(col("est_count").desc, col("event_type"))
   }
 
+  // --- A36: streaming deterministic sample, online twin of B41 -------------
+  // BottomKAgg as live keyed state: per event type, the running
+  // bottom-64 md5 user sample, merged across micro-batches like A33's
+  // MG sketch. The difference is the CONTRACT: bottom-k is an exact
+  // order statistic, so after the stream drains the state equals the
+  // batch result REGARDLESS of batch boundaries — the one streaming
+  // sketch with a full hash oracle (≡ B41's SQL). A live deployment
+  // reads the current sample from the sink after any trigger: a
+  // continuously-maintained reservoir for downstream spot checks.
+  val userSampleFeed = QueryDef.oracled(
+    "stream_user_sample",
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type, user_id,
+      |             md5(CAST(user_id AS VARCHAR)) AS user_hash FROM du),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |               ORDER BY user_hash, user_id) AS rk FROM h)
+      |SELECT event_type, rk, user_id, user_hash
+      |FROM r WHERE rk <= 64 ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    runUserSample(s, eventStream(s, d))
+  }
+
+  /** The A36 pipeline over an arbitrary (event_type, user_id) stream —
+    * seam for the multi-batch spec.
+    */
+  private[graft] def runUserSample(s: SparkSession, rows: DataFrame)
+      : DataFrame = {
+    val sketch = rows
+      .select(col("event_type"),
+        md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottom_k(
+        col("user_hash"), col("user_id"), 64).as("bk"))
+    runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false)
+      .select(col("event_type"), posexplode(col("bk")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.tag").as("user_id"), col("e.key").as("user_hash"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
-    transitionFeed, heavyHittersFeed, attributionFeed)
+    transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed)
 }

@@ -298,6 +298,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_unpivot round-trips the pivot: long form = wide cells") {
+    val long = SparkEntry.queries("events_unpivot")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hour_of_day"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events")).toMap
+    val wide = SparkEntry.queries("events_pivot")(spark, sf).collect()
+    assert(long.size == wide.length * graft.queries.Analytics.EventTypes.size)
+    wide.foreach { r =>
+      val h = r.getAs[Long]("hour_of_day")
+      graft.queries.Analytics.EventTypes.foreach { et =>
+        assert(long((h, et)) == r.getAs[Long](et), s"cell ($h, $et)")
+      }
+    }
+  }
+
   test("events_sliding_window: every event owned by exactly 3 windows") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("events_sliding_window")(spark, sf)

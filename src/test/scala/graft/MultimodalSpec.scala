@@ -161,4 +161,20 @@ class MultimodalSpec extends AnyFunSuite {
         r.getAs[Long]("total_bytes")))).toMap
     assert(got == expected)
   }
+
+  test("media_caption_pairs: one pair per asset, admission flag replays") {
+    val rows = SparkEntry.queries("media_caption_pairs")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      assert(w >= 64 && w < 128 && h >= 64 && h < 128) // stub dim range
+      assert(r.getAs[Double]("aspect") == w.toDouble / h)
+      val expectKeep = r.getAs[Long]("n_tokens") >= 5 &&
+        r.getAs[Long]("n_bytes") >= 64 && w * 2 >= h && h * 2 >= w
+      assert(r.getAs[Boolean]("pair_keep") == expectKeep, s"row $r")
+    }
+    // the gate must be live in both directions on this corpus
+    assert(rows.exists(_.getAs[Boolean]("pair_keep")))
+  }
 }

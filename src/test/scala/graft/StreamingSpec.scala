@@ -476,6 +476,41 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_user_sample: bottom-k state is batch-boundary-invariant") {
+    import org.apache.spark.sql.functions._
+    // 3 triggers; the exact-order-statistic contract: the drained
+    // stream's sample EQUALS the batch query's, however the input was
+    // split — the property that earns this streaming sketch its oracle
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_usample_multibatch").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("q", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("user_id"))))
+    (1 to 3).foreach { i =>
+      ev.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val got = graft.streaming.Streaming.runUserSample(spark, rows)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[String]("user_hash"))).toSet
+    val batch = SparkEntry.queries("events_user_sample")(spark, sf)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rk"),
+        r.getAs[Long]("user_id"), r.getAs[String]("user_hash"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_heavy_hitters merges the MG sketch across MULTIPLE micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
