@@ -365,6 +365,31 @@ object Streaming {
   }
 
 
+  // --- A37: continuous sliding rollup, streaming twin of B40 ---------------
+  // Overlapping 3-hour windows advancing hourly from the live stream:
+  // the same map-side 3× window expansion as the batch form, windowed
+  // state merged per (window, type) across micro-batches; complete
+  // mode so the sink holds every window (a live deployment uses
+  // append + watermark, the A11 caveat).
+  val slidingRollup = QueryDef.oracled(
+    "stream_sliding_rollup",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS win_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToMemory(s, agg, OutputMode.Complete, needsNoDataBatch = false)
+  }
+
   // --- A12: leader election as a live state machine -----------------------
   // The CAS acquire/renew/expire cycle of
   // CassandraLeaderElection.scala:46-170 as flatMapGroupsWithState per
@@ -1413,5 +1438,6 @@ object Streaming {
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
-    transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed)
+    transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
+    slidingRollup)
 }
