@@ -70,7 +70,7 @@ case class BottomKAgg(
     containsNull = false)
 
   override def createAggregationBuffer(): BottomKAgg.Buf =
-    new BottomKAgg.Buf(mutable.TreeSet.empty[(String, Long)])
+    BottomKAgg.emptyBuf()
 
   override def update(buf: BottomKAgg.Buf, row: InternalRow): BottomKAgg.Buf = {
     val kv = keyExpr.eval(row)
@@ -107,16 +107,16 @@ case class BottomKAgg(
   override def deserialize(bytes: Array[Byte]): BottomKAgg.Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val cnt = bb.getInt
-    val s = mutable.TreeSet.empty[(String, Long)]
+    val buf = BottomKAgg.emptyBuf()
     var i = 0
     while (i < cnt) {
       val len = bb.getInt
       val kb = new Array[Byte](len)
       bb.get(kb)
-      s += ((new String(kb, StandardCharsets.UTF_8), bb.getLong))
+      buf.s += ((new String(kb, StandardCharsets.UTF_8), bb.getLong))
       i += 1
     }
-    new BottomKAgg.Buf(s)
+    buf
   }
 
   override def withNewMutableAggBufferOffset(o: Int): BottomKAgg =
@@ -128,8 +128,25 @@ case class BottomKAgg(
 }
 
 object BottomKAgg {
+  /** Key order = Spark's string order (UTF8String.compareTo: unsigned
+    * UTF-8 byte comparison), NOT Java's UTF-16 char order — they
+    * disagree above the BMP (e.g. U+E000 sorts before U+10000 in
+    * UTF-8 bytes but after it by UTF-16 chars), and the SQL-registered
+    * aggregate must agree with the engine's own ORDER BY.
+    */
+  private[graft] val pairOrdering: Ordering[(String, Long)] =
+    new Ordering[(String, Long)] {
+      def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1))
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
   /** Mutable state: the current ≤ k smallest (key, tag) pairs. */
   final class Buf(val s: mutable.TreeSet[(String, Long)])
+
+  private[graft] def emptyBuf(): Buf =
+    new Buf(mutable.TreeSet.empty[(String, Long)](pairOrdering))
 
   /** Insert one pair, evicting the largest when over k. Pure state
     * logic — the aggregate delegates here; the property spec drives it
@@ -138,7 +155,7 @@ object BottomKAgg {
   private[graft] def insert(buf: Buf, key: String, tag: Long, k: Int): Unit = {
     val pair = (key, tag)
     if (buf.s.size < k) buf.s += pair
-    else if (Ordering[(String, Long)].lt(pair, buf.s.last)) {
+    else if (pairOrdering.lt(pair, buf.s.last)) {
       buf.s += pair
       if (buf.s.size > k) buf.s -= buf.s.last
     }

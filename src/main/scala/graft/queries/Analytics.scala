@@ -1236,17 +1236,24 @@ object Analytics {
   // so this is rows+spec like the other sketches, with the bounds
   // checked against exact counts by spec.
   private val HhK = 8
-  val heavyHitters = QueryDef.rowsOnly("events_heavy_hitters") { (s, d) =>
-    Tables.events(s, d)
-      .agg(graft.functions.MisraGriesAgg.misra_gries(
-        col("event_type"), HhK).as("mg"))
+  /** Project an MG summary array column into the heavy-hitter rows
+    * (est > n/k emission rule + error bound) — shared by B36 and A33
+    * so the batch/stream twins cannot diverge on the contract.
+    */
+  private[graft] def mgHeavyHitterRows(sketch: DataFrame, k: Int): DataFrame =
+    sketch
       .select(explode(col("mg")).as("e"))
       .select(col("e.item").as("event_type"), col("e.est").as("est_count"),
         col("e.n").as("n_total"))
-      .filter(col("est_count") * HhK > col("n_total"))
+      .filter(col("est_count") * k > col("n_total"))
       .select(col("event_type"), col("est_count"), col("n_total"),
-        expr(s"n_total div $HhK").as("max_underestimate"))
+        expr(s"n_total div $k").as("max_underestimate"))
       .orderBy(col("est_count").desc, col("event_type"))
+
+  val heavyHitters = QueryDef.rowsOnly("events_heavy_hitters") { (s, d) =>
+    mgHeavyHitterRows(Tables.events(s, d)
+      .agg(graft.functions.MisraGriesAgg.misra_gries(
+        col("event_type"), HhK).as("mg")), HhK)
   }
 
   // --- B37: event-type transition matrix -----------------------------------
@@ -1354,6 +1361,17 @@ object Analytics {
   // it to ONE groupBy(hour) with five conditional counts — a single
   // shuffle on a 24-row key with map-side partials; no
   // distinct-discovery pre-job, no second pass.
+  /** The B39 wide frame, shared with B42 so the pivot and its melt
+    * round-trip by construction, not by parallel maintenance.
+    */
+  private def pivotWide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes) // FILTER counts 0 where pivot leaves null
+
   val eventsPivot = QueryDef.oracled(
     "events_pivot",
     """SELECT EXTRACT(hour FROM ts) AS hour_of_day,
@@ -1363,13 +1381,7 @@ object Analytics {
       |  count(*) FILTER (event_type = 'signup')   AS signup,
       |  count(*) FILTER (event_type = 'view')     AS "view"
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val pivoted = Tables.events(s, d)
-      .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
-      .groupBy(col("hour_of_day"))
-      .pivot("event_type", EventTypes)
-      .count()
-      .na.fill(0L, EventTypes) // FILTER counts 0 where pivot leaves null
-    pivoted.orderBy(col("hour_of_day"))
+    pivotWide(s, d).orderBy(col("hour_of_day"))
   }
 
   // --- B40: sliding-window rollup ------------------------------------------
@@ -1382,15 +1394,20 @@ object Analytics {
   //
   // Exactness: window starts are integer hour arithmetic; sums
   // accumulate in DECIMAL then one cast.
-  val eventsSlidingWindow = QueryDef.oracled(
-    "events_sliding_window",
+  /** Shared with A37 (stream_sliding_rollup) — one oracle, two
+    * execution contracts.
+    */
+  private[graft] val slidingWindowOracle: String =
     """WITH w AS (
       |  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS win_start,
       |         event_type, value
       |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
       |SELECT win_start, event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val eventsSlidingWindow = QueryDef.oracled(
+    "events_sliding_window", slidingWindowOracle) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1417,26 +1434,37 @@ object Analytics {
   // rank sort. At 100 TB that is the difference between shipping 64
   // pairs per partition and shuffling every distinct (type, user) pair
   // into a per-type sort.
-  private val KmvK = 64
-  val userSample = QueryDef.oracled(
-    "events_user_sample",
+  private[graft] val KmvK = 64
+  /** Shared with A36 (stream_user_sample): the batch/stream twins must
+    * quote the SAME oracle or they can silently diverge.
+    */
+  private[graft] val userSampleOracle: String =
     s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
       |h AS (SELECT event_type, user_id,
       |             md5(CAST(user_id AS VARCHAR)) AS user_hash FROM du),
       |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
       |               ORDER BY user_hash, user_id) AS rk FROM h)
       |SELECT event_type, rk, user_id, user_hash
-      |FROM r WHERE rk <= $KmvK ORDER BY event_type, rk""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
-      .select(col("event_type"),
-        md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
-      .groupBy(col("event_type"))
-      .agg(graft.functions.BottomKAgg.bottom_k(
-        col("user_hash"), col("user_id"), KmvK).as("bk"))
+      |FROM r WHERE rk <= $KmvK ORDER BY event_type, rk""".stripMargin
+
+  /** Project a per-group bottom-k array column into the (type, rk,
+    * user_id, user_hash) sample rows — shared by B41 and A36.
+    */
+  private[graft] def kmvSampleRows(sketch: DataFrame): DataFrame =
+    sketch
       .select(col("event_type"), posexplode(col("bk")).as(Seq("pos", "e")))
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
         col("e.tag").as("user_id"), col("e.key").as("user_hash"))
       .orderBy(col("event_type"), col("rk"))
+
+  val userSample = QueryDef.oracled(
+    "events_user_sample", userSampleOracle) { (s, d) =>
+    kmvSampleRows(Tables.events(s, d)
+      .select(col("event_type"),
+        md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottom_k(
+        col("user_hash"), col("user_id"), KmvK).as("bk")))
   }
 
   // --- B42: UNPIVOT — the wide→long reshaping class -------------------------
@@ -1459,13 +1487,7 @@ object Analytics {
       |SELECT g.hour_of_day, g.event_type, coalesce(c.n, 0) AS n_events
       |FROM g LEFT JOIN c USING (hour_of_day, event_type)
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val wide = Tables.events(s, d)
-      .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"))
-      .groupBy(col("hour_of_day"))
-      .pivot("event_type", EventTypes)
-      .count()
-      .na.fill(0L, EventTypes)
-    wide.unpivot(
+    pivotWide(s, d).unpivot(
       Array(col("hour_of_day")), EventTypes.map(col).toArray,
       "event_type", "n_events")
       .orderBy(col("hour_of_day"), col("event_type"))

@@ -1401,14 +1401,16 @@ object Similarity {
     * set probes it, it is not rebuilt per query.
     */
   private def lexIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    def ftok = Tables.spread(Tables.documents(s, d), s, "doc_id")
-      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
-      .filter(!col("tok").isin(TextAnalysis.stopwords: _*))
     val tf = graft.FrameCache.getOrPersist(s, s"sim.lextf:$d") {
-      ftok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+        .filter(!col("tok").isin(TextAnalysis.stopwords: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     }
+    // tf has exactly one row per (doc, tok), so df is a plain count
+    // over the staged frame — no second corpus tokenization pass
     val dfr = graft.FrameCache.getOrPersist(s, s"sim.lexdf:$d") {
-      ftok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     }
     (tf, dfr)
   }

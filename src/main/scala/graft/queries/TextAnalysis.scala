@@ -973,9 +973,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("tn"), lit(0L)).cast("decimal(38,0)"))
           .cast("long").as("target_mass"),
-        sum(col("n").cast("decimal(38,0)")).cast("long").as("corpus_mass"),
-        (sum(coalesce(col("tn"), lit(0L)).cast("decimal(38,0)")).cast("double")
-          / sum(col("n").cast("decimal(38,0)")).cast("double")).as("importance"))
+        sum(col("n").cast("decimal(38,0)")).cast("long").as("corpus_mass"))
+      // post-agg ratio from the named masses (longs < 2^53 convert
+      // exactly, so this equals the oracle's sum-tree divide)
+      .withColumn("importance",
+        col("target_mass").cast("double") / col("corpus_mass").cast("double"))
       .orderBy(col("doc_id"))
   }
 

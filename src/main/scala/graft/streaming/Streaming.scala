@@ -373,13 +373,7 @@ object Streaming {
   // append + watermark, the A11 caveat).
   val slidingRollup = QueryDef.oracled(
     "stream_sliding_rollup",
-    """WITH w AS (
-      |  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS win_start,
-      |         event_type, value
-      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
-      |SELECT win_start, event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.queries.Analytics.slidingWindowOracle) { (s, d) =>
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
@@ -1385,14 +1379,8 @@ object Streaming {
         .as("mg"))
     // the sink holds the one sketch row; heavy-hitter extraction is a
     // batch-side projection over it (≤ k−1 entries)
-    runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false)
-      .select(explode(col("mg")).as("e"))
-      .select(col("e.item").as("event_type"), col("e.est").as("est_count"),
-        col("e.n").as("n_total"))
-      .filter(col("est_count") * k > col("n_total"))
-      .select(col("event_type"), col("est_count"), col("n_total"),
-        expr(s"n_total div $k").as("max_underestimate"))
-      .orderBy(col("est_count").desc, col("event_type"))
+    graft.queries.Analytics.mgHeavyHitterRows(
+      runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false), k)
   }
 
   // --- A36: streaming deterministic sample, online twin of B41 -------------
@@ -1405,14 +1393,7 @@ object Streaming {
   // reads the current sample from the sink after any trigger: a
   // continuously-maintained reservoir for downstream spot checks.
   val userSampleFeed = QueryDef.oracled(
-    "stream_user_sample",
-    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
-      |h AS (SELECT event_type, user_id,
-      |             md5(CAST(user_id AS VARCHAR)) AS user_hash FROM du),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
-      |               ORDER BY user_hash, user_id) AS rk FROM h)
-      |SELECT event_type, rk, user_id, user_hash
-      |FROM r WHERE rk <= 64 ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    "stream_user_sample", graft.queries.Analytics.userSampleOracle) { (s, d) =>
     runUserSample(s, eventStream(s, d))
   }
 
@@ -1426,12 +1407,10 @@ object Streaming {
         md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
       .groupBy(col("event_type"))
       .agg(graft.functions.BottomKAgg.bottom_k(
-        col("user_hash"), col("user_id"), 64).as("bk"))
-    runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false)
-      .select(col("event_type"), posexplode(col("bk")).as(Seq("pos", "e")))
-      .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
-        col("e.tag").as("user_id"), col("e.key").as("user_hash"))
-      .orderBy(col("event_type"), col("rk"))
+        col("user_hash"), col("user_id"),
+        graft.queries.Analytics.KmvK).as("bk"))
+    graft.queries.Analytics.kmvSampleRows(
+      runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
   }
 
   def all: Seq[QueryDef] = Seq(

@@ -252,7 +252,7 @@ class KernelPropertySpec extends AnyFunSuite {
       val expect = stream.distinct.sorted.take(k)
       val nChunks = 1 + rnd.nextInt(6)
       val bufs = stream.grouped(math.max(1, n / nChunks)).toIndexedSeq.map { ch =>
-        val b = new BottomKAgg.Buf(scala.collection.mutable.TreeSet.empty)
+        val b = BottomKAgg.emptyBuf()
         ch.foreach { case (key, tag) => BottomKAgg.insert(b, key, tag, k) }
         b
       }
@@ -263,5 +263,20 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(merged.s.toSeq == expect,
         s"bottom-$k mismatch: got ${merged.s.toSeq} want $expect")
     }
+  }
+
+  test("bottom-k key order is UTF-8 byte order, not UTF-16 char order") {
+    import graft.functions.BottomKAgg
+    // U+E000 (UTF-8 EE 80 80) < U+10000 (UTF-8 F0 90 80 80) by bytes,
+    // but the surrogate pair D800 DC00 < E000 by UTF-16 chars — the
+    // engine's ORDER BY (UTF8String) uses bytes, and so must bottom_k
+    val bmp = ""
+    val astral = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(astral) > 0) // Java disagrees...
+    val b = BottomKAgg.emptyBuf()
+    BottomKAgg.insert(b, astral, 1L, 1)
+    BottomKAgg.insert(b, bmp, 2L, 1)
+    assert(b.s.toSeq == Seq((bmp, 2L)), // ...bottom_k keeps the UTF-8 min
+      s"bottom_k must keep U+E000 over U+10000: ${b.s.toSeq}")
   }
 }
