@@ -76,29 +76,30 @@ case class BottomKAgg(
     val kv = keyExpr.eval(row)
     val tv = tagExpr.eval(row)
     if (kv != null && tv != null)
-      BottomKAgg.insert(buf, kv.asInstanceOf[UTF8String].toString,
+      // one UTF-8 copy per row; all downstream comparisons are raw
+      // byte compares with zero allocation
+      BottomKAgg.insertBytes(buf, kv.asInstanceOf[UTF8String].getBytes,
         tv.asInstanceOf[Long], k)
     buf
   }
 
   override def merge(a: BottomKAgg.Buf, b: BottomKAgg.Buf): BottomKAgg.Buf = {
-    b.s.foreach { case (key, tag) => BottomKAgg.insert(a, key, tag, k) }
+    b.s.foreach { case (key, tag) => BottomKAgg.insertBytes(a, key, tag, k) }
     a
   }
 
   override def eval(buf: BottomKAgg.Buf): Any = {
     val rows = buf.s.toArray.map { case (key, tag) =>
-      InternalRow(UTF8String.fromString(key), tag) }
+      InternalRow(UTF8String.fromBytes(key), tag) }
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
   override def serialize(buf: BottomKAgg.Buf): Array[Byte] = {
     val items = buf.s.toArray
-    val bytes = items.map(_._1.getBytes(StandardCharsets.UTF_8))
-    val size = 4 + items.length * 12 + bytes.map(_.length).sum
+    val size = 4 + items.length * 12 + items.map(_._1.length).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(items.length)
-    items.zip(bytes).foreach { case ((_, tag), kb) =>
+    items.foreach { case (kb, tag) =>
       bb.putInt(kb.length); bb.put(kb); bb.putLong(tag)
     }
     bb.array()
@@ -113,7 +114,7 @@ case class BottomKAgg(
       val len = bb.getInt
       val kb = new Array[Byte](len)
       bb.get(kb)
-      buf.s += ((new String(kb, StandardCharsets.UTF_8), bb.getLong))
+      buf.s += ((kb, bb.getLong))
       i += 1
     }
     buf
@@ -128,31 +129,47 @@ case class BottomKAgg(
 }
 
 object BottomKAgg {
-  /** Key order = Spark's string order (UTF8String.compareTo: unsigned
-    * UTF-8 byte comparison), NOT Java's UTF-16 char order — they
-    * disagree above the BMP (e.g. U+E000 sorts before U+10000 in
-    * UTF-8 bytes but after it by UTF-16 chars), and the SQL-registered
-    * aggregate must agree with the engine's own ORDER BY.
+  /** Key order = Spark's string order (unsigned UTF-8 byte
+    * comparison, what UTF8String.compareTo does), NOT Java's UTF-16
+    * char order — they disagree above the BMP (e.g. U+E000 sorts
+    * before U+10000 in UTF-8 bytes but after it by UTF-16 chars), and
+    * the SQL-registered aggregate must agree with the engine's own
+    * ORDER BY. Keys live in the buffer as the UTF-8 bytes themselves
+    * (encoded ONCE on entry), so every comparison is a raw byte
+    * compare with zero allocation — this ordering runs once per input
+    * row of a corpus-scale aggregate.
     */
-  private[graft] val pairOrdering: Ordering[(String, Long)] =
-    new Ordering[(String, Long)] {
-      def compare(a: (String, Long), b: (String, Long)): Int = {
-        val c = UTF8String.fromString(a._1).compareTo(UTF8String.fromString(b._1))
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+  private[graft] val pairOrdering: Ordering[(Array[Byte], Long)] =
+    new Ordering[(Array[Byte], Long)] {
+      def compare(a: (Array[Byte], Long), b: (Array[Byte], Long)): Int = {
+        val (x, y) = (a._1, b._1)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        if (x.length != y.length) x.length - y.length
+        else java.lang.Long.compare(a._2, b._2)
       }
     }
 
-  /** Mutable state: the current ≤ k smallest (key, tag) pairs. */
-  final class Buf(val s: mutable.TreeSet[(String, Long)])
+  /** Mutable state: the current ≤ k smallest (key-bytes, tag) pairs. */
+  final class Buf(val s: mutable.TreeSet[(Array[Byte], Long)]) {
+    /** Decoded view for specs/driver-side consumers. */
+    def pairs: Seq[(String, Long)] =
+      s.toSeq.map { case (kb, t) => (new String(kb, StandardCharsets.UTF_8), t) }
+  }
 
   private[graft] def emptyBuf(): Buf =
-    new Buf(mutable.TreeSet.empty[(String, Long)](pairOrdering))
+    new Buf(mutable.TreeSet.empty[(Array[Byte], Long)](pairOrdering))
 
   /** Insert one pair, evicting the largest when over k. Pure state
-    * logic — the aggregate delegates here; the property spec drives it
-    * directly.
+    * logic — the aggregate delegates here.
     */
-  private[graft] def insert(buf: Buf, key: String, tag: Long, k: Int): Unit = {
+  private[graft] def insertBytes(buf: Buf, key: Array[Byte], tag: Long,
+      k: Int): Unit = {
     val pair = (key, tag)
     if (buf.s.size < k) buf.s += pair
     else if (pairOrdering.lt(pair, buf.s.last)) {
@@ -160,6 +177,12 @@ object BottomKAgg {
       if (buf.s.size > k) buf.s -= buf.s.last
     }
   }
+
+  /** String-keyed convenience (specs, driver-side use): encodes once
+    * then delegates.
+    */
+  private[graft] def insert(buf: Buf, key: String, tag: Long, k: Int): Unit =
+    insertBytes(buf, key.getBytes(StandardCharsets.UTF_8), tag, k)
 
   /** Column API: the k smallest (key, tag) pairs per group. */
   def bottom_k(key: Column, tag: Column, k: Int): Column =

@@ -1235,7 +1235,7 @@ object Analytics {
   // (n/k, 2n/k] appear depends on merge order — the sketch contract —
   // so this is rows+spec like the other sketches, with the bounds
   // checked against exact counts by spec.
-  private val HhK = 8
+  private[graft] val HhK = 8
   /** Project an MG summary array column into the heavy-hitter rows
     * (est > n/k emission rule + error bound) — shared by B36 and A33
     * so the batch/stream twins cannot diverge on the contract.

@@ -1022,9 +1022,7 @@ object Similarity {
     ivfPqBook(s, d).queryExecution.toRdd.count()
     ivfPqCodes(s, d).queryExecution.toRdd.count()
     graphPairs(s, d).queryExecution.toRdd.count()
-    val (tf, dfr) = lexIndex(s, d)
-    tf.queryExecution.toRdd.count()
-    dfr.queryExecution.toRdd.count()
+    // the lexical index is warmed by TextAnalysis.warmStages (its owner)
   }
 
   val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
@@ -1395,25 +1393,14 @@ object Similarity {
   // exchange-negligible.
   private val FuseL = 10 // per-list candidate depth fed to the fusion
 
-  /** The lexical inverted index (tf per posting + df per token),
-    * staged once per (session, sf dir): the build-once artifact every
-    * search engine maintains next to its vector index — a new query
-    * set probes it, it is not rebuilt per query.
+  /** The lexical inverted index (tf per posting + df per token) — the
+    * build-once artifact every search engine maintains next to its
+    * vector index. Owned by the text family (TextAnalysis.lexTf/lexDf,
+    * shared with C15) so the tokenizer cannot drift between the tf·idf
+    * ranking and the hybrid retrieval's lexical scores.
     */
-  private def lexIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val tf = graft.FrameCache.getOrPersist(s, s"sim.lextf:$d") {
-      Tables.spread(Tables.documents(s, d), s, "doc_id")
-        .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
-        .filter(!col("tok").isin(TextAnalysis.stopwords: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    }
-    // tf has exactly one row per (doc, tok), so df is a plain count
-    // over the staged frame — no second corpus tokenization pass
-    val dfr = graft.FrameCache.getOrPersist(s, s"sim.lexdf:$d") {
-      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    }
-    (tf, dfr)
-  }
+  private def lexIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (TextAnalysis.lexTf(s, d), TextAnalysis.lexDf(s, d))
   val hybrid = QueryDef.oracled(
     "knn_hybrid",
     s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

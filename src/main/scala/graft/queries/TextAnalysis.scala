@@ -489,15 +489,36 @@ object TextAnalysis {
         .distinct()
     }
 
-  /** Materialize C13's staged count tables and C16's distinct
-    * doc-bigram frame (the bench warms these off the measured path and
-    * reports them under `_stage`, like the dedup family's shingle
-    * stages).
+  /** Staged lexical index: stopword-filtered per-doc term frequencies
+    * and the derived document frequencies — ONE tokenization pass
+    * serving both C15 (tf·idf ranking) and E18 (hybrid retrieval's
+    * lexical side). df is a plain count over tf (one row per
+    * (doc, tok)), never a second corpus scan.
+    */
+  private[queries] def lexTf(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.lextf:$d") {
+      Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+        .filter(!col("tok").isin(stopwords: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    }
+
+  private[queries] def lexDf(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.lexdf:$d") {
+      lexTf(s, d).groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    }
+
+  /** Materialize C13's staged count tables, C16's distinct doc-bigram
+    * frame, and the C15/E18 lexical index (the bench warms these off
+    * the measured path and reports them under `_stage`, like the dedup
+    * family's shingle stages).
     */
   private[graft] def warmStages(s: SparkSession, d: String): Unit = {
     unigramCounts(s, d).queryExecution.toRdd.count()
     bigramCounts(s, d).queryExecution.toRdd.count()
     docBigramHashes(s, d).queryExecution.toRdd.count()
+    lexTf(s, d).queryExecution.toRdd.count()
+    lexDf(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
@@ -601,12 +622,10 @@ object TextAnalysis {
         |ORDER BY doc_id, rk""".stripMargin
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .filter(!col("term").isin(stopwords: _*))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfr = tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // both frames ride the staged lexical index (shared with E18) —
+    // one corpus tokenization pass for the whole suite
+    val tf = lexTf(s, d).withColumnRenamed("tok", "term")
+    val dfr = lexDf(s, d).withColumnRenamed("tok", "term")
     val nd = broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_docs")))
     tf.join(dfr, Seq("term")).crossJoin(nd)
       // same left-associated tree as the oracle: (tf · N) / df

@@ -1239,7 +1239,11 @@ object Streaming {
   // state per user_id = last (micros, type), batch-internal event-time
   // sort, event-time timeout evicts users silent past the horizon. A
   // user's first event emits nothing, matching the batch lag — so the
-  // feed ≡ the batch window query → hash oracle.
+  // feed ≡ the batch window query → hash oracle. The bounded-replay
+  // caveat applies as in A31: the batch lag has no lookback bound, so
+  // feed ≡ batch only while no user is silent past the 30-day horizon
+  // (true of every replay here); a live feed trades that tail for
+  // bounded state, by design.
   val transitionFeed = QueryDef.oracled(
     "stream_transition_feed",
     """WITH o AS (
@@ -1373,7 +1377,7 @@ object Streaming {
     * seam for the multi-batch spec.
     */
   private[graft] def runHeavyHitters(s: SparkSession, rows: DataFrame,
-      k: Int = 8): DataFrame = {
+      k: Int = graft.queries.Analytics.HhK): DataFrame = {
     val sketch = rows
       .agg(graft.functions.MisraGriesAgg.misra_gries(col("event_type"), k)
         .as("mg"))

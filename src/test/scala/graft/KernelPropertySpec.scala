@@ -257,11 +257,11 @@ class KernelPropertySpec extends AnyFunSuite {
         b
       }
       val merged = rnd.shuffle(bufs).reduce { (a, b) =>
-        b.s.foreach { case (key, tag) => BottomKAgg.insert(a, key, tag, k) }
+        b.s.foreach { case (key, tag) => BottomKAgg.insertBytes(a, key, tag, k) }
         a
       }
-      assert(merged.s.toSeq == expect,
-        s"bottom-$k mismatch: got ${merged.s.toSeq} want $expect")
+      assert(merged.pairs == expect,
+        s"bottom-$k mismatch: got ${merged.pairs} want $expect")
     }
   }
 
@@ -276,7 +276,7 @@ class KernelPropertySpec extends AnyFunSuite {
     val b = BottomKAgg.emptyBuf()
     BottomKAgg.insert(b, astral, 1L, 1)
     BottomKAgg.insert(b, bmp, 2L, 1)
-    assert(b.s.toSeq == Seq((bmp, 2L)), // ...bottom_k keeps the UTF-8 min
-      s"bottom_k must keep U+E000 over U+10000: ${b.s.toSeq}")
+    assert(b.pairs == Seq((bmp, 2L)), // ...bottom_k keeps the UTF-8 min
+      s"bottom_k must keep U+E000 over U+10000: ${b.pairs}")
   }
 }

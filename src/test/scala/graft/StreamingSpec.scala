@@ -6,6 +6,51 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Shared multi-batch harness: split `df` into `nChunks` files named
+    * batch_i.parquet (mtime-ordered, one per trigger with
+    * maxFilesPerTrigger=1) ordered by `order`, returning the source
+    * dir. Callers build the readStream and clean up the dir.
+    */
+  private def timeSplitSource(df: org.apache.spark.sql.DataFrame,
+      nChunks: Int, order: Seq[org.apache.spark.sql.Column]): String = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_multibatch").toString
+    val chunked = df.withColumn("q", ntile(nChunks).over(
+      org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+    (1 to nChunks).foreach { i =>
+      chunked.filter(col("q") === i).drop("q").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20)
+    }
+    srcDir
+  }
+
+  /** Planted-chunk variant: write each DataFrame as batch_i.parquet
+    * (0-based, mtime-ordered) — for tests that construct their
+    * micro-batches by hand.
+    */
+  private def plantedSource(chunks: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_multibatch").toString
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
+      Thread.sleep(20) // distinct mod times -> deterministic batch order
+    }
+    srcDir
+  }
+
   test("stream_change_feed equals the batch value_change_feed") {
     val stream = SparkEntry.queries("stream_change_feed")(spark, sf)
       .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
@@ -120,24 +165,10 @@ class StreamingSpec extends AnyFunSuite {
     // single-file replay never reaches. Files are written sequentially
     // so the file source's modification-time order equals event-time
     // order (no cross-batch late data to drop).
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_storage_multibatch").toString
-    val ev = Tables.events(spark, sf)
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
       .select(col("event_type").as("namespace"), col("user_id").as("key"),
-        col("ts"), col("event_id"), col("value"))
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20) // distinct mod times -> deterministic batch order
-    }
+        col("ts"), col("event_id"), col("value")),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -158,23 +189,9 @@ class StreamingSpec extends AnyFunSuite {
     // 4 time-split files, one per trigger: every cross-batch gap (a
     // user whose consecutive events straddle a file boundary) exists
     // ONLY if the per-user last-ts state carries between batches
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_dwell_multibatch").toString
-    val ev = Tables.events(spark, sf)
-      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id")),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -201,24 +218,10 @@ class StreamingSpec extends AnyFunSuite {
     // no-data batch must fire the log-end expiries via timeout. The
     // reference output is the SINGLE-file streaming run — bit-identical
     // semantics regardless of batch boundaries is the contract.
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_group_multibatch").toString
-    val ev = Tables.events(spark, sf)
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
       .select(col("event_type").as("namespace"), col("user_id").as("key"),
-        col("ts"), col("event_id"), col("value"))
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+        col("ts"), col("event_id"), col("value")),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -239,22 +242,8 @@ class StreamingSpec extends AnyFunSuite {
     // time-split the log; a click in batch 1 must still match a
     // purchase arriving in batch 3+ (the buffered-side state carry) —
     // output must equal the batch range join row-for-row
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_ij_multibatch").toString
-    val ev = Tables.events(spark, sf)
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+    val srcDir = timeSplitSource(Tables.events(spark, sf),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     def stream() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -325,19 +314,8 @@ class StreamingSpec extends AnyFunSuite {
     val b2 = Seq((7L, good, "en", "srcC", good.length.toLong), // cross-batch dup of 1
       (9L, "another perfectly fine document with plenty distinct " +
         "vocabulary spread across many different tokens", "en", "srcB", 99L))
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_ingest_multibatch").toString
-    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20) // distinct mod times -> deterministic batch order
-    }
+    val srcDir = plantedSource(Seq(b1, b2).map(
+      _.toDF("doc_id", "text", "lang", "source", "n_chars")))
     val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
     val got = graft.streaming.Streaming.runCorpusIngest(spark,
         spark.readStream.schema(schema)
@@ -367,19 +345,8 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "", "en", "s", 0L)) // zero tokens -> NULL rate, row kept
     val b2 = Seq((3L, "gamma gamma unknown words here", "en", "s", 30L),
       (4L, "alpha beta gamma", "en", "s", 16L))
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_oov_multibatch").toString
-    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+    val srcDir = plantedSource(Seq(b1, b2).map(
+      _.toDF("doc_id", "text", "lang", "source", "n_chars")))
     val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
     val got = graft.streaming.Streaming.runOovFeed(spark,
         spark.readStream.schema(schema)
@@ -407,23 +374,9 @@ class StreamingSpec extends AnyFunSuite {
     // the stream_dwell harness with the transition payload: cross-batch
     // transitions (a user's consecutive events straddling a file
     // boundary) exist ONLY if the last-type state carries
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_trans_multibatch").toString
-    val ev = Tables.events(spark, sf)
-      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id")),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -444,24 +397,10 @@ class StreamingSpec extends AnyFunSuite {
     // time-split harness: a purchase whose latest touch landed in an
     // earlier batch is attributed ONLY if the per-user touch state
     // carries between triggers
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_attrib_multibatch").toString
-    val ev = Tables.events(spark, sf)
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
       .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
-        col("value"))
-      .withColumn("q", ntile(4).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
-    (1 to 4).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+        col("value")),
+      4, Seq(col("ts"), col("event_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -481,23 +420,9 @@ class StreamingSpec extends AnyFunSuite {
     // 3 triggers; the exact-order-statistic contract: the drained
     // stream's sample EQUALS the batch query's, however the input was
     // split — the property that earns this streaming sketch its oracle
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_usample_multibatch").toString
-    val ev = Tables.events(spark, sf)
-      .select(col("event_type"), col("user_id"))
-      .withColumn("q", ntile(3).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("user_id"))))
-    (1 to 3).foreach { i =>
-      ev.filter(col("q") === i).drop("q").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")),
+      3, Seq(col("user_id")))
     val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
     val rows = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -518,23 +443,13 @@ class StreamingSpec extends AnyFunSuite {
     // sketch restarting per batch would report the last batch's 1000.
     // The planted 40% key must also survive with the MG bound applied
     // to its GLOBAL count — a bound no single batch's counters imply.
-    val srcDir = java.nio.file.Files
-      .createTempDirectory("graft_hh_multibatch").toString
     val rng = new scala.util.Random(7)
-    (1 to 3).foreach { i =>
+    val srcDir = plantedSource((1 to 3).map { _ =>
       val hot = Seq.fill(400)("hot")
       val cold = (0 until 600).map(_ => s"cold${rng.nextInt(400)}")
-      rng.shuffle(hot ++ cold).toDF("event_type").coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f$i")
-      java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/f$i"))
-        .filter(_.toString.endsWith(".parquet")).forEach { f =>
-          java.nio.file.Files.move(f,
-            java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
-        }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
-    }
-    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+      rng.shuffle(hot ++ cold).toDF("event_type")
+    })
+    val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
     val rows = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val out = graft.streaming.Streaming.runHeavyHitters(spark, rows, k = 8)
