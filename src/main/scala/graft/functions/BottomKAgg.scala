@@ -76,9 +76,9 @@ case class BottomKAgg(
     val kv = keyExpr.eval(row)
     val tv = tagExpr.eval(row)
     if (kv != null && tv != null)
-      // one UTF-8 copy per row; all downstream comparisons are raw
-      // byte compares with zero allocation
-      BottomKAgg.insertBytes(buf, kv.asInstanceOf[UTF8String].getBytes,
+      // getBytes may alias engine-owned memory — insertView compares
+      // the borrowed view and copies only when the pair is retained
+      BottomKAgg.insertView(buf, kv.asInstanceOf[UTF8String].getBytes,
         tv.asInstanceOf[Long], k)
     buf
   }
@@ -166,7 +166,9 @@ object BottomKAgg {
     new Buf(mutable.TreeSet.empty[(Array[Byte], Long)](pairOrdering))
 
   /** Insert one pair, evicting the largest when over k. Pure state
-    * logic — the aggregate delegates here.
+    * logic — the aggregate delegates here. The caller must OWN `key`
+    * (the buffer retains it); for engine-borrowed byte views use
+    * insertView, which copies only on actual insert.
     */
   private[graft] def insertBytes(buf: Buf, key: Array[Byte], tag: Long,
       k: Int): Unit = {
@@ -174,6 +176,23 @@ object BottomKAgg {
     if (buf.s.size < k) buf.s += pair
     else if (pairOrdering.lt(pair, buf.s.last)) {
       buf.s += pair
+      if (buf.s.size > k) buf.s -= buf.s.last
+    }
+  }
+
+  /** Insert from a byte VIEW the buffer may not retain
+    * (UTF8String.getBytes can return the string's backing array when
+    * the string exactly spans it — engine-owned, reused memory). The
+    * view is only COMPARED here; a defensive copy is made iff the pair
+    * actually enters the TreeSet, so the steady-state reject path
+    * stays allocation-free.
+    */
+  private[graft] def insertView(buf: Buf, view: Array[Byte], tag: Long,
+      k: Int): Unit = {
+    if (buf.s.size < k)
+      buf.s += ((java.util.Arrays.copyOf(view, view.length), tag))
+    else if (pairOrdering.lt((view, tag), buf.s.last)) {
+      buf.s += ((java.util.Arrays.copyOf(view, view.length), tag))
       if (buf.s.size > k) buf.s -= buf.s.last
     }
   }

@@ -98,12 +98,7 @@ object Multimodal {
   // real decoder swap would downgrade this row to rows+spec, by design.
   val mediaFeatures = QueryDef.oracled(
     "media_features", {
-      val (z1, z2, z3, h) = graft.queries.U64Sql.mix64Stages("h0")
-      s"""WITH s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM documents),
-        |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
-        |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
-        |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
-        |mix AS (SELECT doc_id, $h AS h FROM s3),
+      s"""WITH ${graft.queries.U64Sql.stubDimCtes},
         |chars AS (SELECT doc_id, ord(unnest(regexp_extract_all(text, '[\\s\\S]'))) // 32 AS bin
         |          FROM documents),
         |binc AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2),
@@ -118,8 +113,8 @@ object Multimodal {
         |       FROM feat GROUP BY doc_id)
         |SELECT d.doc_id, 'media/' || d.source AS format,
         |  CAST(length(d.text) AS INTEGER) AS n_bytes,
-        |  CAST(64 + m.h % 64 AS INTEGER) AS width,
-        |  CAST(64 + (m.h // 64) % 64 AS INTEGER) AS height,
+        |  CAST(m.width AS INTEGER) AS width,
+        |  CAST(m.height AS INTEGER) AS height,
         |  CAST(8 AS INTEGER) AS n_features,
         |  fd.features_digest
         |FROM documents d JOIN mix m USING (doc_id) JOIN fd USING (doc_id)
@@ -324,13 +319,7 @@ object Multimodal {
   private val PairMinBytes = 64L
   val captionPairs = QueryDef.oracled(
     "media_caption_pairs", {
-      val (z1, z2, z3, h) = graft.queries.U64Sql.mix64Stages("h0")
-      s"""WITH s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM documents),
-        |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
-        |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
-        |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
-        |mix AS (SELECT doc_id, 64 + h % 64 AS width, 64 + (h // 64) % 64 AS height
-        |        FROM (SELECT doc_id, $h AS h FROM s3) q),
+      s"""WITH ${graft.queries.U64Sql.stubDimCtes},
         |cap AS (SELECT doc_id,
         |          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
         |          length(text) AS n_bytes

@@ -38,4 +38,21 @@ private[queries] object U64Sql {
     val h = xor("z3", shr("z3", 31))
     (z1, z2, z3, h)
   }
+
+  /** The F1 stub decoder's image dimensions replayed in SQL — the ONE
+    * definition both the F1 (media_features) and F6
+    * (media_caption_pairs) oracles splice, so a change to the stub's
+    * `64 + h % 64` / `64 + (h div 64) % 64` formulas (Scala twin:
+    * Multimodal.decodeBatch) cannot silently drift between them.
+    * Returns CTE definitions ending in `mix(doc_id, width, height)`.
+    */
+  def stubDimCtes: String = {
+    val (z1, z2, z3, h) = mix64Stages("h0")
+    s"""s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS h0 FROM documents),
+      |s1 AS (SELECT doc_id, $z1 AS z1 FROM s0),
+      |s2 AS (SELECT doc_id, $z2 AS z2 FROM s1),
+      |s3 AS (SELECT doc_id, $z3 AS z3 FROM s2),
+      |mix AS (SELECT doc_id, 64 + h % 64 AS width, 64 + (h // 64) % 64 AS height
+      |        FROM (SELECT doc_id, $h AS h FROM s3) q)""".stripMargin
+  }
 }

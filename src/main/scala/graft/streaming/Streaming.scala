@@ -1243,7 +1243,11 @@ object Streaming {
   // caveat applies as in A31: the batch lag has no lookback bound, so
   // feed ≡ batch only while no user is silent past the 30-day horizon
   // (true of every replay here); a live feed trades that tail for
-  // bounded state, by design.
+  // bounded state, by design. Cross-batch-LATE data (older than the
+  // stored state but inside the watermark) is DROPPED by a state-time
+  // guard rather than silently treated as newest — the feed under-
+  // reports late rows instead of emitting transitions the batch
+  // oracle never saw (exact parity would need retraction semantics).
   val transitionFeed = QueryDef.oracled(
     "stream_transition_feed",
     """WITH o AS (
@@ -1278,9 +1282,17 @@ object Streaming {
             val out = scala.collection.mutable.ArrayBuffer.empty[TransitionRow]
             var last: Option[TransitionState] = state.getOption
             sorted.foreach { e =>
-              last.foreach(p => out += TransitionRow(
-                e.user_id, e.ts, e.event_id, p.lastType, e.event_type))
-              last = Some(TransitionState(tsMicros(e.ts), e.event_type))
+              // Cross-batch late-data guard: an event older than the
+              // stored state (late across a batch boundary yet inside
+              // the watermark) must NOT pose as the newest event — it
+              // would emit a transition the batch oracle never saw.
+              // Late rows are dropped (bounded-replay caveat below);
+              // in-order feeds are unaffected.
+              if (!last.exists(_.lastUs > tsMicros(e.ts))) {
+                last.foreach(p => out += TransitionRow(
+                  e.user_id, e.ts, e.event_id, p.lastType, e.event_type))
+                last = Some(TransitionState(tsMicros(e.ts), e.event_type))
+              }
             }
             last.foreach(state.update)
             if (sorted.nonEmpty)
@@ -1344,10 +1356,17 @@ object Streaming {
             var touch: Option[TransitionState] = state.getOption
             sorted.foreach { e =>
               if (e.event_type == "purchase") {
-                touch.filter(t => tsMicros(e.ts) - t.lastUs <= AttribLookbackUs)
+                // the stored touch must PRECEDE the purchase: a
+                // cross-batch-late purchase must not be attributed to
+                // a touch that happened after it
+                touch.filter(t => tsMicros(e.ts) >= t.lastUs
+                    && tsMicros(e.ts) - t.lastUs <= AttribLookbackUs)
                   .foreach(t => out += AttribRow(
                     e.user_id, e.ts, e.event_id, t.lastType, e.value))
-              } else touch = Some(TransitionState(tsMicros(e.ts), e.event_type))
+              } else if (!touch.exists(_.lastUs > tsMicros(e.ts)))
+                // cross-batch late-data guard (see runTransitionFeed):
+                // an older touch never overwrites a newer one
+                touch = Some(TransitionState(tsMicros(e.ts), e.event_type))
             }
             touch.foreach(state.update)
             if (sorted.nonEmpty)

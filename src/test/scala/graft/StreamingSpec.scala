@@ -26,10 +26,19 @@ class StreamingSpec extends AnyFunSuite {
             java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
         }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20)
+      stampMtime(s"$srcDir/batch_$i.parquet", i)
     }
     srcDir
   }
+
+  /** Pin a file's mtime to base + i seconds: batch order must survive
+    * filesystems with 1 s mtime granularity, where sleep(20ms) between
+    * writes can leave two batches with identical stamps.
+    */
+  private def stampMtime(path: String, i: Int): Unit =
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 1000L))
 
   /** Planted-chunk variant: write each DataFrame as batch_i.parquet
     * (0-based, mtime-ordered) — for tests that construct their
@@ -46,7 +55,7 @@ class StreamingSpec extends AnyFunSuite {
             java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
         }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/f$i"))
-      Thread.sleep(20) // distinct mod times -> deterministic batch order
+      stampMtime(s"$srcDir/batch_$i.parquet", i)
     }
     srcDir
   }
@@ -389,6 +398,52 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet
     assert(got === batch && got.nonEmpty)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
+  test("transition/attribution feeds drop cross-batch-LATE data instead of corrupting state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a row late ACROSS a batch boundary but inside the 1h watermark
+    // must not pose as the newest event: no spurious transition, no
+    // touch-state rollback, no purchase attributed to a future touch
+    val base = 1600000000000000L
+    def mk(rows: Seq[(String, Long, Long, Long)]) =
+      rows.toDF("event_type", "user_id", "event_id", "us")
+        .select(col("event_type"), col("user_id"),
+          expr("timestamp_micros(us)").as("ts"), col("event_id"),
+          lit(1.0).as("value"))
+    val b0 = mk(Seq(("A", 1L, 1L, base + 100), ("B", 1L, 2L, base + 300)))
+    val b1 = mk(Seq(("C", 1L, 3L, base + 200), // LATE: older than state (B@300)
+      ("D", 1L, 4L, base + 400)))
+    val srcDir = plantedSource(Seq(b0, b1))
+    val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
+    def typedStream[T: org.apache.spark.sql.Encoder]() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(srcDir).as[T]
+    val trans = graft.streaming.Streaming.runTransitionFeed(spark,
+        typedStream[graft.streaming.DwellEvent]())
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[String]("from_type"), r.getAs[String]("to_type"))).toSet
+    assert(trans === Set((2L, "A", "B"), (4L, "B", "D")),
+      s"late C must neither emit B->C nor become D's predecessor: $trans")
+
+    // attribution: touch view@100; purchase@300 lands in batch 0.
+    // Batch 1 plants a late touch click@50 (older than view@100 — must
+    // not roll the touch state back) and a late purchase@80 (before
+    // the stored touch — must not be attributed to the FUTURE view).
+    val a0 = mk(Seq(("view", 7L, 1L, base + 100), ("purchase", 7L, 2L, base + 300)))
+    val a1 = mk(Seq(("click", 7L, 3L, base + 50), ("purchase", 7L, 4L, base + 80),
+      ("purchase", 7L, 5L, base + 400)))
+    val attDir = plantedSource(Seq(a0, a1))
+    val att = graft.streaming.Streaming.runAttributionFeed(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(attDir).as[graft.streaming.AttribEvent])
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[String]("touch_type"))).toSet
+    assert(att === Set((2L, "view"), (5L, "view")),
+      s"late click must not rewrite the touch; late purchase@80 must not attribute: $att")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(attDir))
   }
 
   test("stream_attribution carries touch state across MULTIPLE micro-batches") {
