@@ -843,6 +843,47 @@ object Coordination {
 
   val leaderElectionResign = leaderElectionResignTtl(DefaultTtlMicros)
 
+  // --- A38: SCD Type-2 history table from the changelog (round 10) --------
+  // The warehouse-dimension view of the KV log: per (namespace, key),
+  // consecutive-distinct value runs become validity intervals
+  // [valid_from, valid_to) with an is_current flag — A4's change rows
+  // are the run starts, closed by lead(). Downstream as-of consumers
+  // (B18's join is the query twin) read this table instead of
+  // replaying the log; the streaming twin (A39) emits the closed
+  // intervals live.
+  //
+  // Scale (100 TB): ONE hash shuffle on (namespace, key) — the change
+  // filter shrinks the frame BEFORE the lead window, and both windows
+  // share byKeyAsc's clustering+ordering, so Catalyst plans a single
+  // Exchange+Sort and the lead runs on change-rows only. Same NaN
+  // note as A4 (SQL equality, engine-identical).
+  val kvScd2 = QueryDef.oracled(
+    "kv_scd2",
+    """WITH w AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         lag(value) OVER (PARTITION BY event_type, user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT namespace, key, ts, event_id, value FROM w
+      |      WHERE prev IS NULL OR value <> prev),
+      |iv AS (SELECT namespace, key, value,
+      |              ts AS valid_from, event_id AS valid_from_id,
+      |              lead(ts) OVER (PARTITION BY namespace, key
+      |                             ORDER BY ts, event_id) AS valid_to
+      |       FROM c)
+      |SELECT namespace, key, value, valid_from, valid_from_id, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM iv ORDER BY namespace, key, valid_from, valid_from_id""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .withColumn("prev", lag(col("value"), 1).over(byKeyAsc))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byKeyAsc))
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("value"), col("ts").as("valid_from"),
+        col("event_id").as("valid_from_id"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** All TTL-sensitive A-family queries at a caller-chosen TTL — the
     * reference's `le.renew.ttl.period.ms` knob applied across the whole
     * replay surface at once (each entry keeps its canonical name, so a
@@ -858,5 +899,5 @@ object Coordination {
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
     kvStorageReplay, groupMembershipLeave, leaderElectionResign,
-    leaderChangeFeed, kvStorageFeed, groupChangeFeed)
+    leaderChangeFeed, kvStorageFeed, groupChangeFeed, kvScd2)
 }

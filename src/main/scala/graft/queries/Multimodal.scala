@@ -351,7 +351,64 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // --- F7: training-shard manifest (round 10) ------------------------------
+  // The WebDataset/tar-shard packing step: assign every media asset to
+  // a fixed-size output shard and emit the per-shard MANIFEST the
+  // training loader consumes (member count, byte total, id range, ordered
+  // member digest). C14's stream-sharded running-offset design applied
+  // to payload BYTES: assets are content-fingerprint-sharded into
+  // independent streams (reproducible, no RNG), each stream packs in
+  // doc_id order, and an asset joins the shard where its running
+  // offset STARTS (tar members never straddle an archive).
+  //
+  // Scale (100 TB): one hash shuffle on stream; the running offset is
+  // a per-stream O(n) window pass and the stream count is the
+  // parallelism dial — no global cumsum, no single-task sort. The
+  // manifest aggregation groups on (stream, shard_seq), map-side
+  // combinable except the ordered digest (bounded by shard capacity).
+  private val ShardStreams = 8
+  private val ShardBytes = 4096L
+  val shardManifest = QueryDef.oracled(
+    "media_shard_manifest",
+    s"""WITH t AS (SELECT doc_id, strlen(text) AS nb,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(regexp_extract_all(text, '[\\s\\S]'),
+      |                       c -> CAST(ord(c) AS HUGEINT))),
+      |      (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT))
+      |      % $ShardStreams AS INTEGER) AS stream
+      |  FROM documents),
+      |w AS (SELECT *, CAST(coalesce(sum(nb) OVER (PARTITION BY stream
+      |        ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS off
+      |      FROM t)
+      |SELECT stream, off // $ShardBytes AS shard_seq,
+      |  count(*) AS n_items, sum(nb) AS shard_bytes,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+      |      ORDER BY CAST(doc_id AS VARCHAR))) AS member_digest
+      |FROM w GROUP BY stream, shard_seq
+      |ORDER BY stream, shard_seq""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("nb"),
+        (graft.queries.Coordination.fpUnsigned(col("text")) % ShardStreams)
+          .cast("int").as("stream"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("off", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .withColumn("shard_seq", expr(s"off DIV $ShardBytes"))
+      .groupBy(col("stream"), col("shard_seq"))
+      .agg(count(lit(1)).as("n_items"), sum(col("nb")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id").cast("string")))))
+          .as("member_digest"))
+      .orderBy(col("stream"), col("shard_seq"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash, mediaKeepers,
-      captionPairs)
+      captionPairs, shardManifest)
 }

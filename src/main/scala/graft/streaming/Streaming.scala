@@ -30,6 +30,11 @@ case class KeyedEvent(
     namespace: String, key: Long, ts: java.sql.Timestamp,
     event_id: Long, value: Double)
 case class LeaderState(leader: Long, sessionStartUs: Long, lastHbUs: Long)
+case class Scd2State(fromTs: java.sql.Timestamp, fromId: Long,
+    value: Double, lastUs: Long)
+case class Scd2Row(namespace: String, key: Long, value: Double,
+    valid_from: java.sql.Timestamp, valid_from_id: Long,
+    valid_to: java.sql.Timestamp)
 case class DwellEvent(
     event_type: String, user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 case class DwellGap(
@@ -285,6 +290,86 @@ object Streaming {
     // no presentation sort: the gate canonicalizes row order, and the
     // batch twins ship O(N) outputs unsorted (SURVEY §8)
     runToMemory(s, changed.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
+  // --- A39: live SCD Type-2 interval feed, streaming twin of A38 ----------
+  // Emits a validity interval the moment the value CHANGE that closes
+  // it arrives — append mode can only ship closed intervals (the open
+  // run per key lives in state; batch A38 reports it as is_current).
+  // State per (namespace, key) = the current run (start ts/id, value,
+  // last-seen micros); equal values extend the run, a changed value
+  // closes it. Oracle = A38 restricted to valid_to IS NOT NULL.
+  // Cross-batch-late rows are dropped by the A34 state-time guard; the
+  // A26-style horizon caveat applies: a key silent past the 30-day
+  // horizon loses its open run (nothing emitted — open runs are
+  // outside the contract), and a post-eviction reappearance starts a
+  // fresh run, so feed ≡ batch only while no key is silent past the
+  // horizon (true of every replay here).
+  val scd2Feed = QueryDef.oracled(
+    "stream_scd2",
+    """WITH w AS (
+      |  SELECT event_type AS namespace, user_id AS key, ts, event_id, value,
+      |         lag(value) OVER (PARTITION BY event_type, user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT namespace, key, ts, event_id, value FROM w
+      |      WHERE prev IS NULL OR value <> prev),
+      |iv AS (SELECT namespace, key, value,
+      |              ts AS valid_from, event_id AS valid_from_id,
+      |              lead(ts) OVER (PARTITION BY namespace, key
+      |                             ORDER BY ts, event_id) AS valid_to
+      |       FROM c)
+      |SELECT namespace, key, value, valid_from, valid_from_id, valid_to
+      |FROM iv WHERE valid_to IS NOT NULL
+      |ORDER BY namespace, key, valid_from, valid_from_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val typed: Dataset[KeyedEvent] = eventStream(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent]
+    runScd2Feed(s, typed)
+  }
+
+  /** The A39 pipeline over an arbitrary typed stream — seam for the
+    * multi-batch state-carry spec.
+    */
+  private[graft] def runScd2Feed(s: SparkSession,
+      typed: Dataset[KeyedEvent]): DataFrame = {
+    import s.implicits._
+    val closed = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(e => (e.namespace, e.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (String, Long), it: Iterator[KeyedEvent],
+         state: GroupState[Scd2State]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+            var run: Option[Scd2State] = state.getOption
+            // SQL equality semantics, as in A10
+            def same(a: Double, b: Double) = a == b || (a.isNaN && b.isNaN)
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              if (!run.exists(_.lastUs > us)) run match {
+                case Some(r) if same(r.value, e.value) =>
+                  run = Some(r.copy(lastUs = us))
+                case Some(r) =>
+                  out += Scd2Row(e.namespace, e.key, r.value,
+                    r.fromTs, r.fromId, e.ts)
+                  run = Some(Scd2State(e.ts, e.event_id, e.value, us))
+                case None =>
+                  run = Some(Scd2State(e.ts, e.event_id, e.value, us))
+              }
+            }
+            run.foreach(state.update)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+    runToMemory(s, closed.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
   // --- A31: streaming think-time (dwell) feed, online half of B35 ---------
@@ -1441,5 +1526,5 @@ object Streaming {
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
-    slidingRollup)
+    slidingRollup, scd2Feed)
 }

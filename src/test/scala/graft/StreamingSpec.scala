@@ -400,6 +400,30 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_scd2 closes intervals across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a run that STARTS in one batch and is closed by a change in a
+    // later one yields its interval only if the run state carries
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value")),
+      4, Seq(col("ts"), col("event_id")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.KeyedEvent]
+    val got = graft.streaming.Streaming.runScd2Feed(spark, typed)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("valid_from_id"), r.getAs[Double]("value"))).toSet
+    val batch = SparkEntry.queries("kv_scd2")(spark, sf)
+      .filter(col("valid_to").isNotNull)
+      .collect().map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[Long]("valid_from_id"), r.getAs[Double]("value"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("transition/attribution feeds drop cross-batch-LATE data instead of corrupting state") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
