@@ -118,6 +118,53 @@ object Dedup {
     jaccardPairs(s, d, 0.8)
   }
 
+  // --- D16: n-gram CONTAINMENT at τ = 0.9 (round 10) ------------------------
+  // The quoted-subset detector Jaccard misses: C = |A∩B| / min(|A|,|B|)
+  // flags a small doc embedded in a much larger one (boilerplate quote,
+  // aggregation page, licence block) even though the union term drowns
+  // the symmetric score. Same ONE-shuffle inverted-index shape as D2 —
+  // identical pair-intersection aggregate, different admission formula;
+  // the direction (contained vs container) is decided by set size with
+  // the pair's doc_id order breaking exact-size ties. At warehouse
+  // scale this rides the D2b DF-capped index + containment upper bound
+  // (inter_c + min(hot) over min(n)) exactly as Jaccard does — the
+  // capped machinery is admission-formula-agnostic.
+  private val ContainTau = 0.9
+  val containment = QueryDef.oracled(
+    "dedup_containment",
+    s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |                 any_value(a.n) AS na, any_value(b.n) AS nb
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+      |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container_doc,
+      |       inter, least(na, nb) AS n_contained,
+      |       CAST(inter AS DOUBLE)/least(na, nb) AS containment
+      |FROM pairs WHERE CAST(inter AS DOUBLE)/least(na, nb) >= $ContainTau
+      |ORDER BY contained_doc, container_doc""".stripMargin) { (s, d) =>
+    val ex = shingled(s, d)
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainTau)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_doc"),
+        col("inter"), least(col("na"), col("nb")).as("n_contained"),
+        col("containment"))
+  }
+
   /** 32-band × 4-row bucket-id list over a `sig` MinHash column —
     * shared by D3 and the streaming ingest twin
     * ([[graft.streaming.Streaming]] A19).
@@ -1044,5 +1091,5 @@ object Dedup {
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, semanticDecontaminate, curation, semanticKeepers,
-    clusterStats)
+    clusterStats, containment)
 }

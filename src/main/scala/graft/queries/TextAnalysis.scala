@@ -1000,9 +1000,87 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C23: PII detection + redaction (round 10) ---------------------------
+  // The scrubbing pass every training pipeline runs before tokenizing:
+  // emails → <EMAIL>, phone numbers → <PHONE>, long digit runs (ids,
+  // SSNs, cards) → <NUM>, applied in that order so a pattern never
+  // fires inside an earlier replacement, with per-doc detection counts
+  // and a redacted-content hash. The patterns stay in the
+  // Java-regex ∩ RE2 common dialect (character classes + bounded
+  // repetition, no lookaround), so Spark and DuckDB scrub
+  // bit-identically — that parity IS the oracle.
+  //
+  // The synthetic corpus carries no PII, so the query plants a
+  // deterministic doc_id-derived contact block into each document
+  // inside BOTH engines (the F-family pattern: synthetic payloads
+  // fabricated from `documents` in the query itself) — every row then
+  // exercises every pattern, and the oracle is non-vacuous. On real
+  // data the seam is [[scrubText]] applied to the raw column.
+  //
+  // Scale (100 TB): map-only — three codegen'd regexp_replace passes
+  // over the scan, no shuffle but the presentation sort.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val NumPat = "[0-9]{6,}"
+
+  /** The three-stage scrub over an arbitrary text column — the
+    * real-data entry point (specs plant real-world-shaped PII).
+    */
+  private[graft] def scrubText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      NumPat, "<NUM>")
+
+  val piiScrub = QueryDef.oracled(
+    "text_pii_scrub",
+    s"""WITH aug AS (SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |         || '@mail' || CAST(doc_id % 100 AS VARCHAR)
+      |         || '.example.com ref '
+      |         || lpad(CAST(doc_id * 2654435761 % 1000000000 AS VARCHAR), 9, '0')
+      |         || ' call +1-555-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, a,
+      |         regexp_replace(a, '$EmailPat', '<EMAIL>', 'g') AS r1 FROM aug),
+      |s2 AS (SELECT doc_id, a, r1,
+      |         regexp_replace(r1, '$PhonePat', '<PHONE>', 'g') AS r2 FROM s1),
+      |s3 AS (SELECT doc_id, a, r1, r2,
+      |         regexp_replace(r2, '$NumPat', '<NUM>', 'g') AS r3 FROM s2)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(a, '$EmailPat')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(r1, '$PhonePat')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(r2, '$NumPat')) AS BIGINT) AS n_ids,
+      |  CAST(length(a) - length(r3) AS BIGINT) AS n_redacted_chars,
+      |  md5(r3) AS clean_hash
+      |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail"),
+      (col("doc_id") % 100).cast("string"), lit(".example.com ref "),
+      lpad((col("doc_id") * 2654435761L % 1000000000L).cast("string"), 9, "0"),
+      lit(" call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .withColumn("a", aug)
+      .withColumn("r1", regexp_replace(col("a"), EmailPat, "<EMAIL>"))
+      .withColumn("r2", regexp_replace(col("r1"), PhonePat, "<PHONE>"))
+      .withColumn("r3", regexp_replace(col("r2"), NumPat, "<NUM>"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("a"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("r1"), lit(PhonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("r2"), lit(NumPat), lit(0)))
+          .cast("long").as("n_ids"),
+        (length(col("a")) - length(col("r3"))).cast("long")
+          .as("n_redacted_chars"),
+        md5(col("r3")).as("clean_hash"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
-      vocabCoverage, corpusChunk, unigramLm, bigramLm, importance)
+      vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub)
 }

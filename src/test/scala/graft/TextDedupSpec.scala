@@ -494,4 +494,22 @@ class TextDedupSpec extends AnyFunSuite {
         assert(imp >= 0.0 && imp <= 1.0 && imp == tm.toDouble / cm.toDouble)
     }
   }
+
+  test("scrubText redacts real-world-shaped PII (the C23 seam on raw text)") {
+    import spark.implicits._
+    // expected strings cross-checked against DuckDB's RE2 — the same
+    // outputs on both engines is the C23 dialect-parity contract
+    val cases = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk today" ->
+        "mail me at <EMAIL> today",
+      "call +1-555-0199 or +44-207-9460" ->
+        "call <PHONE> or <PHONE>",
+      "card 4111111111111111 ssn 123456789" ->
+        "card <NUM> ssn <NUM>",
+      "no pii here at all" -> "no pii here at all")
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.queries.TextAnalysis.scrubText(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
 }
