@@ -1110,6 +1110,120 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exact global ceil-rank quantile boundaries over an UN-KEYED
+    * frame — B32's range-partitioned two-pass rank minus the per-type
+    * key: returns `(q, boundary)` rows for q = 1..k-1, boundary = the
+    * ((q·n+q) div k)-th smallest (v, tie). The scale argument is
+    * B32's verbatim: range-partition once (localCheckpoint pins ONE
+    * boundary draw), census per slice, offset cumsum over the ≤P-row
+    * slice table, local rank only inside owning slices — no task ever
+    * sorts more than 1/P of the frame. Shared by B43 (RFM quintiles)
+    * and C24 (quality tertiles).
+    */
+  private[graft] def exactQuantileBoundaries(s: SparkSession, df: DataFrame,
+      v: Column, tie: Column, k: Int): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.select(v.as("v"), tie.as("t"))
+      .repartitionByRange(p, col("v"), col("t"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val cnts = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+    val offs = cnts.withColumn("off",
+      coalesce(sum(col("c")).over(Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = cnts.agg(sum(col("c")).as("n"))
+      .select(col("n"), explode(expr(s"sequence(1, ${k - 1})")).as("q"))
+      .select(col("q"), expr(s"(q * n + q) div $k").as("grank"))
+    val owned = targets.crossJoin(offs)
+      .where(col("grank") > col("off") && col("grank") <= col("off") + col("c"))
+      .select(col("pid"), col("q"), (col("grank") - col("off")).as("lk"))
+    parted
+      .join(broadcast(owned.select(col("pid")).distinct()), Seq("pid"))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("v"), col("t"))))
+      .join(broadcast(owned), Seq("pid"))
+      .where(col("lrn") === col("lk"))
+      .select(col("q"), col("v").as("boundary"))
+  }
+
+  // --- B43: RFM segmentation (round 10) -------------------------------------
+  // The classic lifecycle-marketing cut: per user, Recency (micros
+  // since their last event at log end), Frequency (event count), and
+  // Monetary (exact DECIMAL purchase total), each bucketed into exact
+  // quintiles. The quintile BOUNDARIES come from the shared
+  // range-partitioned two-pass rank above — the scale-safe form of
+  // ntile(5), whose single global window sort is exactly the B32/B27
+  // anti-pattern on a billion-user frame. Bucket = 1 + #(boundaries
+  // strictly below the value): metric TIES share a bucket (value-based
+  // buckets, unlike ntile's arbitrary tie split — and therefore
+  // engine-deterministic), with boundaries themselves picked under the
+  // (value, user_id) total order. Buckets ascend with the raw metric:
+  // r_bucket 5 = longest-silent, f/m_bucket 5 = most active/valuable.
+  val eventsRfm = QueryDef.oracled(
+    "events_rfm",
+    """WITH gm AS (SELECT max(epoch_us(ts)) AS ge FROM events),
+      |u AS (SELECT user_id,
+      |        (SELECT ge FROM gm) - max(epoch_us(ts)) AS rec_us,
+      |        count(*) AS freq,
+      |        sum(CASE WHEN event_type = 'purchase'
+      |                 THEN CAST(value AS DECIMAL(18,2))
+      |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS mon
+      |      FROM events GROUP BY user_id),
+      |rr AS (SELECT rec_us, row_number() OVER (ORDER BY rec_us, user_id) AS rn,
+      |              count(*) OVER () AS n FROM u),
+      |rb AS (SELECT list(b ORDER BY q) AS bl FROM (
+      |         SELECT t.q AS q,
+      |                max(CASE WHEN rn = (t.q*n+t.q)//5 THEN rec_us END) AS b
+      |         FROM rr CROSS JOIN range(1,5) t(q) GROUP BY t.q)),
+      |fr AS (SELECT freq, row_number() OVER (ORDER BY freq, user_id) AS rn,
+      |              count(*) OVER () AS n FROM u),
+      |fb AS (SELECT list(b ORDER BY q) AS bl FROM (
+      |         SELECT t.q AS q,
+      |                max(CASE WHEN rn = (t.q*n+t.q)//5 THEN freq END) AS b
+      |         FROM fr CROSS JOIN range(1,5) t(q) GROUP BY t.q)),
+      |mr AS (SELECT mon, row_number() OVER (ORDER BY mon, user_id) AS rn,
+      |              count(*) OVER () AS n FROM u),
+      |mb AS (SELECT list(b ORDER BY q) AS bl FROM (
+      |         SELECT t.q AS q,
+      |                max(CASE WHEN rn = (t.q*n+t.q)//5 THEN mon END) AS b
+      |         FROM mr CROSS JOIN range(1,5) t(q) GROUP BY t.q))
+      |SELECT u.user_id, u.rec_us, u.freq, CAST(u.mon AS DOUBLE) AS monetary,
+      |  1 + len(list_filter(rb.bl, x -> x < u.rec_us)) AS r_bucket,
+      |  1 + len(list_filter(fb.bl, x -> x < u.freq)) AS f_bucket,
+      |  1 + len(list_filter(mb.bl, x -> x < u.mon)) AS m_bucket
+      |FROM u, rb, fb, mb
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val gm = Tables.events(s, d).agg(max(unix_micros(col("ts"))).as("ge"))
+    // the users frame feeds three boundary picks plus the final
+    // bucketing — checkpoint once so all four read one materialization
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("mon"))
+      .crossJoin(broadcast(gm))
+      .select(col("user_id"), (col("ge") - col("last_us")).as("rec_us"),
+        col("freq"), col("mon"))
+      .localCheckpoint()
+    def bl(vCol: String) =
+      exactQuantileBoundaries(s, u, col(vCol), col("user_id"), 5)
+        .agg(array_sort(collect_list(struct(col("q"), col("boundary")))).as("qs"))
+        .select(expr("transform(qs, x -> x.boundary)").as("bl"))
+    u.crossJoin(broadcast(bl("rec_us").withColumnRenamed("bl", "rbl")))
+      .crossJoin(broadcast(bl("freq").withColumnRenamed("bl", "fbl")))
+      .crossJoin(broadcast(bl("mon").withColumnRenamed("bl", "mbl")))
+      .select(col("user_id"), col("rec_us"), col("freq"),
+        col("mon").cast("double").as("monetary"),
+        (lit(1) + expr("aggregate(rbl, 0, (acc, x) -> acc + IF(x < rec_us, 1, 0))"))
+          .cast("long").as("r_bucket"),
+        (lit(1) + expr("aggregate(fbl, 0, (acc, x) -> acc + IF(x < freq, 1, 0))"))
+          .cast("long").as("f_bucket"),
+        (lit(1) + expr("aggregate(mbl, 0, (acc, x) -> acc + IF(x < mon, 1, 0))"))
+          .cast("long").as("m_bucket"))
+  }
+
   // --- B33: full cohort retention matrix -----------------------------------
   // The B17 generalization: users grouped by their FIRST active week
   // (the cohort), counted at every later week offset — the full
@@ -1501,5 +1615,5 @@ object Analytics {
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
-    eventsUnpivot)
+    eventsUnpivot, eventsRfm)
 }

@@ -860,20 +860,12 @@ object TextAnalysis {
   // when it fits, hash join otherwise — no hint pinned) → one
   // doc-keyed aggregate with map-side partials. DECIMAL(38,0) exact
   // frequency sums: sum of counts overflows BIGINT at corpus scale.
-  val unigramLm = QueryDef.oracled(
-    "text_unigram_lm",
-    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-      |             FROM documents),
-      |u AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
-      |pd AS (SELECT t.doc_id, count(*) AS nt,
-      |         CAST(sum(u.n) AS DOUBLE) / count(*) AS mean_n,
-      |         min(u.n) AS min_n
-      |       FROM tok t JOIN u USING (tok) GROUP BY 1)
-      |SELECT d.doc_id, coalesce(pd.nt, 0) AS n_tokens,
-      |  pd.mean_n AS mean_tok_count, pd.min_n AS min_tok_count
-      |FROM documents d LEFT JOIN pd USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    val pd = Tables.spread(Tables.documents(s, d), s, "doc_id")
+  /** Per-doc unigram-LM stats `(doc_id, nt, mean_n, min_n)` over docs
+    * with ≥ 1 token — C20's score pipeline, shared with C24's
+    * bucketing. Rides the staged unigram count table.
+    */
+  private def unigramScored(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d), s, "doc_id")
       .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
       .join(unigramCounts(s, d), Seq("tok"))
       .groupBy(col("doc_id"))
@@ -881,6 +873,27 @@ object TextAnalysis {
         (sum(col("n").cast("decimal(38,0)")).cast("double") / count(lit(1)))
           .as("mean_n"),
         min(col("n")).as("min_n"))
+
+  /** The C20 score CTE chain (tok/u/pd) — ONE SQL definition of the
+    * unigram-LM score, quoted by both the C20 and C24 oracles.
+    */
+  private val unigramPdSql =
+    """tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |             FROM documents),
+      |u AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+      |pd AS (SELECT t.doc_id, count(*) AS nt,
+      |         CAST(sum(u.n) AS DOUBLE) / count(*) AS mean_n,
+      |         min(u.n) AS min_n
+      |       FROM tok t JOIN u USING (tok) GROUP BY 1)""".stripMargin
+
+  val unigramLm = QueryDef.oracled(
+    "text_unigram_lm",
+    s"""WITH $unigramPdSql
+      |SELECT d.doc_id, coalesce(pd.nt, 0) AS n_tokens,
+      |  pd.mean_n AS mean_tok_count, pd.min_n AS min_tok_count
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pd = unigramScored(s, d)
     Tables.documents(s, d).select(col("doc_id"))
       .join(pd, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("nt"), lit(0L)).as("n_tokens"),
@@ -1078,9 +1091,56 @@ object TextAnalysis {
         md5(col("r3")).as("clean_hash"))
   }
 
+  // --- C24: CCNet-style quality buckets (round 10) -------------------------
+  // Wenzek et al. 2020 split each language's corpus into head/middle/
+  // tail by LM-score tertiles and train on the head. Here: exact
+  // tertile BOUNDARIES of the C20 unigram-LM score via the shared
+  // range-partitioned two-pass rank (Analytics.exactQuantileBoundaries
+  // — the scale-safe ntile(3), no global window sort), then a map-side
+  // value-vs-boundary bucket per doc. High mean corpus frequency =
+  // common text = head; zero-token docs land in tail by definition.
+  // Ties on the score share a bucket (value-based buckets, engine-
+  // deterministic); the score itself is one correctly-rounded double
+  // from exact integer sums, so comparisons agree bit-exactly.
+  val qualityBuckets = QueryDef.oracled(
+    "corpus_quality_buckets",
+    s"""WITH $unigramPdSql,
+      |rr AS (SELECT mean_n, row_number() OVER (ORDER BY mean_n, doc_id) AS rn,
+      |              count(*) OVER () AS n FROM pd),
+      |tb AS (SELECT list(b ORDER BY q) AS bl FROM (
+      |         SELECT t.q AS q,
+      |                max(CASE WHEN rn = (t.q*n+t.q)//3 THEN mean_n END) AS b
+      |         FROM rr CROSS JOIN range(1,3) t(q) GROUP BY t.q))
+      |SELECT d.doc_id, coalesce(pd.nt, 0) AS n_tokens, pd.mean_n AS score,
+      |  CASE WHEN pd.mean_n IS NULL THEN 'tail'
+      |       ELSE ['tail','middle','head'][
+      |         CAST(1 + len(list_filter(tb.bl, x -> x < pd.mean_n)) AS INTEGER)]
+      |  END AS bucket
+      |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tb
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val pd = unigramScored(s, d).localCheckpoint()
+    val tb = graft.queries.Analytics
+      .exactQuantileBoundaries(s, pd, col("mean_n"), col("doc_id"), 3)
+      .agg(array_sort(collect_list(struct(col("q"), col("boundary")))).as("qs"))
+      .select(expr("transform(qs, x -> x.boundary)").as("bl"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .crossJoin(broadcast(tb))
+      .select(col("doc_id"), coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        col("mean_n").as("score"),
+        when(col("mean_n").isNull, lit("tail"))
+          .otherwise(element_at(
+            array(lit("tail"), lit("middle"), lit("head")),
+            (lit(1) + expr(
+              "aggregate(bl, 0, (acc, x) -> acc + IF(x < mean_n, 1, 0))"))))
+          .as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
-      vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub)
+      vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
+      qualityBuckets)
 }
