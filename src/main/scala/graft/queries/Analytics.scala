@@ -1224,6 +1224,88 @@ object Analytics {
           .cast("long").as("m_bucket"))
   }
 
+  // --- B44: PageRank over the event-type transition graph (round 10) -------
+  // The iterative-computation class (graph centrality / influence):
+  // PageRank with damping 0.85 over the B37 Markov graph — nodes =
+  // event types, edge weights = observed transition counts. All
+  // arithmetic is SCALED-INTEGER (ranks in 1e-12 units, floor
+  // division): contrib(u→v) = ((r(u)·85) div (100·out(u))) · cnt(u,v),
+  // r'(v) = (15·S) div (100·N) + Σ contrib — every step is exact int64
+  // in both engines, so TEN iterations stay bit-identical and the
+  // query is fully HASH-ORACLED (unrolled CTE chain; recursive
+  // aggregation isn't portable). Dangling-node mass leaks, the
+  // standard simplification — deterministic on both sides.
+  //
+  // Scale (100 TB): the ONE event-scale job is the edge aggregation
+  // (lag window on user_id — high-cardinality partitions — then a
+  // groupBy with map-side partials shrinking to |types|² rows). The
+  // iterations run on the localCheckpoint'd edge table — a
+  // dimension-sized frame — so ten joins cost nothing and never
+  // re-touch the corpus; this is the aggregate-then-iterate shape any
+  // sane warehouse graph job has.
+  private val PrScale = 1000000000000L // 1e-12 rank units
+  private val PrIters = 10
+  val eventsPagerank = QueryDef.oracled(
+    "events_pagerank", {
+      val head =
+        s"""WITH tr AS (SELECT event_type AS to_t,
+          |        lag(event_type) OVER (PARTITION BY user_id
+          |                              ORDER BY ts, event_id) AS from_t
+          |      FROM events),
+          |ed AS (SELECT from_t, to_t, count(*) AS cnt FROM tr
+          |       WHERE from_t IS NOT NULL GROUP BY 1, 2),
+          |eo AS (SELECT ed.from_t, ed.to_t, ed.cnt, o.outdeg FROM ed
+          |       JOIN (SELECT from_t, sum(cnt) AS outdeg FROM ed GROUP BY 1) o
+          |       USING (from_t)),
+          |nodes AS (SELECT DISTINCT event_type AS t FROM events),
+          |meta AS (SELECT count(*) AS nn FROM nodes),
+          |r0 AS (SELECT t, $PrScale // nn AS r FROM nodes CROSS JOIN meta)""".stripMargin
+      val iters = (1 to PrIters).map { i =>
+        s"""r$i AS (SELECT n.t,
+          |    (15 * $PrScale) // (100 * m.nn) + coalesce(f.inflow, 0) AS r
+          |  FROM nodes n CROSS JOIN meta m LEFT JOIN (
+          |    SELECT e.to_t AS t,
+          |           sum((p.r * 85) // (100 * e.outdeg) * e.cnt) AS inflow
+          |    FROM r${i - 1} p JOIN eo e ON p.t = e.from_t
+          |    GROUP BY e.to_t) f ON n.t = f.t)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$head$iters
+        |SELECT t AS event_type, r AS rank_scaled,
+        |       CAST(r AS DOUBLE) / $PrScale AS rank
+        |FROM r$PrIters ORDER BY t""".stripMargin
+    }) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ed = Tables.events(s, d)
+      .select(col("event_type").as("to_t"),
+        lag(col("event_type"), 1).over(byUser).as("from_t"))
+      .filter(col("from_t").isNotNull)
+      .groupBy(col("from_t"), col("to_t")).agg(count(lit(1)).as("cnt"))
+    val eo = ed
+      .join(ed.groupBy(col("from_t")).agg(sum(col("cnt")).as("outdeg")),
+        Seq("from_t"))
+      .localCheckpoint() // dimension-sized; iterations never re-scan events
+    val nodes = Tables.events(s, d).select(col("event_type").as("t"))
+      .distinct().localCheckpoint()
+    val meta = nodes.agg(count(lit(1)).as("nn"))
+    var r = nodes.crossJoin(broadcast(meta))
+      .select(col("t"), expr(s"${PrScale}L div nn").as("r"))
+    for (_ <- 1 to PrIters) {
+      val inflow = r.join(eo, r("t") === eo("from_t"))
+        .select(col("to_t"),
+          (expr("(r * 85) div (100 * outdeg)") * col("cnt")).as("c"))
+        .groupBy(col("to_t")).agg(sum(col("c")).as("inflow"))
+      r = nodes.crossJoin(broadcast(meta))
+        .join(inflow.withColumnRenamed("to_t", "t"), Seq("t"), "left")
+        .select(col("t"),
+          (expr(s"(15 * ${PrScale}L) div (100 * nn)") +
+            coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    r.select(col("t").as("event_type"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / PrScale).as("rank"))
+      .orderBy(col("event_type"))
+  }
+
   // --- B33: full cohort retention matrix -----------------------------------
   // The B17 generalization: users grouped by their FIRST active week
   // (the cohort), counted at every later week offset — the full
@@ -1615,5 +1697,5 @@ object Analytics {
     q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
-    eventsUnpivot, eventsRfm)
+    eventsUnpivot, eventsRfm, eventsPagerank)
 }

@@ -327,4 +327,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .count()
     assert(direct == r0.getAs[Long]("n_events"), s"window $ws/$et")
   }
+
+  test("events_rfm buckets are in 1..5 and monotone in the raw metric") {
+    val rows = SparkEntry.queries("events_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_bucket", "f_bucket", "m_bucket").foreach { b =>
+        val v = r.getAs[Long](b); assert(v >= 1 && v <= 5, s"$b=$v")
+      }
+    }
+    // same freq -> same bucket; higher freq -> bucket never decreases
+    val byFreq = rows.map(r => (r.getAs[Long]("freq"), r.getAs[Long]("f_bucket")))
+      .sortBy(_._1)
+    byFreq.sliding(2).foreach { case Array((f1, b1), (f2, b2)) =>
+      assert(b2 >= b1, s"f_bucket not monotone: ($f1,$b1) -> ($f2,$b2)")
+      if (f1 == f2) assert(b1 == b2, "metric ties must share a bucket")
+    }
+  }
+
+  test("events_pagerank conserves (up to floor/dangling leak) and covers all types") {
+    val rows = SparkEntry.queries("events_pagerank")(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == nTypes)
+    val total = rows.map(_.getAs[Long]("rank_scaled")).sum
+    val S = 1000000000000L
+    // floor division + dangling nodes only ever LOSE mass
+    assert(total <= S && total >= (S * 8) / 10, s"total=$total")
+    rows.foreach(r => assert(r.getAs[Long]("rank_scaled") > 0))
+  }
 }
