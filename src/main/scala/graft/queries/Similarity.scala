@@ -1495,8 +1495,118 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- E19: MMR-diversified retrieval (round 10) ----------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+  // diversity re-rank every RAG retriever runs after ANN: from each
+  // query's top-30 cosine pool, greedily select 5 maximizing
+  // mmr = (7·cos(q,c) − 3·max_{s∈S} cos(c,s)) / 10 (λ = 0.7 as an
+  // exact integer-ratio tree so both engines evaluate the identical
+  // double expression; first pick penalty = 0). Greedy selection is
+  // inherently sequential, but each STEP is relational: a max-penalty
+  // aggregate against the selected set + one argmax window — so the 5
+  // steps unroll as a DataFrame loop here and a CTE chain in the
+  // oracle, and the query is fully HASH-ORACLED (cosines are the
+  // bit-exact strict-fold kernel, spec-pinned vs cosSql).
+  //
+  // Scale (100 TB): the corpus-facing work is the E1-shaped pool scan
+  // (broadcast queries, map-only, top-30 via WindowGroupLimit); the
+  // greedy loop runs on the checkpointed pool — |queries| × 30 rows,
+  // dimension-sized — so the 5 iterations never re-touch the corpus.
+  private val MmrPoolK = 30
+  private val MmrK = 5
+  val mmr = QueryDef.oracled(
+    "knn_mmr", {
+      val head =
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          |           FROM embeddings WHERE vec_id < $NQueries),
+          |s AS (SELECT query_id, vec_id, embedding AS ea,
+          |             ${cosSql("qe", "embedding")} AS cosine
+          |      FROM q JOIN embeddings ON vec_id <> query_id),
+          |pool AS (SELECT query_id, vec_id, ea, cosine FROM (
+          |           SELECT *, row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY cosine DESC, vec_id) AS rnk
+          |           FROM s WHERE NOT isnan(cosine)) WHERE rnk <= $MmrPoolK),
+          |sel1 AS (SELECT query_id, vec_id, ea, cosine,
+          |                CAST(1 AS BIGINT) AS mmr_rank,
+          |                (7*cosine - 3*0.0)/10 AS mmr
+          |         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY cosine DESC, vec_id) AS rnk FROM pool)
+          |         WHERE rnk = 1),
+          |cum1 AS (SELECT * FROM sel1),
+          |rem1 AS (SELECT p.* FROM pool p LEFT JOIN sel1 x
+          |           ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+          |         WHERE x.vec_id IS NULL)""".stripMargin
+      val steps = (2 to MmrK).map { i =>
+        val j = i - 1
+        s"""pen$i AS (SELECT r.query_id, r.vec_id,
+          |             max(${cosSql("r.ea", "x.ea")}) AS pen
+          |           FROM rem$j r JOIN cum$j x USING (query_id)
+          |           GROUP BY r.query_id, r.vec_id),
+          |sel$i AS (SELECT query_id, vec_id, ea, cosine,
+          |                 CAST($i AS BIGINT) AS mmr_rank, mmr FROM (
+          |            SELECT r.query_id, r.vec_id, r.ea, r.cosine,
+          |                   (7*r.cosine - 3*p.pen)/10 AS mmr,
+          |                   row_number() OVER (PARTITION BY r.query_id
+          |                     ORDER BY (7*r.cosine - 3*p.pen)/10 DESC, r.vec_id) AS rn
+          |            FROM rem$j r JOIN pen$i p
+          |              ON r.query_id = p.query_id AND r.vec_id = p.vec_id)
+          |          WHERE rn = 1),
+          |cum$i AS (SELECT * FROM cum$j UNION ALL SELECT * FROM sel$i),
+          |rem$i AS (SELECT r.* FROM rem$j r LEFT JOIN sel$i x
+          |            ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+          |          WHERE x.vec_id IS NULL)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      s"""$head$steps
+        |SELECT query_id, mmr_rank, vec_id AS neighbor_id, cosine, mmr
+        |FROM cum$MmrK ORDER BY query_id, mmr_rank""".stripMargin
+    }) { (s, d) =>
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("ea"))
+    val pool = broadcast(queriesDf(s, d))
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= MmrPoolK)
+      .select(col("query_id"), col("vec_id"), col("ea"), col("cosine"))
+      .localCheckpoint() // |queries| × 30 rows; the loop never re-scans
+    var selected = pool
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") === 1).drop("rnk")
+      .withColumn("mmr_rank", lit(1L))
+      .withColumn("mmr", expr("(7*cosine - 3*0.0)/10"))
+    var remaining = pool.join(selected.select(col("query_id"), col("vec_id")),
+      Seq("query_id", "vec_id"), "left_anti")
+    for (i <- 2 to MmrK) {
+      val pen = remaining.as("r")
+        .join(selected.select(col("query_id"), col("ea").as("sea")), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          F.cosine_sim(col("ea"), col("sea")).as("pc"))
+        .groupBy(col("query_id"), col("vec_id")).agg(max(col("pc")).as("pen"))
+      val next = remaining.join(pen, Seq("query_id", "vec_id"))
+        .withColumn("mmr", expr("(7*cosine - 3*pen)/10"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("mmr").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("ea"), col("cosine"),
+          lit(i.toLong).as("mmr_rank"), col("mmr"))
+      selected = selected.unionByName(next)
+      remaining = remaining.join(next.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+    }
+    selected
+      .select(col("query_id"), col("mmr_rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("mmr"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering, hybrid)
+    binary, clustering, hybrid, mmr)
 }

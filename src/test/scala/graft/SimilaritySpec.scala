@@ -450,4 +450,23 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("knn_mmr: first pick is the cosine argmax; picks are distinct pool members") {
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val mmr = SparkEntry.queries("knn_mmr")(spark, sf).collect()
+    val byQ = mmr.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("mmr_rank"))
+      assert(ranked.map(_.getAs[Long]("mmr_rank")).toSeq == (1L to 5L),
+        s"query $q ranks")
+      // with an empty selected set MMR reduces to relevance: pick 1 ==
+      // the brute-force nearest neighbor
+      assert(ranked.head.getAs[Long]("neighbor_id") == brute(q), s"query $q")
+      val ids = ranked.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length == ids.length, s"query $q dup picks")
+    }
+  }
 }
