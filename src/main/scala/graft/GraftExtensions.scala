@@ -45,7 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("misra_gries", "Misra-Gries heavy-hitters summary of a string column (literal k)",
       es => graft.functions.MisraGriesAgg(es.head, evalInt(es(1)))),
     ("bottom_k", "k smallest (string key, bigint tag) pairs per group (literal k)",
-      es => graft.functions.BottomKAgg(es.head, es(1), evalInt(es(2)))))
+      es => graft.functions.BottomKAgg(es.head, es(1), evalInt(es(2)))),
+    ("count_min", "Count-Min sketch counters of a BIGINT column (literal depth, width)",
+      es => graft.functions.CountMinAgg(es.head, evalInt(es(1)), evalInt(es(2)))))
 
   private def evalScale(e: Expression): Float = {
     require(e.foldable, "quantization scale must be a literal")

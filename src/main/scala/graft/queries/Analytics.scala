@@ -1734,6 +1734,97 @@ object Analytics {
         col("event_type"), HhK).as("mg")), HhK)
   }
 
+  // --- B51: Count-Min point-frequency estimates (round 10) -----------------
+  // The sketch shelf's point-query member (functions/CountMinAgg.scala;
+  // Cormode & Muthukrishnan 2005): MG (B36) answers "which keys are
+  // heavy", Count-Min answers "how often did THIS key occur" for ANY
+  // key in O(depth·width) space. The counter matrix is a LINEAR
+  // function of the input multiset — merge is elementwise sum — so
+  // unlike MG's order-dependent contents the final counters are a pure
+  // function of the data, and a SKETCH query carries a full HASH
+  // ORACLE: DuckDB replays the splitmix64 row hashes (U64Sql, the D4
+  // machinery) into the same bucket counts and takes the same min.
+  // Estimates for the 20 fixed probe keys; est ≥ true always (CMS
+  // never undercounts), spec asserts both bounds against exact counts.
+  //
+  // Scale (100 TB): one map-side-combined global aggregate whose
+  // shuffle ships depth×width longs per partition, never the stream;
+  // the probe side is a LITERAL frame (buckets precomputed at plan
+  // time — they depend only on the key), so estimate extraction is a
+  // broadcast cross of 20 rows × 1 sketch row. Width/depth are the
+  // accuracy dials: ε ≈ 2/width at failure prob (1/2)^depth.
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 256
+
+  /** Probe-side estimate extraction over a one-row (cm, n_total) sketch
+    * frame — shared by B51 and its streaming twin (A40) so the two
+    * cannot drift; buckets for the 20 literal probe keys are computed
+    * at PLAN time (pure function of the key).
+    */
+  private[graft] def cmProbeRows(s: SparkSession, sketch: DataFrame): DataFrame = {
+    import graft.functions.CountMinAgg
+    import s.implicits._
+    val keys = (0L until 20L).map { u =>
+      val b = (0 until CmDepth).map(CountMinAgg.bucket(u, _, CmWidth))
+      (u, b(0), b(1), b(2), b(3))
+    }
+    keys.toDF("user_id", "b0", "b1", "b2", "b3")
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"),
+        least(
+          expr(s"element_at(cm, b0 + 1)"),
+          expr(s"element_at(cm, b1 + 1 + $CmWidth)"),
+          expr(s"element_at(cm, b2 + 1 + ${2 * CmWidth})"),
+          expr(s"element_at(cm, b3 + 1 + ${3 * CmWidth})")).as("est_count"),
+        col("n_total"))
+      .orderBy(col("user_id"))
+  }
+
+  /** B51's oracle — also A40's: the counters are LINEAR in the input
+    * multiset, so the drained stream's sketch equals the batch sketch
+    * regardless of batch boundaries.
+    */
+  private[graft] val countMinOracle: String = {
+      import graft.queries.{U64Sql => U}
+      // mix64(id + d·FNV) as uint64, via nested selects (the D4 CTE
+      // chain flattened so each depth can be spliced independently)
+      def chain(src: String, d: Int): String = {
+        val off = d.toLong * graft.functions.CountMinAgg.DepthOffset
+        val in = s"(CAST(user_id AS HUGEINT) + CAST('$off' AS HUGEINT)) % ${U.two64}"
+        val (z1, z2, z3, h) = U.mix64Stages("mi")
+        s"(SELECT user_id, $h AS h FROM (SELECT user_id, $z3 AS z3 FROM " +
+          s"(SELECT user_id, $z2 AS z2 FROM (SELECT user_id, $z1 AS z1 FROM " +
+          s"(SELECT user_id, $in AS mi FROM $src) q0) q1) q2) q3)"
+      }
+      val cs = (0 until CmDepth).map { d =>
+        s"c$d AS (SELECT h % $CmWidth AS b, count(*) AS cnt " +
+          s"FROM ${chain("events", d)} e GROUP BY 1)"
+      }.mkString(",\n")
+      val kbs = (0 until CmDepth).map { d =>
+        s"k$d AS (SELECT user_id, h % $CmWidth AS b$d FROM ${chain("ks", d)} x)"
+      }.mkString(",\n")
+      val leasts = (0 until CmDepth)
+        .map(d => s"coalesce(m$d.cnt, 0)").mkString("least(", ", ", ")")
+      val joins = (0 until CmDepth)
+        .map(d => s"JOIN k$d USING (user_id) LEFT JOIN c$d m$d ON k$d.b$d = m$d.b")
+        .mkString(" ")
+      s"""WITH ks AS (SELECT CAST(unnest(range(0, 20)) AS BIGINT) AS user_id),
+        |$cs,
+        |$kbs,
+        |tot AS (SELECT count(*) AS n_total FROM events)
+        |SELECT ks.user_id, CAST($leasts AS BIGINT) AS est_count, n_total
+        |FROM ks $joins CROSS JOIN tot
+        |ORDER BY ks.user_id""".stripMargin
+  }
+
+  val countMin = QueryDef.oracled(
+    "events_count_min", countMinOracle) { (s, d) =>
+    import graft.functions.CountMinAgg
+    cmProbeRows(s, Tables.events(s, d).agg(
+      CountMinAgg.count_min(col("user_id"), CmDepth, CmWidth).as("cm"),
+      count(lit(1)).as("n_total")))
+  }
+
   // --- B37: event-type transition matrix -----------------------------------
   // First-order Markov structure of user behavior: for every consecutive
   // pair of events by the SAME user, count (from_type → to_type) and the
@@ -1980,5 +2071,5 @@ object Analytics {
     valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
-    eventsUnpivot, eventsRfm, eventsPagerank)
+    eventsUnpivot, eventsRfm, eventsPagerank, countMin)
 }

@@ -1137,10 +1137,168 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C25: mixture / epoch planning (round 10) ----------------------------
+  // The Dolma/Pile/LLaMA mixture table: given the corpus, plan a
+  // temperature-2 source mixture at a budget equal to the corpus token
+  // count — weight_s = floor(sqrt(avail_s)) (sub-linear upsampling:
+  // big sources are damped, small sources repeat), target_s =
+  // (B·w_s) div Σw, epochs = ceil(target/avail), sampling rate in
+  // exact parts-per-million. Everything is integer arithmetic except
+  // sqrt — one of IEEE 754's five CORRECTLY-ROUNDED basic operations,
+  // so floor(sqrt(bigint)) is deterministic cross-engine (unlike log:
+  // the C15/C20 argument bites transcendentals, not sqrt).
+  //
+  // Scale (100 TB): one map-side-combined groupBy(source) over the
+  // corpus scan (tokens counted in the scan projection, never
+  // materialized), then a |sources|-row frame with a broadcast scalar
+  // — the plan's cost is the scan, as a sampling planner's must be.
+  val mixture = QueryDef.oracled(
+    "corpus_mixture",
+    """WITH t AS (SELECT source,
+      |            len(regexp_extract_all(lower(text),
+      |                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')) AS toks
+      |            FROM documents),
+      |g AS (SELECT source, CAST(sum(toks) AS BIGINT) AS avail
+      |      FROM t GROUP BY 1),
+      |w AS (SELECT source, avail,
+      |        CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) AS weight
+      |      FROM g),
+      |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS b,
+      |               CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+      |tg AS (SELECT source, avail, weight, (b * weight) // wsum AS target
+      |       FROM w, tot)
+      |SELECT source, avail AS avail_tokens, weight,
+      |       target AS target_tokens,
+      |       (target + avail - 1) // avail AS epochs,
+      |       (target * 1000000) // avail AS sample_ppm
+      |FROM tg ORDER BY source""".stripMargin) { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0))).as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("avail"))
+      .withColumn("weight",
+        floor(sqrt(col("avail").cast("double"))).cast("long"))
+    val tot = g.agg(sum(col("avail")).as("b"), sum(col("weight")).as("wsum"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(b * weight) div wsum"))
+      .select(col("source"), col("avail").as("avail_tokens"), col("weight"),
+        col("target").as("target_tokens"),
+        expr("(target + avail - 1) div avail").as("epochs"),
+        expr("(target * 1000000) div avail").as("sample_ppm"))
+      .orderBy(col("source"))
+  }
+
+  // --- C26: lexical diversity — Simpson index (round 10) -------------------
+  // The collision-probability quality signal next to C12's repetition
+  // fraction: for two tokens drawn without replacement from a doc, the
+  // chance they are the SAME type — Σc(c−1)/(n(n−1)) — reported as
+  // diversity = 1 − collision (the unbiased Gini–Simpson estimator,
+  // scale-free where C12's dup fraction is occurrence-weighted). Both
+  // sums are exact integers; the final value is one identical
+  // three-op double tree. Docs with n < 2 keep their row with NULL
+  // (nothing to collide), the C18 zero-token convention.
+  //
+  // Scale (100 TB): one (doc, token) shuffle with map-side partials +
+  // a doc-keyed rollup, then a doc_id equi-join back to the id list —
+  // the C16 shape; no window, no global sort (oracle orders only for
+  // presentation).
+  val diversity = QueryDef.oracled(
+    "text_diversity",
+    """WITH tok AS (SELECT doc_id,
+      |              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |            FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+      |      FROM c GROUP BY 1)
+      |SELECT d.doc_id, coalesce(a.n, 0) AS n_tokens,
+      |  coalesce(a.coll, 0) AS n_collisions,
+      |  CASE WHEN coalesce(a.n, 0) >= 2 THEN
+      |    1.0 - CAST(a.coll AS DOUBLE)
+      |          / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE))
+      |  END AS diversity
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val a = Tables.documents(s, d)
+      .select(col("doc_id"), explode(F.tokenize_words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * (col("c") - 1)).as("coll"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("coll"), lit(0L)).as("n_collisions"),
+        when(coalesce(col("n"), lit(0L)) >= 2,
+          lit(1.0) - col("coll").cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double")))
+          .as("diversity"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- C27: corpus snapshot delta (round 10) -------------------------------
+  // The incremental-crawl CDC primitive: which documents were added,
+  // removed, or changed between two corpus snapshots — the table an
+  // incremental training-data refresh consumes instead of reprocessing
+  // the crawl. The corpus has one snapshot, so v2 is FABRICATED
+  // deterministically inside both engines (the C23/F-family pattern):
+  // doc_id ≡ 3 (mod 17) dropped, ≡ 5 revised (suffix), ≡ 7 spawns an
+  // addendum doc at doc_id + 10⁷. Comparison is by content hash; only
+  // non-identical rows ship.
+  //
+  // Scale (100 TB): hashes reduce each side to (doc_id, 16 bytes)
+  // map-side BEFORE the one doc_id-keyed FULL OUTER join — the join
+  // ships digests, never text; under the A1 bucketing dial both
+  // snapshot scans co-locate and the Exchange disappears. Output ∝
+  // churn, not corpus.
+  val delta = QueryDef.oracled(
+    "corpus_delta",
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 5
+      |              THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |         'v2 addendum for ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 17 = 7),
+      |a AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+      |b AS (SELECT doc_id, md5(text) AS new_md5 FROM v2),
+      |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, old_md5, new_md5
+      |      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN old_md5 IS NULL THEN 'added'
+      |       WHEN new_md5 IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status, old_md5, new_md5
+      |FROM j WHERE old_md5 IS DISTINCT FROM new_md5
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v2 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 17 === 7)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("v2 addendum for "), col("doc_id").cast("string"))
+            .as("text")))
+    val a = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .filter(!(col("old_md5") <=> col("new_md5")))
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
-      qualityBuckets)
+      qualityBuckets, mixture, diversity, delta)
 }

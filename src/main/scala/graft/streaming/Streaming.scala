@@ -1521,10 +1521,38 @@ object Streaming {
       runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A40: streaming Count-Min, online twin of B51 ------------------------
+  // CountMinAgg as live complete-mode state, beside A33 (MG) and A36
+  // (bottom-k). The contract is A36's, for a different reason: the
+  // counter matrix is LINEAR in the input multiset (merge =
+  // elementwise sum), so after the stream drains the state equals the
+  // batch sketch REGARDLESS of batch boundaries — a streaming sketch
+  // with a full hash oracle (≡ B51's SQL). A live deployment reads
+  // point-frequency estimates for any key from the sink after any
+  // trigger: the per-key rate monitor MG's heavy-only summary can't
+  // answer.
+  val countMinFeed = QueryDef.oracled(
+    "stream_count_min", graft.queries.Analytics.countMinOracle) { (s, d) =>
+    runCountMin(s, eventStream(s, d).select(col("user_id")))
+  }
+
+  /** The A40 pipeline over an arbitrary (user_id) stream — seam for
+    * the multi-batch boundary-invariance spec.
+    */
+  private[graft] def runCountMin(s: SparkSession, rows: DataFrame): DataFrame = {
+    val sketch = rows.agg(
+      graft.functions.CountMinAgg.count_min(col("user_id"),
+        graft.queries.Analytics.CmDepth, graft.queries.Analytics.CmWidth)
+        .as("cm"),
+      count(lit(1)).as("n_total"))
+    graft.queries.Analytics.cmProbeRows(
+      s, runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
-    slidingRollup, scd2Feed)
+    slidingRollup, scd2Feed, countMinFeed)
 }

@@ -239,6 +239,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byItem("hot") <= 1500L && 1500L - byItem("hot") <= 5000L / 16)
   }
 
+  test("count_min SQL aggregate: planted hot key never undercounted across partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5000 rows over 64 partitions: key 7 holds 30%, 199 cold keys
+    val hot = Seq.fill(1500)(7L)
+    val cold = (0 until 3500).map(i => 100L + i % 199)
+    // SQL-registration coverage lives in MultimodalSpec's
+    // GraftExtensions test; this exercises the distributed merge path
+    val cm = spark.createDataset(hot ++ cold).repartition(64).toDF("key")
+      .agg(graft.functions.CountMinAgg.count_min(col("key"), 4, 256).as("cm"))
+      .collect().head.getSeq[Long](0)
+    assert(cm.length == 4 * 256)
+    assert(cm.sum == 4L * 5000L, "each row increments one counter per depth")
+    val est = (0 until 4).map(d =>
+      cm(d * 256 + graft.functions.CountMinAgg.bucket(7L, d, 256))).min
+    assert(est >= 1500L, s"CMS undercounted the planted key: $est")
+    assert(est <= 5000L)
+  }
+
   test("events_transitions: rows = events - users, per-from probs sum to 1") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("events_transitions")(spark, sf).collect()

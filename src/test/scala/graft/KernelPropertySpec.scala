@@ -279,4 +279,45 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(b.pairs == Seq((bmp, 2L)), // ...bottom_k keeps the UTF-8 min
       s"bottom_k must keep U+E000 over U+10000: ${b.pairs}")
   }
+
+  test("count-min: split/merge-order invariant counters, est in [true, true + bound]") {
+    import graft.functions.CountMinAgg
+    val rnd = new scala.util.Random(20260814L)
+    val depth = 4
+    val width = 64
+    for (_ <- 1 to 25) {
+      val n = 500 + rnd.nextInt(3000)
+      // zipf-ish key stream (gaussian fold onto ~40 keys)
+      val stream = IndexedSeq.fill(n)(
+        math.min(39L, math.abs(rnd.nextGaussian() * 10).toLong))
+      val exact = stream.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+      val serial = new Array[Long](depth * width)
+      stream.foreach(CountMinAgg.updateKey(serial, _, depth, width))
+      // random partition, summarize chunks, merge in random order
+      val nChunks = 1 + rnd.nextInt(6)
+      val merged = rnd.shuffle(
+        stream.grouped(math.max(1, n / nChunks)).toIndexedSeq.map { ch =>
+          val b = new Array[Long](depth * width)
+          ch.foreach(CountMinAgg.updateKey(b, _, depth, width))
+          b
+        }).reduce { (a, b) =>
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }
+      // LINEAR state: merged counters are IDENTICAL to the serial run,
+      // not just bound-equivalent (the property that lets B51 carry a
+      // hash oracle where MG cannot)
+      assert(merged.sameElements(serial), "counters depend on split/merge order")
+      def est(k: Long): Long = (0 until depth).map(d =>
+        merged(d * width + CountMinAgg.bucket(k, d, width))).min
+      exact.foreach { case (k, t) =>
+        assert(est(k) >= t, s"CMS undercounted key $k: ${est(k)} < $t")
+      }
+      // ε-bound with failure prob (1/2)^depth per key; over 25 trials ×
+      // ~40 keys a 4-deep sketch exceeding 2n/w everywhere would be a
+      // broken hash, so assert the MEAN excess stays under the bound
+      val excesses = exact.map { case (k, t) => (est(k) - t).toDouble }
+      assert(excesses.sum / excesses.size <= 2.0 * n / width,
+        s"mean CMS excess ${excesses.sum / excesses.size} beyond 2n/w")
+    }
+  }
 }

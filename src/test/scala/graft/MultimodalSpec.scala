@@ -110,6 +110,14 @@ class MultimodalSpec extends AnyFunSuite {
         """SELECT count(*) AS n, count(DISTINCT fingerprint64(text)) AS nf
           |FROM documents""".stripMargin).head()
       assert(agg.getAs[Long]("n") > 0 && agg.getAs[Long]("nf") > 0)
+      // the three custom aggregates resolve from plain SQL too
+      val sk = s2.sql(
+        """SELECT size(misra_gries(lang, 4)) AS mg,
+          |  size(bottom_k(source, doc_id, 3)) AS bk,
+          |  count_min(doc_id, 2, 64)[1] >= 0 AS cm
+          |FROM documents""".stripMargin).head()
+      assert(sk.getAs[Int]("mg") > 0 && sk.getAs[Int]("bk") == 3
+        && sk.getAs[Boolean]("cm"))
       ()
     } finally {
       SparkSession.setActiveSession(spark)

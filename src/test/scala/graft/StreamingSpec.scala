@@ -515,6 +515,28 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_count_min: linear sketch state is batch-boundary-invariant") {
+    import org.apache.spark.sql.functions._
+    // 3 triggers; the linearity contract: counters after the drain are
+    // the elementwise sums a single batch pass would produce, so the
+    // probe estimates EQUAL the batch query's — the property that
+    // earns this streaming sketch its oracle (A36's argument, via
+    // linearity instead of order statistics)
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("user_id")), 3, Seq(col("user_id")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val got = graft.streaming.Streaming.runCountMin(spark, rows)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("n_total"))).toSet
+    val batch = SparkEntry.queries("events_count_min")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("n_total"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_heavy_hitters merges the MG sketch across MULTIPLE micro-batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
