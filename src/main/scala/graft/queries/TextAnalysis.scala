@@ -359,10 +359,14 @@ object TextAnalysis {
   // stream count is the parallelism dial (8 here; thousands on a
   // cluster), and packing never looks across streams, so this is
   // embarrassingly parallel BY CONSTRUCTION, unlike a global cumsum.
-  private val PackStreams = 8
-  private val PackBudget = 2048L
-  val corpusPack = QueryDef.oracled(
-    "corpus_pack",
+  private[graft] val PackStreams = 8
+  private[graft] val PackBudget = 2048L
+
+  /** C14's oracle — also A41's (stream_corpus_pack): with per-stream
+    * doc_id-ascending arrival the running-offset state reproduces the
+    * batch window exactly, so the feed shares this SQL.
+    */
+  private[graft] val corpusPackOracle: String =
     s"""WITH t AS (SELECT doc_id,
       |    len(regexp_extract_all(lower(text),
       |        '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS toks,
@@ -385,7 +389,10 @@ object TextAnalysis {
       |  CASE WHEN toks = 0 THEN 0
       |       ELSE (start_off + toks - 1) // $PackBudget
       |            - start_off // $PackBudget + 1 END AS n_pieces
-      |FROM w ORDER BY stream, doc_id""".stripMargin) { (s, d) =>
+      |FROM w ORDER BY stream, doc_id""".stripMargin
+
+  val corpusPack = QueryDef.oracled(
+    "corpus_pack", corpusPackOracle) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, d)
       .select(col("doc_id"),

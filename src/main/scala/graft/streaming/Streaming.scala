@@ -53,6 +53,10 @@ case class FunnelStage(user_id: Long, stage: String)
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
+case class PackDoc(doc_id: Long, toks: Long, stream: Int)
+case class PackState(off: Long, lastDoc: Long)
+case class PackRow(stream: Int, doc_id: Long, n_tokens: Long,
+    start_off: Long, first_bin: Long, last_bin: Long, n_pieces: Long)
 case class TransitionState(lastUs: Long, lastType: String)
 case class TransitionRow(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long,
@@ -1549,10 +1553,80 @@ object Streaming {
       s, runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A41: streaming sequence packing, online twin of C14 -----------------
+  // Documents arrive as a stream and receive their context-window
+  // assignment THE MOMENT they arrive — the online half of the
+  // GPT-style concat-and-chop preprocessing (an ingest pipeline that
+  // packs as it crawls, instead of a nightly batch pass). State per
+  // content-fingerprint stream = (running token offset, last doc_id):
+  // O(|streams|) TOTAL state — 16 bytes × 8 here — where every other
+  // stateful op's store grows with the key space; the offset IS the
+  // pack position, so emission is pure arithmetic per doc.
+  //
+  // Contract: per-stream doc_id-ascending arrival (the symlinked
+  // single-file source trivially satisfies it; the spec's 3-batch
+  // doc_id-range split satisfies it across batches). A cross-batch
+  // out-of-order doc is DROPPED by the lastDoc guard — packing an
+  // already-passed offset would corrupt every later assignment in the
+  // stream (the A34/A39 guard, with a harder justification).
+  val packFeed = QueryDef.oracled(
+    "stream_corpus_pack", graft.queries.TextAnalysis.corpusPackOracle) { (s, d) =>
+    import s.implicits._
+    val path = s"$d/documents.parquet"
+    val docs = s.readStream.schema(parquetSchema(s, path))
+      .parquet(symlinkedDir(path, "documents.parquet"))
+      // ingest-spread: tokenize + fingerprint run wide (A14's note)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    runCorpusPack(s, packProjection(docs).as[PackDoc])
+  }
+
+  /** The C14 scan projection (tokens + content-fingerprint stream) —
+    * one definition for the feed and the spec's static splits.
+    */
+  private[graft] def packProjection(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"), lit(0)))
+        .cast("long").as("toks"),
+      (graft.queries.Coordination.fpUnsigned(col("text"))
+        % graft.queries.TextAnalysis.PackStreams).cast("int").as("stream"))
+
+  /** The A41 pipeline over an arbitrary PackDoc stream — seam for the
+    * multi-batch state-carry spec.
+    */
+  private[graft] def runCorpusPack(s: SparkSession,
+      docs: Dataset[PackDoc]): DataFrame = {
+    import s.implicits._
+    val budget = graft.queries.TextAnalysis.PackBudget
+    val rows = docs.groupByKey(_.stream)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (stream: Int, it: Iterator[PackDoc], state: GroupState[PackState]) => {
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackState(0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackRow]
+          sorted.foreach { doc =>
+            if (doc.doc_id > st.lastDoc) {
+              val off = st.off
+              val firstBin = off / budget
+              val lastBin =
+                if (doc.toks == 0) firstBin
+                else (off + doc.toks - 1) / budget
+              val n = if (doc.toks == 0) 0L else lastBin - firstBin + 1
+              out += PackRow(stream, doc.doc_id, doc.toks, off,
+                firstBin, lastBin, n)
+              st = PackState(off + doc.toks, doc.doc_id)
+            } // else: out-of-order cross-batch doc — dropped (header note)
+          }
+          state.update(st)
+          out.iterator
+        })
+    runToMemory(s, rows.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
-    slidingRollup, scd2Feed, countMinFeed)
+    slidingRollup, scd2Feed, countMinFeed, packFeed)
 }

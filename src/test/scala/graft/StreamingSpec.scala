@@ -515,6 +515,30 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_corpus_pack: running offsets carry across doc_id-ordered batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 triggers split by doc_id RANGE — per-stream arrival stays
+    // doc_id-ascending (the A41 contract), so the carried offset must
+    // reproduce the batch window pass exactly; a per-batch state reset
+    // would zero every stream's offset at each boundary
+    val srcDir = timeSplitSource(Tables.documents(spark, sf), 3, Seq(col("doc_id")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val got = graft.streaming.Streaming.runCorpusPack(spark,
+      graft.streaming.Streaming.packProjection(rows).as[graft.streaming.PackDoc])
+      .collect().map(r => (r.getAs[Int]("stream"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("first_bin"),
+        r.getAs[Long]("last_bin"), r.getAs[Long]("n_pieces"))).toSet
+    val batch = SparkEntry.queries("corpus_pack")(spark, sf)
+      .collect().map(r => (r.getAs[Int]("stream"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("first_bin"),
+        r.getAs[Long]("last_bin"), r.getAs[Long]("n_pieces"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_count_min: linear sketch state is batch-boundary-invariant") {
     import org.apache.spark.sql.functions._
     // 3 triggers; the linearity contract: counters after the drain are
