@@ -1825,6 +1825,57 @@ object Analytics {
       count(lit(1)).as("n_total")))
   }
 
+  // --- B52: EWMA hourly smoothing + spike flags (round 10) -----------------
+  // The exponential-decay member of the anomaly family (B19 = rolling
+  // z-score window, B34 = sketch percentiles): per (type, hour),
+  // ewma = Σ_{k=0..19} cnt(hour−k) div 2^(k+1) — α = 1/2 smoothing as
+  // SHIFTED INTEGER sums, every term an exact floor division by a
+  // power of two, so the whole statistic is bit-identical cross-engine
+  // with no float accumulation at all (the B44 scaled-integer idea
+  // applied to decay weights; a general α would need pow — libm, the
+  // C15 argument). At steady state ewma ≈ cnt, so cnt > 2·ewma flags
+  // a genuine burst; missing hours contribute 0 by construction.
+  //
+  // Scale (100 TB): the event-scale job is the hourly rollup (one
+  // map-side-combined groupBy); the 20× decay expansion runs MAP-SIDE
+  // over the calendar-bounded hourly frame (B40's expansion argument)
+  // into a second tiny (type, hour) aggregate — the corpus is touched
+  // once.
+  private val EwmaLookback = 20
+  val eventsEwma = QueryDef.oracled(
+    "events_ewma",
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |             count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |e AS (SELECT event_type,
+      |        epoch_us(hour) + CAST(k AS BIGINT) * 3600000000 AS hour_us,
+      |        cnt // (CAST(1 AS BIGINT) << (CAST(k AS BIGINT) + 1)) AS c
+      |      FROM h, unnest(range(0, $EwmaLookback)) AS u(k)),
+      |w AS (SELECT event_type, hour_us, CAST(sum(c) AS BIGINT) AS ewma
+      |      FROM e GROUP BY 1, 2)
+      |SELECT h.event_type, h.hour, h.cnt, w.ewma,
+      |       h.cnt > 2 * w.ewma AS flagged
+      |FROM h JOIN w ON h.event_type = w.event_type
+      |              AND epoch_us(h.hour) = w.hour_us
+      |ORDER BY h.event_type, h.hour""".stripMargin) { (s, d) =>
+    val h = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val e = h
+      .select(col("event_type").as("et2"), unix_micros(col("hour")).as("h_us"),
+        col("cnt"), explode(expr(s"sequence(0L, ${EwmaLookback - 1}L)")).as("k"))
+      .select(col("et2"),
+        (col("h_us") + col("k") * 3600000000L).as("hour_us"),
+        expr("cnt div shiftleft(CAST(1 AS BIGINT), CAST(k + 1 AS INT))").as("c"))
+      .groupBy(col("et2"), col("hour_us"))
+      .agg(sum(col("c")).cast("long").as("ewma"))
+    h.join(e, col("event_type") === col("et2")
+        && unix_micros(col("hour")) === col("hour_us"))
+      .select(col("event_type"), col("hour"), col("cnt"), col("ewma"),
+        (col("cnt") > col("ewma") * 2).as("flagged"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   // --- B37: event-type transition matrix -----------------------------------
   // First-order Markov structure of user behavior: for every consecutive
   // pair of events by the SAME user, count (from_type → to_type) and the
@@ -2071,5 +2122,5 @@ object Analytics {
     valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
-    eventsUnpivot, eventsRfm, eventsPagerank, countMin)
+    eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma)
 }

@@ -512,4 +512,34 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(got.toSeq === cases.map(_._2))
   }
+
+  test("winnowing guarantees: shared-substring detection and window coverage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the SIGMOD'03 contract at k=8, w=4: any shared substring of
+    // length >= k+w-1 = 11 yields a shared fingerprint, and the
+    // selected set hits EVERY full window
+    val share = "zqxjkvwpyhg" // 11 distinct-ish chars
+    val docs = Seq(
+      (1L, s"aaaa bbbb $share cccc dddd eeee"),
+      (2L, s"mmmm nnnn oooo pppp $share qq rr")).toDF("doc_id", "text")
+    val dn = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " ")).as("nt"))
+      .select(col("doc_id"), col("nt"),
+        (length(col("nt")) - 7).cast("long").as("np"))
+    val np = dn.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sel = graft.queries.TextAnalysis.winnowSelected(dn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    val hashes = sel.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(hashes(1L).intersect(hashes(2L)).nonEmpty,
+      "shared 11-char substring must yield a shared fingerprint hash")
+    // coverage: every full window [j, j+3] contains a selected position
+    sel.groupBy(_._1).foreach { case (doc, rows) =>
+      val ps = rows.map(_._2).toSet
+      (1L to np(doc) - 3L).foreach { j =>
+        assert((j until j + 4).exists(ps.contains),
+          s"doc $doc window [$j, ${j + 3}] has no fingerprint")
+      }
+    }
+  }
 }
