@@ -1172,12 +1172,13 @@ object TextAnalysis {
       |      FROM g),
       |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS b,
       |               CAST(sum(weight) AS BIGINT) AS wsum FROM w),
-      |tg AS (SELECT source, avail, weight, (b * weight) // wsum AS target
+      |tg AS (SELECT source, avail, weight,
+      |         (CAST(b AS HUGEINT) * weight) // wsum AS target
       |       FROM w, tot)
       |SELECT source, avail AS avail_tokens, weight,
-      |       target AS target_tokens,
-      |       (target + avail - 1) // avail AS epochs,
-      |       (target * 1000000) // avail AS sample_ppm
+      |       CAST(target AS BIGINT) AS target_tokens,
+      |       CAST((target + avail - 1) // avail AS BIGINT) AS epochs,
+      |       CAST((target * 1000000) // avail AS BIGINT) AS sample_ppm
       |FROM tg ORDER BY source""".stripMargin) { (s, d) =>
     val g = Tables.documents(s, d)
       .select(col("source"),
@@ -1188,12 +1189,17 @@ object TextAnalysis {
       .withColumn("weight",
         floor(sqrt(col("avail").cast("double"))).cast("long"))
     val tot = g.agg(sum(col("avail")).as("b"), sum(col("weight")).as("wsum"))
+    // b·weight and target·1e6 overflow BIGINT at warehouse token counts
+    // (1e13 tokens × sqrt-weight ≈ 3e19 > 2⁶³) — widen to DECIMAL(38,0)
+    // for the products; `div` returns the integral quotient, which fits
     g.crossJoin(broadcast(tot))
-      .withColumn("target", expr("(b * weight) div wsum"))
+      .withColumn("target",
+        expr("(CAST(b AS DECIMAL(38,0)) * weight) div wsum"))
       .select(col("source"), col("avail").as("avail_tokens"), col("weight"),
         col("target").as("target_tokens"),
         expr("(target + avail - 1) div avail").as("epochs"),
-        expr("(target * 1000000) div avail").as("sample_ppm"))
+        expr("(CAST(target AS DECIMAL(38,0)) * 1000000) div avail")
+          .as("sample_ppm"))
       .orderBy(col("source"))
   }
 
