@@ -1087,9 +1087,56 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  // --- D17: winnowing-fingerprint near-dup pairs (round 10) -----------------
+  // The MATCH step of MOSS (Schleimer et al. SIGMOD'03), composing
+  // C28's fingerprint selection into pair detection: docs sharing at
+  // least HALF of the smaller side's selected fingerprints. The
+  // winnowing guarantee makes this a principled near-dup detector at
+  // ~2/(w+1) the index size of D2's full shingle inverted index —
+  // every shared run ≥ k+w−1 chars is represented, yet only selected
+  // minima enter the join. Same one-shuffle inverted-index shape as
+  // D2/D16 (pair-count aggregate on the hash-keyed join); the
+  // admission test is exact integers (shared·2 ≥ min), score one
+  // double divide. At warehouse scale the D2b DF-cap argument applies
+  // to boilerplate fingerprints unchanged.
+  val winnowPairs = QueryDef.oracled(
+    "dedup_winnow_pairs",
+    s"""WITH ${TextAnalysis.winnowCtes},
+      |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+      |cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 count(*) AS shared
+      |          FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      |  CAST(shared AS DOUBLE) / least(ca.nf, cb.nf) AS score
+      |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+      |           JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE shared * 2 >= least(ca.nf, cb.nf)
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fp = TextAnalysis.winnowSelected(TextAnalysis.winnowDn(s, d))
+      .select(col("doc_id"), col("h")).distinct()
+    val cnt = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pairs = fp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("h").as("h2")),
+        col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(cnt.select(col("doc_id").as("ka"), col("nf").as("nfa")),
+        col("doc_a") === col("ka"))
+      .join(cnt.select(col("doc_id").as("kb"), col("nf").as("nfb")),
+        col("doc_b") === col("kb"))
+      .filter(col("shared") * 2 >= least(col("nfa"), col("nfb")))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / least(col("nfa"), col("nfb"))
+          .cast("double")).as("score"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, semanticDecontaminate, curation, semanticKeepers,
-    clusterStats, containment)
+    clusterStats, containment, winnowPairs)
 }

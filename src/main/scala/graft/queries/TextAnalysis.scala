@@ -1344,6 +1344,17 @@ object TextAnalysis {
       val right = (1 to WinW - 1 - a).map(i => s"r$i > h")
       (Seq(valid) ++ left ++ right).mkString("(", " AND ", ")")
     }.mkString(" OR ")
+  /** The normalized (doc_id, nt, np) frame C28 and D17 both start
+    * from — the Scala twin of winnowCtes' `dn`.
+    */
+  private[graft] def winnowDn(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+          .as("nt"))
+      .select(col("doc_id"), col("nt"),
+        (length(col("nt")) - (WinK - 1)).cast("long").as("np"))
+
   /** Selected winnowing fingerprints (doc_id, p, h) of a normalized
     * (doc_id, nt, np) frame — the kernel seam the guarantee spec
     * drives with planted docs.
@@ -1367,9 +1378,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("p"), col("h"))
   }
 
-  val winnowing = QueryDef.oracled(
-    "text_winnowing",
-    s"""WITH d AS (SELECT doc_id,
+  /** The winnowing CTE chain up to the selected-fingerprint set —
+    * spliced by BOTH the C28 and D17 oracles so the replays cannot
+    * drift from each other.
+    */
+  private[graft] def winnowCtes: String =
+    s"""d AS (SELECT doc_id,
       |    trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS nt
       |  FROM documents),
       |dn AS (SELECT doc_id, nt, length(nt) - ${WinK - 1} AS np FROM d),
@@ -1385,7 +1399,11 @@ object TextAnalysis {
       |    lead(h, 1) OVER win AS r1, lead(h, 2) OVER win AS r2,
       |    lead(h, 3) OVER win AS r3
       |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
-      |sel AS (SELECT doc_id, p, h FROM w WHERE $winnowSelSql),
+      |sel AS (SELECT doc_id, p, h FROM w WHERE $winnowSelSql)""".stripMargin
+
+  val winnowing = QueryDef.oracled(
+    "text_winnowing",
+    s"""WITH $winnowCtes,
       |a AS (SELECT doc_id, count(*) AS n_fps,
       |    md5(string_agg(CAST(p AS VARCHAR) || ':' || CAST(h AS VARCHAR),
       |                   ',' ORDER BY p)) AS fp_digest
@@ -1394,12 +1412,7 @@ object TextAnalysis {
       |  coalesce(a.n_fps, 0) AS n_fps, a.fp_digest
       |FROM dn LEFT JOIN a USING (doc_id)
       |ORDER BY dn.doc_id""".stripMargin) { (s, d) =>
-    val dn = Tables.documents(s, d)
-      .select(col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
-          .as("nt"))
-      .select(col("doc_id"), col("nt"),
-        (length(col("nt")) - (WinK - 1)).cast("long").as("np"))
+    val dn = winnowDn(s, d)
     val agg = winnowSelected(dn).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
         md5(concat_ws(",",
