@@ -90,12 +90,26 @@ object Bench {
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    def pass(sel: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit =
+    // box-contention fingerprint: the MAX 1-min loadavg sampled across
+    // the run (start + after every pass). Our own local[32] work
+    // contributes, so the signal is "how far above our own ceiling the
+    // box sat", read relative to other runs of the same suite.
+    var loadMax = 0.0
+    def sampleLoad(): Unit =
+      try {
+        val l = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+        if (l > loadMax) loadMax = l
+      } catch { case _: Throwable => () }
+    sampleLoad()
+    def pass(sel: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
       sel.foreach { case (name, fn) =>
         val t = try timeOnce(fn) catch { case _: Throwable => -1.0 }
         samples(name) = t :: samples.getOrElse(name, Nil)
         System.gc()
       }
+      sampleLoad()
+    }
     (1 to runs).foreach(_ => pass(named))
     // heavy queries get two extra interleaved passes: noise scales
     // with runtime (an errored query stays errored — no retry credit)
@@ -127,7 +141,7 @@ object Bench {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, if (dp == 0 && math.abs(v) >= 10) 0 else math.max(dp, 1)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson,"load":${fmt(loadMax, 1)}}"""
     }
     val withStage = ("_stage" -> stageSec) +: results
     // final rung: fold the cheapest queries into one aggregate `_rest`

@@ -1068,7 +1068,14 @@ object Analytics {
   // degenerates as the part count grows — so the adapted threshold is
   // SCALE-FREE: value > 1.5× the mean part value (v·np·2 > 3·total).
   // The comparison is ALL-DECIMAL/INTEGER — no float literal, no
-  // epsilon — so the survivor set is exact in both engines.
+  // epsilon — and its operand WIDTHS are bounded so the product stays
+  // inside DECIMAL(38,4) in both engines: v/total are re-anchored at
+  // DECIMAL(27,4) (exact while a revenue sum < 10^23 — far above any
+  // real corpus) and 2·np at DECIMAL(10,0) (np < 5·10^9 parts), giving
+  // precision 27+10+1 = 38 in Spark and 27+10 = 37 in DuckDB — no
+  // DOUBLE fallback, no precision truncation near threshold ties (the
+  // naive DECIMAL(38,4)·BIGINT form exceeded max decimal width in both
+  // engines; round-10 advice).
   //
   // Scale (100 TB): the region's supplier keyset broadcasts; the
   // per-part aggregate and the (total, n_parts) scalar ride ONE
@@ -1087,7 +1094,8 @@ object Analytics {
       |SELECT l_partkey AS p_partkey, CAST(sum(rev) AS DOUBLE) AS part_value
       |FROM li, tot
       |GROUP BY l_partkey, tot.total, tot.np
-      |HAVING sum(rev) * tot.np * 2 > 3 * tot.total""".stripMargin) { (s, d) =>
+      |HAVING CAST(sum(rev) AS DECIMAL(27,4)) * CAST(2 * tot.np AS DECIMAL(10,0))
+      |     > 3 * CAST(tot.total AS DECIMAL(27,4))""".stripMargin) { (s, d) =>
     val supp = broadcast(Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"))
@@ -1102,7 +1110,9 @@ object Analytics {
     li.groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(col("rev")).as("v"))
       .crossJoin(scalars)
-      .filter(col("v") * col("np") * 2 > col("total") * 3)
+      .filter(col("v").cast("decimal(27,4)") *
+          (col("np") * 2).cast("decimal(10,0)") >
+        col("total").cast("decimal(27,4)") * 3)
       .select(col("p_partkey"), col("v").cast("double").as("part_value"))
   }
 
@@ -1552,7 +1562,7 @@ object Analytics {
           |    GROUP BY e.to_t) f ON n.t = f.t)""".stripMargin
       }.mkString(",\n", ",\n", "")
       s"""$head$iters
-        |SELECT t AS event_type, r AS rank_scaled,
+        |SELECT t AS event_type, CAST(r AS BIGINT) AS rank_scaled,
         |       CAST(r AS DOUBLE) / $PrScale AS rank
         |FROM r$PrIters ORDER BY t""".stripMargin
     }) { (s, d) =>
@@ -1764,19 +1774,18 @@ object Analytics {
   private[graft] def cmProbeRows(s: SparkSession, sketch: DataFrame): DataFrame = {
     import graft.functions.CountMinAgg
     import s.implicits._
+    // bucket columns and the least(...) chain are generated from
+    // CmDepth (round-10 advice: a hardcoded 4-tuple silently
+    // under-probed if the dial ever moved)
     val keys = (0L until 20L).map { u =>
-      val b = (0 until CmDepth).map(CountMinAgg.bucket(u, _, CmWidth))
-      (u, b(0), b(1), b(2), b(3))
+      (u, (0 until CmDepth).map(d => CountMinAgg.bucket(u, d, CmWidth)))
     }
-    keys.toDF("user_id", "b0", "b1", "b2", "b3")
+    val probes = (0 until CmDepth).map(d =>
+      expr(s"element_at(cm, element_at(bs, ${d + 1}) + 1 + ${d * CmWidth})"))
+    val estimate = if (probes.size == 1) probes.head else least(probes: _*)
+    keys.toDF("user_id", "bs")
       .crossJoin(broadcast(sketch))
-      .select(col("user_id"),
-        least(
-          expr(s"element_at(cm, b0 + 1)"),
-          expr(s"element_at(cm, b1 + 1 + $CmWidth)"),
-          expr(s"element_at(cm, b2 + 1 + ${2 * CmWidth})"),
-          expr(s"element_at(cm, b3 + 1 + ${3 * CmWidth})")).as("est_count"),
-        col("n_total"))
+      .select(col("user_id"), estimate.as("est_count"), col("n_total"))
       .orderBy(col("user_id"))
   }
 

@@ -384,7 +384,7 @@ object Multimodal {
       |        AS BIGINT) AS off
       |      FROM t)
       |SELECT stream, off // $ShardBytes AS shard_seq,
-      |  count(*) AS n_items, sum(nb) AS shard_bytes,
+      |  count(*) AS n_items, CAST(sum(nb) AS BIGINT) AS shard_bytes,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
       |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
       |      ORDER BY CAST(doc_id AS VARCHAR))) AS member_digest

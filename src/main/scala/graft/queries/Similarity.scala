@@ -1598,7 +1598,15 @@ object Similarity {
       // cut lineage each step: without this the k-th iteration re-plans
       // and re-executes the whole union/anti-join cascade of the k−1
       // before it (measured 15 s → ~2 s at sf0.1); the frames are
-      // |queries|-sized, so the eager materialization is free
+      // |queries|-sized, so the eager materialization is free.
+      // Fault-tolerance trade (round-10 advice): localCheckpoint blocks
+      // are executor-local and non-replicated — losing an executor
+      // mid-loop fails the query instead of recomputing. Accepted here
+      // because the checkpointed frames are queries-sized (tiny, fast
+      // to re-run from scratch) and the loop is seconds long; a
+      // deployment where MMR re-ranking must survive executor churn
+      // swaps these for persist(MEMORY_AND_DISK_2) or reliable
+      // checkpoint at the cost of replication writes per iteration.
       selected = selected.unionByName(next).localCheckpoint()
       remaining = remaining.join(next.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_anti").localCheckpoint()

@@ -526,6 +526,8 @@ object TextAnalysis {
     docBigramHashes(s, d).queryExecution.toRdd.count()
     lexTf(s, d).queryExecution.toRdd.count()
     lexDf(s, d).queryExecution.toRdd.count()
+    winnowSel(s, d).queryExecution.toRdd.count()
+    winnowFpSets(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
@@ -1378,6 +1380,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("p"), col("h"))
   }
 
+  /** Staged selected-fingerprint frame (doc_id, p, h) — the heaviest
+    * kernel in the text family (per-character position explode + a
+    * ±3-neighbor window over the whole corpus), shared by C28
+    * (text_winnowing) and D17 (dedup_winnow_pairs). One persisted copy
+    * per (session, dir), like `text.dbh`: at warehouse scale this is a
+    * staging table written once per corpus snapshot, and every
+    * consumer reads the ~2/(w+1)-sized selected set instead of
+    * re-running the per-char scan. The frame leaves the window
+    * clustered by doc_id, so per-doc consumers (C28's digest, D17's
+    * set aggregate) add no exchange.
+    */
+  private[graft] def winnowSel(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.winnowsel:$d") {
+      // ingest-spread before the per-char explode: the kernel cost is
+      // proportional to corpus BYTES, so it must inherit full executor
+      // width rather than the parquet file count
+      winnowSelected(Tables.spread(winnowDn(s, d), s, "doc_id"))
+    }
+
+  /** Staged per-doc fingerprint SETS (doc_id, fps array<long>, nf) —
+    * D17's join input and exact-verification sides. Distinct by
+    * construction (collect_set), so nf equals the oracle's
+    * count(DISTINCT h) and array_intersect is exact set intersection.
+    */
+  private[graft] def winnowFpSets(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.winnowfps:$d") {
+      winnowSel(s, d).groupBy(col("doc_id"))
+        .agg(collect_set(col("h")).as("fps"))
+        .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"))
+    }
+
   /** The winnowing CTE chain up to the selected-fingerprint set —
     * spliced by BOTH the C28 and D17 oracles so the replays cannot
     * drift from each other.
@@ -1413,7 +1446,7 @@ object TextAnalysis {
       |FROM dn LEFT JOIN a USING (doc_id)
       |ORDER BY dn.doc_id""".stripMargin) { (s, d) =>
     val dn = winnowDn(s, d)
-    val agg = winnowSelected(dn).groupBy(col("doc_id"))
+    val agg = winnowSel(s, d).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
         md5(concat_ws(",",
           expr("transform(array_sort(collect_list(struct(p, h)))," +

@@ -1593,11 +1593,22 @@ object Streaming {
 
   /** The A41 pipeline over an arbitrary PackDoc stream — seam for the
     * multi-batch state-carry spec.
+    *
+    * `dropCounter`: out-of-order (or duplicate) cross-batch docs
+    * violate the per-stream doc_id-ascending arrival contract and are
+    * excluded from packing; every exclusion increments this
+    * accumulator (default: a named one, visible in the Spark UI /
+    * status APIs) so contract violations are OBSERVABLE data loss, not
+    * silent (round-10 advice).
     */
   private[graft] def runCorpusPack(s: SparkSession,
-      docs: Dataset[PackDoc]): DataFrame = {
+      docs: Dataset[PackDoc],
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     import s.implicits._
     val budget = graft.queries.TextAnalysis.PackBudget
+    val dropped = dropCounter.getOrElse(
+      s.sparkContext.longAccumulator("graft.corpus_pack.dropped_docs"))
     val rows = docs.groupByKey(_.stream)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (stream: Int, it: Iterator[PackDoc], state: GroupState[PackState]) => {
@@ -1615,7 +1626,7 @@ object Streaming {
               out += PackRow(stream, doc.doc_id, doc.toks, off,
                 firstBin, lastBin, n)
               st = PackState(off + doc.toks, doc.doc_id)
-            } // else: out-of-order cross-batch doc — dropped (header note)
+            } else dropped.add(1) // arrival-contract violation — counted, see Scaladoc
           }
           state.update(st)
           out.iterator

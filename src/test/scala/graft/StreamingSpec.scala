@@ -539,6 +539,29 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_corpus_pack: out-of-order docs are counted, not silently lost") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch 2 replays doc 5 (duplicate) and delivers doc 3 late (both
+    // violate the per-stream ascending contract on stream 0); the
+    // accumulator must count exactly those two and the packed output
+    // must contain each in-order doc once
+    val b1 = Seq((1L, 10L, 0), (5L, 10L, 0)).toDF("doc_id", "toks", "stream")
+    val b2 = Seq((5L, 10L, 0), (3L, 10L, 0), (7L, 10L, 0))
+      .toDF("doc_id", "toks", "stream")
+    val srcDir = plantedSource(Seq(b1, b2))
+    val schema = spark.read.parquet(s"$srcDir/batch_0.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val acc = spark.sparkContext.longAccumulator("test.pack.dropped")
+    val got = graft.streaming.Streaming.runCorpusPack(spark,
+      rows.as[graft.streaming.PackDoc], Some(acc))
+      .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got == Seq(1L, 5L, 7L), s"packed docs: $got")
+    assert(acc.value == 2L, s"dropped-doc count ${acc.value} != 2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_count_min: linear sketch state is batch-boundary-invariant") {
     import org.apache.spark.sql.functions._
     // 3 triggers; the linearity contract: counters after the drain are

@@ -68,6 +68,67 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("DF-capped containment path equals the uncapped output") {
+    val exact = SparkEntry.queries("dedup_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SparkEntry.queries("dedup_containment_capped")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact)
+  }
+
+  test("winnow-pairs DF cap drops a planted 150-doc boilerplate block, output exact") {
+    // Synthetic corpus in a temp dir (the query reads <dir>/documents.parquet):
+    //  - 150 docs sharing ONE long boilerplate block (its interior
+    //    selected fingerprints have df≈150 > WinnowMaxDf=100 → capped
+    //    out of the index — the O(150²) hot-key pairs never form)
+    //  - 2 near-dup docs sharing long UNIQUE content (df=2 fps → kept)
+    // Expected: output equals the exact uncapped replay — the dup pair
+    // survives with EXACT shared counts (verification uses full sets,
+    // including any hot fps), the boilerplate-only pairs fail the
+    // shared*2 >= min(nf) admission in both paths.
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    def prose(words: Int): String =
+      Seq.fill(words)(("a" + rng.alphanumeric.filter(_.isLetter).take(6)
+        .mkString).toLowerCase).mkString(" ")
+    val boiler = "licensed under the apache software foundation terms " * 8
+    val shared = prose(120)
+    val docs =
+      (0 until 150).map(i => (i.toLong, s"${prose(80)} $boiler ${prose(80)}")) ++
+      Seq((1000L, s"$shared ${prose(8)}"), (1001L, s"$shared ${prose(9)}"))
+    val dir = java.nio.file.Files.createTempDirectory("winnowcap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      // the cap must actually bite: the staged index loses the hot fps
+      val fpAll = queries.TextAnalysis.winnowFpSets(spark, dir)
+        .select(col("doc_id"), explode(col("fps")).as("h"))
+      val dropped = fpAll.count() - queries.Dedup.winnowIdx(spark, dir).count()
+      assert(dropped > 0, "planted boilerplate produced no super-cap fingerprints")
+      // exact uncapped replay, driver-side
+      val sel = queries.TextAnalysis.winnowSel(spark, dir)
+        .select(col("doc_id"), col("h").cast("string").as("h"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ids = byDoc.keys.toSeq.sorted
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        inter = (byDoc(a) & byDoc(b)).size
+        if inter * 2 >= math.min(byDoc(a).size, byDoc(b).size)
+      } yield (a, b) -> inter.toLong).toMap
+      val got = SparkEntry.queries("dedup_winnow_pairs")(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Long]("shared")).toMap
+      assert(got == expected,
+        s"capped winnow pairs diverge: got ${got.size}, expected ${expected.size}")
+      assert(got.contains((1000L, 1001L)), "planted near-dup pair missing")
+    } finally {
+      FrameCache.evict(spark) // drop the temp-dir staged frames
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("repeated capped-jaccard runs hold one shared index copy (no pile-up)") {
     SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, sf).count()
     val rdds1 = spark.sparkContext.getPersistentRDDs.size

@@ -63,7 +63,22 @@ def main(sfdir: str, outdir: str) -> int:
         ok = True
         for c in got.columns:
             g, w = got[c].to_numpy(), want[c].to_numpy()
-            if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            # Driver-strict dtype check: the driver hashes values without
+            # coercion, so a DuckDB HUGEINT (sum() over BIGINT) that pandas
+            # lands as float64 against Spark's int64 hash-FAILs there even
+            # when the float compare below would pass. Mirror that: an
+            # int-vs-float dtype split is a failure (fix: CAST the oracle
+            # aggregate to BIGINT). Round-10 postmortem item #5.
+            g_int = np.issubdtype(g.dtype, np.integer)
+            w_int = np.issubdtype(w.dtype, np.integer)
+            g_flt = np.issubdtype(g.dtype, np.floating)
+            w_flt = np.issubdtype(w.dtype, np.floating)
+            if (g_int and w_flt) or (g_flt and w_int):
+                print(f"FAIL {name}.{c}: dtype {g.dtype} vs {w.dtype} "
+                      f"(HUGEINT->float64 coercion? CAST the oracle to BIGINT)")
+                ok = False
+                continue
+            if g_flt or w_flt:
                 g = g.astype(float); w = w.astype(float)
                 both_nan = np.isnan(g) & np.isnan(w)
                 eq = (g == w) | both_nan

@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
-# CI-shaped round gate: the three checks a round must pass before it
+# CI-shaped round gate: the four checks a round must pass before it
 # closes. Mirrors the driver's per-round pipeline:
 #   1. sbt test                 (ScalaTest suite green)
 #   2. Verify + DuckDB compare  (every oracle-backed query bit-exact at sf0.01)
 #   3. Bench                    (record prints, parses as JSON, < 1920 chars)
+#   4. No stowaways             (every registered query has a SURVEY §2 row
+#                                and a committed BENCH_local.json entry)
 # Usage: tools/gate.sh   (from the repo root; ~10 min)
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -52,6 +54,31 @@ done
 if ! python3 tools/bench_refresh.py /tmp/gate_bench_1.json /tmp/gate_bench_2.json; then
   echo "GATE FAIL: bench pair refused (variance or degraded box) — BENCH_local.json NOT refreshed"
   fail=1
+fi
+
+echo "=== gate 4/4: no stowaway queries (round-10 D17 episode) ==="
+# A query registered in SparkEntry.queries after the bench refresh (or
+# without a SURVEY §2 row) ships un-audited — round 10's
+# dedup_winnow_pairs landed 4 minutes after the gated refresh at 27.8 s
+# unreviewed. The fresh bench run's full-precision artifact lists every
+# registered key; each must appear in SURVEY.md (backtick-quoted, the
+# §2 convention) and in the COMMITTED BENCH_local.json.
+if ! python3 - <<'EOF'
+import json, sys
+keys = [k for k in json.load(open('/tmp/gate_bench_1.json'))['queries']
+        if not k.startswith('_')]
+survey = open('SURVEY.md').read()
+committed = set(json.load(open('BENCH_local.json'))['queries'])
+missing_doc = [k for k in keys if f'`{k}`' not in survey]
+missing_bench = [k for k in keys if k not in committed]
+if missing_doc:
+    print('stowaway (no SURVEY row):', ', '.join(missing_doc))
+if missing_bench:
+    print('stowaway (not in committed BENCH_local.json):', ', '.join(missing_bench))
+sys.exit(1 if (missing_doc or missing_bench) else 0)
+EOF
+then
+  echo "GATE FAIL: stowaway queries"; fail=1
 fi
 
 if [ "$fail" -ne 0 ]; then echo "GATE: FAIL"; exit 1; fi
