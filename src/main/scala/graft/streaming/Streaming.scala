@@ -473,6 +473,54 @@ object Streaming {
     runToMemory(s, agg, OutputMode.Complete, needsNoDataBatch = false)
   }
 
+  // --- A37b: the sliding rollup in APPEND mode (round 11) -------------------
+  // The live-deployment form of A37: complete mode re-emits the whole
+  // result table every trigger — fine as a bounded-replay oracle
+  // anchor, wrong as a production sink contract (the round-10 caveat
+  // on A33/A36/A37/A40). Here each (window, type) row is emitted
+  // EXACTLY ONCE, when the 1-hour watermark passes the window end and
+  // the state store evicts it — the A20/A26 closed-window pattern
+  // applied to a time window. The oracle is the batch sliding rollup
+  // restricted to CLOSED windows: win_end ≤ ms-floored max event time
+  // minus the 1 h delay (Spark tracks watermarks in milliseconds while
+  // event time keeps micros — the A20 flooring caveat, replayed here
+  // as integer epoch arithmetic). The windows still open at log end
+  // are the honest streaming/batch semantic difference; A37 (complete
+  // mode, same aggregate) remains the anchor that covers them.
+  /** The A37b pipeline over an arbitrary event stream — seam for the
+    * multi-batch watermark-progression spec.
+    */
+  private[graft] def runSlidingRollupAppend(s: SparkSession,
+      rows: DataFrame): DataFrame = {
+    val agg = rows
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "3 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    // needsNoDataBatch (default true): the final empty micro-batch
+    // advances the watermark past the last data so the trailing closed
+    // windows are flushed before the query stops
+    runToMemory(s, agg, OutputMode.Append)
+  }
+
+  val slidingRollupAppend = QueryDef.oracled(
+    "stream_sliding_rollup_append",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS BIGINT)) AS win_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events)
+      |SELECT win_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w, logend
+      |WHERE epoch_us(win_start + INTERVAL 3 HOUR)
+      |      <= e // 1000 * 1000 - 3600000000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    runSlidingRollupAppend(s, eventStream(s, d))
+  }
+
   // --- A12: leader election as a live state machine -----------------------
   // The CAS acquire/renew/expire cycle of
   // CassandraLeaderElection.scala:46-170 as flatMapGroupsWithState per
@@ -1639,5 +1687,5 @@ object Streaming {
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
-    slidingRollup, scd2Feed, countMinFeed, packFeed)
+    slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed)
 }

@@ -562,6 +562,36 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_sliding_rollup_append emits each closed window once across MULTIPLE batches") {
+    import org.apache.spark.sql.functions._
+    // 3 time-ordered triggers: the watermark advances batch-by-batch,
+    // so early windows close (and must emit EXACTLY once) while later
+    // batches are still arriving; trailing still-open windows must NOT
+    // appear. Expected = the batch sliding window restricted to
+    // win_end <= ms-floored max event time - 1 h (the A20 flooring).
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("value")), 3, Seq(col("ts")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val rows = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val gotRows = graft.streaming.Streaming.runSlidingRollupAppend(spark, rows)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value")))
+    val got = gotRows.toSet
+    assert(gotRows.length == got.size, "a closed window was emitted twice")
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val horizonUs = maxUs / 1000 * 1000 - 3600000000L
+    val batch = SparkEntry.queries("events_sliding_window")(spark, sf)
+      .filter(unix_micros(col("win_start")) + 3L * 3600000000L <= horizonUs)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toSet
+    assert(got === batch && got.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
   test("stream_count_min: linear sketch state is batch-boundary-invariant") {
     import org.apache.spark.sql.functions._
     // 3 triggers; the linearity contract: counters after the drain are
