@@ -1851,25 +1851,11 @@ object Analytics {
   // into a second tiny (type, hour) aggregate — the corpus is touched
   // once.
   private val EwmaLookback = 20
-  val eventsEwma = QueryDef.oracled(
-    "events_ewma",
-    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-      |             count(*) AS cnt
-      |           FROM events GROUP BY 1, 2),
-      |e AS (SELECT event_type,
-      |        epoch_us(hour) + CAST(k AS BIGINT) * 3600000000 AS hour_us,
-      |        cnt // (CAST(1 AS BIGINT) << (CAST(k AS BIGINT) + 1)) AS c
-      |      FROM h, unnest(range(0, $EwmaLookback)) AS u(k)),
-      |w AS (SELECT event_type, hour_us, CAST(sum(c) AS BIGINT) AS ewma
-      |      FROM e GROUP BY 1, 2)
-      |SELECT h.event_type, h.hour, h.cnt, w.ewma,
-      |       h.cnt > 2 * w.ewma AS flagged
-      |FROM h JOIN w ON h.event_type = w.event_type
-      |              AND epoch_us(h.hour) = w.hour_us
-      |ORDER BY h.event_type, h.hour""".stripMargin) { (s, d) =>
-    val h = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("cnt"))
+  /** The EWMA scoring stage over an `h(event_type, hour, cnt)` hourly
+    * frame — shared verbatim by B52 and its streaming twin (A42,
+    * [[graft.streaming.Streaming]]) so the two cannot drift.
+    */
+  private[graft] def ewmaStage(h: DataFrame): DataFrame = {
     val e = h
       .select(col("event_type").as("et2"), unix_micros(col("hour")).as("h_us"),
         col("cnt"), explode(expr(s"sequence(0L, ${EwmaLookback - 1}L)")).as("k"))
@@ -1883,6 +1869,71 @@ object Analytics {
       .select(col("event_type"), col("hour"), col("cnt"), col("ewma"),
         (col("cnt") > col("ewma") * 2).as("flagged"))
       .orderBy(col("event_type"), col("hour"))
+  }
+  /** The oracle tail matching [[ewmaStage]] — expects an `h(event_type,
+    * hour, cnt)` CTE upstream; spliced by B52 and A42.
+    */
+  private[graft] val ewmaTailSql: String =
+    s"""e AS (SELECT event_type,
+      |        epoch_us(hour) + CAST(k AS BIGINT) * 3600000000 AS hour_us,
+      |        cnt // (CAST(1 AS BIGINT) << (CAST(k AS BIGINT) + 1)) AS c
+      |      FROM h, unnest(range(0, $EwmaLookback)) AS u(k)),
+      |w AS (SELECT event_type, hour_us, CAST(sum(c) AS BIGINT) AS ewma
+      |      FROM e GROUP BY 1, 2)
+      |SELECT h.event_type, h.hour, h.cnt, w.ewma,
+      |       h.cnt > 2 * w.ewma AS flagged
+      |FROM h JOIN w ON h.event_type = w.event_type
+      |              AND epoch_us(h.hour) = w.hour_us
+      |ORDER BY h.event_type, h.hour""".stripMargin
+
+  val eventsEwma = QueryDef.oracled(
+    "events_ewma",
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |             count(*) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |$ewmaTailSql""".stripMargin) { (s, d) =>
+    ewmaStage(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  // --- B53: hot-key skew profile (round 11) ---------------------------------
+  // The diagnostic every shuffle-sizing decision in this library leans
+  // on (D2b's DF cap, the AQE skew-join spec, salting thresholds),
+  // turned into an operator: the per-key row-count distribution of the
+  // event stream summarized as a log2 histogram — bucket b holds keys
+  // with 2^(b−1) ≤ cnt < 2^b, i.e. b = length(bin(cnt)), an INTEGER
+  // bit-length, not a float log (exact at every power-of-two boundary
+  // in both engines). Per bucket: key count, row mass, min/max count,
+  // and the bucket's share of all rows. A fat high bucket = the
+  // skew-join/salting signal; share is the one double divide.
+  //
+  // Scale (100 TB): the per-key count is ONE map-side-combinable
+  // groupBy on user_id (the aggregate any engine must pay to know its
+  // key distribution); the histogram collapses to ≤ 64 rows with
+  // map-side partials, and the share window runs over those 64 rows —
+  // free. This is the profile you run BEFORE choosing cap/salt dials,
+  // so it must not itself blow up on the skew it measures — and a
+  // groupBy count cannot.
+  val eventsKeySkew = QueryDef.oracled(
+    "events_key_skew",
+    """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      |h AS (SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket,
+      |             count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |             min(cnt) AS min_cnt, max(cnt) AS max_cnt
+      |      FROM c GROUP BY 1)
+      |SELECT bucket, n_keys, n_rows, min_cnt, max_cnt,
+      |       CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS BIGINT)
+      |         AS share
+      |FROM h ORDER BY bucket""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    c.groupBy(length(bin(col("cnt"))).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
+      .withColumn("share", col("n_rows").cast("double")
+        / sum(col("n_rows")).over(Window.partitionBy()))
+      .orderBy(col("bucket"))
   }
 
   // --- B37: event-type transition matrix -----------------------------------
@@ -2131,5 +2182,6 @@ object Analytics {
     valuePercentiles, cohortMatrix,
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
-    eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma)
+    eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
+    eventsKeySkew)
 }

@@ -915,6 +915,34 @@ object Streaming {
     graft.queries.Analytics.rollingAnomalies(closedHourly)
   }
 
+  // --- A42: streaming EWMA spike feed (round 11) ----------------------------
+  // B52 under the streaming contract, by the A21 split: the stream
+  // emits each hourly count once its window is watermark-closed
+  // (append mode), and the shifted-integer EWMA expansion — α = 1/2
+  // decay as exact floor divisions by powers of two, no float
+  // accumulation — runs as the downstream stage over the closed feed
+  // (Analytics.ewmaStage verbatim). The oracle restricts B52's hourly
+  // CTE to closed hours: the EWMA looks only BACKWARD (hour − k), so
+  // dropping the still-open tail changes no surviving row — A21's
+  // restriction argument, reused.
+  val ewmaFeed = QueryDef.oracled(
+    "stream_ewma",
+    s"""WITH h0 AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |              count(*) AS cnt
+      |            FROM events GROUP BY 1, 2),
+      |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |h AS (SELECT h0.* FROM h0, logend
+      |      WHERE epoch_us(hour) + 3600000000 <= e),
+      |${graft.queries.Analytics.ewmaTailSql}""".stripMargin) { (s, d) =>
+    val closedHourly = runToMemory(s,
+      eventStream(s, d).withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("window.start").as("hour"), col("cnt")),
+      OutputMode.Append)
+    graft.queries.Analytics.ewmaStage(closedHourly)
+  }
+
   // --- A20: streaming gap sessions via native session_window ---------------
   // B10b's operator under the real streaming contract: append mode
   // emits a session only once the watermark proves it closed (no event
@@ -1687,5 +1715,6 @@ object Streaming {
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
-    slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed)
+    slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
+    ewmaFeed)
 }
