@@ -1459,10 +1459,99 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C29: BPE merge learning (round 11) -----------------------------------
+  // Tokenizer INDUCTION, the step every LLM data pipeline runs before
+  // token counting means anything: learn the first k byte-pair-encoding
+  // merges (Sennrich et al. 2016) from the corpus. Classic two-level
+  // shape: the corpus is touched ONCE to build the word-frequency
+  // table (one map-side-combinable shuffle — words repeat massively,
+  // so partial aggregation collapses the stream); the k merge
+  // iterations then run entirely on that vocab staging table —
+  // B44/pagerank's aggregate-then-iterate, with localCheckpoint
+  // lineage cuts per sweep. Per iteration: adjacent-pair counts
+  // weighted by word frequency (sliding window over the symbol
+  // sequence), argmax via TakeOrdered top-1 (cnt DESC, pair ASC
+  // tie-break — NO global sort), then the merge applied map-only
+  // through a broadcast 1-row cross join.
+  //
+  // Merge semantics, pinned cross-engine: the winning pair (a, b) is
+  // merged by TWO passes of plain left-to-right non-overlapping
+  // string replace of " a b " with " ab " over the space-delimited
+  // symbol string. One pass misses occurrences that share their
+  // leading space with a just-consumed match (" a b a b " → the
+  // second pair survives); those misses are provably isolated, so the
+  // second pass catches every remaining adjacency. For odd runs of a
+  // SAME-symbol pair ≥ 5 the grouping can differ from the canonical
+  // leftmost-greedy fold ("aaaaaaa" → aa·a·aa·aa vs greedy
+  // aa·aa·aa·a — same merged-token multiset, different positions);
+  // both engines execute the identical double-replace, so the
+  // operator is deterministic and oracled — the deviation is
+  // documented, not hidden.
+  private val BpeSteps = 8
+  val bpeMerges = QueryDef.oracled(
+    "text_bpe_merges", {
+      val head =
+        """WITH toks AS (
+          |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          |  FROM documents),
+          |v0 AS (SELECT array_to_string(regexp_extract_all(tok, '.'), ' ') AS w,
+          |              count(*) AS freq
+          |       FROM toks GROUP BY 1)""".stripMargin
+      val iters = (1 to BpeSteps).map { i =>
+        s"""p$i AS (SELECT l[j] AS a, l[j + 1] AS b,
+          |          CAST(sum(freq) AS BIGINT) AS cnt
+          |        FROM (SELECT string_split(w, ' ') AS l, freq FROM v${i - 1}) t,
+          |             unnest(range(1, len(l))) u(j)
+          |        GROUP BY 1, 2),
+          |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+          |v$i AS (SELECT trim(replace(replace(' ' || w || ' ',
+          |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+          |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
+          |               AS w, freq
+          |        FROM v${i - 1} CROSS JOIN t$i)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val union = (1 to BpeSteps).map { i =>
+        s"SELECT CAST($i AS INTEGER) AS step, a AS sym_a, b AS sym_b, " +
+          s"a || b AS merged, cnt AS pair_count FROM t$i"
+      }.mkString("\nUNION ALL ")
+      s"$head$iters\n$union\nORDER BY step"
+    }) { (s, d) =>
+    var v = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(explode(words(col("text"))).as("tok"))
+      .groupBy(concat_ws(" ",
+        regexp_extract_all(col("tok"), lit("."), lit(0))).as("w"))
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // vocab staging table; iterations never re-scan docs
+    val steps = (1 to BpeSteps).map { i =>
+      val pairs = v
+        .select(col("freq"), split(col("w"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      // top-1 with the deterministic tie-break — TakeOrderedAndProject,
+      // not a global sort; localCheckpoint so the 1-row frame is
+      // materialized once for both the output and the merge join
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).localCheckpoint()
+      v = v.crossJoin(broadcast(top))
+        .select(trim(expr(
+          "replace(replace(concat(' ', w, ' '), concat(' ', a, ' ', b, ' '), " +
+            "concat(' ', a, b, ' ')), concat(' ', a, ' ', b, ' '), " +
+            "concat(' ', a, b, ' '))")).as("w"), col("freq"))
+        .localCheckpoint() // cut the per-iteration plan growth (B44's idiom)
+      top.select(lit(i).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
+    }
+    steps.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
-      qualityBuckets, mixture, diversity, delta, winnowing)
+      qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges)
 }

@@ -574,6 +574,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.toSeq === cases.map(_._2))
   }
 
+  test("text_bpe_merges equals a driver-side vocab replay (8 steps)") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase))
+    var vocab: Seq[(String, Long)] = toks.groupBy(identity).toSeq
+      .map { case (t, l) => (t.map(_.toString).mkString(" "), l.size.toLong) }
+    val expected = (1 to 8).map { i =>
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (w, f) =>
+        w.split(" ").sliding(2).filter(_.length == 2)
+          .foreach(p => pairCnt((p(0), p(1))) += f)
+      }
+      val ((a, b), cnt) = pairCnt.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      vocab = vocab.map { case (w, f) =>
+        ((" " + w + " ").replace(pat, rep).replace(pat, rep).trim, f)
+      }
+      (i, a, b, a + b, cnt)
+    }
+    val got = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
+  }
+
   test("winnowing guarantees: shared-substring detection and window coverage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
