@@ -528,6 +528,7 @@ object TextAnalysis {
     lexDf(s, d).queryExecution.toRdd.count()
     winnowSel(s, d).queryExecution.toRdd.count()
     winnowFpSets(s, d).queryExecution.toRdd.count()
+    bpeMergesFrame(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
@@ -1488,64 +1489,165 @@ object TextAnalysis {
   // operator is deterministic and oracled — the deviation is
   // documented, not hidden.
   private val BpeSteps = 8
+  /** The learning-chain CTEs (v0 → t1/v1 → … → t_k/v_k) shared by the
+    * C29 and C30 oracles — terminal CTEs are t$i (winning pair per
+    * step) and v$BpeSteps (fully merged vocab).
+    */
+  private def bpeCtes: String = {
+    val head =
+      """toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |v0 AS (SELECT array_to_string(regexp_extract_all(tok, '.'), ' ') AS w,
+        |              count(*) AS freq
+        |       FROM toks GROUP BY 1)""".stripMargin
+    val iters = (1 to BpeSteps).map { i =>
+      s"""p$i AS (SELECT l[j] AS a, l[j + 1] AS b,
+        |          CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM (SELECT string_split(w, ' ') AS l, freq FROM v${i - 1}) t,
+        |             unnest(range(1, len(l))) u(j)
+        |        GROUP BY 1, 2),
+        |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |v$i AS (SELECT trim(replace(replace(' ' || w || ' ',
+        |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+        |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
+        |               AS w, freq
+        |        FROM v${i - 1} CROSS JOIN t$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + iters
+  }
+
+  /** The staged merge table (step, sym_a, sym_b, merged, pair_count) —
+    * the learning loop runs ONCE per (session, dir) and both C29 (the
+    * table itself) and C30 (the tokenizer that applies it) read the
+    * 8-row persisted copy. At warehouse scale the learned merges are a
+    * published artifact, not something recomputed per consumer.
+    */
+  private[graft] def bpeMergesFrame(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.bpemerges:$d") {
+      var v = Tables.spread(Tables.documents(s, d), s, "doc_id")
+        .select(explode(words(col("text"))).as("tok"))
+        .groupBy(concat_ws(" ",
+          regexp_extract_all(col("tok"), lit("."), lit(0))).as("w"))
+        .agg(count(lit(1)).as("freq"))
+        .localCheckpoint() // vocab staging table; iterations never re-scan docs
+      val steps = (1 to BpeSteps).map { i =>
+        val pairs = v
+          .select(col("freq"), split(col("w"), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        // top-1 with the deterministic tie-break — TakeOrderedAndProject,
+        // not a global sort; localCheckpoint so the 1-row frame is
+        // materialized once for both the output and the merge join
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).localCheckpoint()
+        v = v.crossJoin(broadcast(top))
+          .select(trim(expr(
+            "replace(replace(concat(' ', w, ' '), concat(' ', a, ' ', b, ' '), " +
+              "concat(' ', a, b, ' ')), concat(' ', a, ' ', b, ' '), " +
+              "concat(' ', a, b, ' '))")).as("w"), col("freq"))
+          .localCheckpoint() // cut the per-iteration plan growth (B44's idiom)
+        top.select(lit(i).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
+      }
+      steps.reduce(_ unionByName _)
+    }
+
   val bpeMerges = QueryDef.oracled(
     "text_bpe_merges", {
-      val head =
-        """WITH toks AS (
-          |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-          |  FROM documents),
-          |v0 AS (SELECT array_to_string(regexp_extract_all(tok, '.'), ' ') AS w,
-          |              count(*) AS freq
-          |       FROM toks GROUP BY 1)""".stripMargin
-      val iters = (1 to BpeSteps).map { i =>
-        s"""p$i AS (SELECT l[j] AS a, l[j + 1] AS b,
-          |          CAST(sum(freq) AS BIGINT) AS cnt
-          |        FROM (SELECT string_split(w, ' ') AS l, freq FROM v${i - 1}) t,
-          |             unnest(range(1, len(l))) u(j)
-          |        GROUP BY 1, 2),
-          |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-          |v$i AS (SELECT trim(replace(replace(' ' || w || ' ',
-          |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-          |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
-          |               AS w, freq
-          |        FROM v${i - 1} CROSS JOIN t$i)""".stripMargin
-      }.mkString(",\n", ",\n", "")
       val union = (1 to BpeSteps).map { i =>
         s"SELECT CAST($i AS INTEGER) AS step, a AS sym_a, b AS sym_b, " +
           s"a || b AS merged, cnt AS pair_count FROM t$i"
       }.mkString("\nUNION ALL ")
-      s"$head$iters\n$union\nORDER BY step"
+      s"WITH $bpeCtes\n$union\nORDER BY step"
     }) { (s, d) =>
-    var v = Tables.spread(Tables.documents(s, d), s, "doc_id")
-      .select(explode(words(col("text"))).as("tok"))
-      .groupBy(concat_ws(" ",
-        regexp_extract_all(col("tok"), lit("."), lit(0))).as("w"))
-      .agg(count(lit(1)).as("freq"))
-      .localCheckpoint() // vocab staging table; iterations never re-scan docs
-    val steps = (1 to BpeSteps).map { i =>
-      val pairs = v
-        .select(col("freq"), split(col("w"), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-      // top-1 with the deterministic tie-break — TakeOrderedAndProject,
-      // not a global sort; localCheckpoint so the 1-row frame is
-      // materialized once for both the output and the merge join
-      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).localCheckpoint()
-      v = v.crossJoin(broadcast(top))
-        .select(trim(expr(
-          "replace(replace(concat(' ', w, ' '), concat(' ', a, ' ', b, ' '), " +
-            "concat(' ', a, b, ' ')), concat(' ', a, ' ', b, ' '), " +
-            "concat(' ', a, b, ' '))")).as("w"), col("freq"))
-        .localCheckpoint() // cut the per-iteration plan growth (B44's idiom)
-      top.select(lit(i).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
-        concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
+    bpeMergesFrame(s, d).orderBy(col("step"))
+  }
+
+  // --- C30: BPE tokenization under the learned merges (round 11) ------------
+  // C29's consumer — the tokenizer itself: every corpus word encoded by
+  // applying the 8 learned merges in order (each the same two-pass
+  // replace the learner used, so training and inference tokenize
+  // identically), rolled up per document: word count, character mass,
+  // BPE token count, and chars-per-token compression — the metric that
+  // tells you whether the induced vocab actually compresses the corpus
+  // (and the per-doc token budget C10's whitespace proxy approximates).
+  //
+  // Scale (100 TB): the merges are a STAGED 8-row artifact; collecting
+  // them to the driver is a bounded read (8 rows — the codebook-collect
+  // class, documented), which lets the whole merge cascade compile into
+  // ONE codegen'd expression chain over the DISTINCT token dictionary —
+  // encode once per distinct word, not per occurrence — then a hash
+  // join back to the per-doc word stream and a map-side-combinable
+  // per-doc rollup. Corpus touched once; no iteration at inference.
+  val bpeTokens = QueryDef.oracled(
+    "text_bpe_tokens", {
+      val aliased = (1 to BpeSteps).map(i =>
+        s"(SELECT a AS a$i, b AS b$i FROM t$i) x$i").mkString(", ")
+      val enc = (1 to BpeSteps).foldLeft(
+        "' ' || array_to_string(regexp_extract_all(tok, '.'), ' ') || ' '") {
+        (e, i) =>
+          s"""replace(replace($e,
+            | ' ' || a$i || ' ' || b$i || ' ', ' ' || a$i || b$i || ' '),
+            | ' ' || a$i || ' ' || b$i || ' ', ' ' || a$i || b$i || ' ')""".stripMargin
+      }
+      s"""WITH $bpeCtes,
+        |dw AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |       FROM documents),
+        |dict AS (SELECT DISTINCT tok FROM dw),
+        |enc AS (SELECT tok,
+        |          CAST(len(string_split(trim($enc), ' ')) AS BIGINT) AS n_syms,
+        |          CAST(length(tok) AS BIGINT) AS n_chars_tok
+        |        FROM dict, $aliased),
+        |agg AS (SELECT dw.doc_id, count(*) AS n_words,
+        |          CAST(sum(n_chars_tok) AS BIGINT) AS n_chars,
+        |          CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+        |        FROM dw JOIN enc USING (tok) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+        |  coalesce(agg.n_chars, 0) AS n_chars,
+        |  coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |  CASE WHEN agg.n_bpe_tokens > 0
+        |       THEN CAST(agg.n_chars AS DOUBLE) / agg.n_bpe_tokens
+        |  END AS compression
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+    // bounded driver read of the staged 8-row merge table (the
+    // Similarity codebook-collect class) — compiles the cascade into
+    // one literal expression chain, no per-row join against the merges
+    val merges = bpeMergesFrame(s, d).orderBy(col("step"))
+      .select(col("sym_a"), col("sym_b")).collect()
+    val enc = merges.foldLeft(
+      "concat(' ', concat_ws(' ', regexp_extract_all(tok, '.', 0)), ' ')") {
+      (e, r) =>
+        val (a, b) = (r.getString(0), r.getString(1)) // [a-z0-9]+ only — safe literals
+        s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
     }
-    steps.reduce(_ unionByName _).orderBy(col("step"))
+    val dw = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val dict = dw.select(col("tok")).distinct()
+      .select(col("tok"),
+        size(split(trim(expr(enc)), " ")).cast("long").as("n_syms"),
+        length(col("tok")).cast("long").as("n_chars_tok"))
+    val agg = dw.join(dict, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars_tok")).as("n_chars"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("compression"))
+      .orderBy(col("doc_id"))
   }
 
   def all: Seq[QueryDef] =
@@ -1553,5 +1655,6 @@ object TextAnalysis {
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
-      qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges)
+      qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
+      bpeTokens)
 }

@@ -600,6 +600,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got == expected, s"merge tables diverge:\n$got\nvs\n$expected")
   }
 
+  test("text_bpe_tokens equals a driver-side encode replay") {
+    // merges come from the engine (pinned by the C29 replay test);
+    // this test replays the ENCODER — the same padded double-replace
+    // cascade — over every document and compares the per-doc rollup
+    val merges = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(tok: String): Long = {
+      var w = " " + tok.map(_.toString).mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        val (p, r) = (s" $a $b ", s" $a$b ")
+        w = w.replace(p, r).replace(p, r)
+      }
+      w.trim.split(" ").length.toLong
+    }
+    val expected = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map { r =>
+        val toks = "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq
+        r.getLong(0) -> ((toks.size.toLong,
+          toks.map(_.length).sum.toLong, toks.map(encode).sum))
+      }.toMap
+    val got = SparkEntry.queries("text_bpe_tokens")(spark, sf).collect()
+      .map { r =>
+        val nb = r.getAs[Long]("n_bpe_tokens")
+        if (nb > 0) // compression is the one derived double
+          assert(r.getAs[Double]("compression") ==
+            r.getAs[Long]("n_chars").toDouble / nb)
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_chars"), nb))
+      }.toMap
+    assert(got == expected, s"BPE token rollups diverge (${got.size} docs)")
+  }
+
   test("winnowing guarantees: shared-substring detection and window coverage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
