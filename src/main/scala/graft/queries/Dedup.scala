@@ -953,6 +953,73 @@ object Dedup {
         col("inter"), col("jaccard"), col("containment"))
   }
 
+  // --- D18: source distribution divergence (round 11) ------------------------
+  // D11's distributional sibling: D11 asks "do these sources share
+  // CONTENT" (shingle-set overlap — mirrors, re-crawls); D18 asks "do
+  // they share a LANGUAGE DISTRIBUTION" — total-variation distance
+  // between per-source unigram distributions, the mixture-design
+  // signal (C25) for whether two sources are interchangeable or
+  // complementary. TVD = ½ Σ_t |p_a(t) − p_b(t)| computed EXACTLY in
+  // the house style: the numerator Σ|c_a·N_b − c_b·N_a| is integer
+  // arithmetic (DECIMAL(38,0) ≡ HUGEINT accumulation, no float sums),
+  // folded over COMMON tokens only via the identity
+  //   Σ_all = 2·N_a·N_b + Σ_common(|c_a·N_b − c_b·N_a| − c_a·N_b − c_b·N_a)
+  // (tokens private to one source contribute their full mass, which
+  // the 2·N_a·N_b term supplies) — so the join only ever touches
+  // tokens both sources contain; tvd is ONE double divide at the end.
+  //
+  // Scale (100 TB): per-source unigram counts = the word-count shuffle
+  // (map-side combinable); the pair join fans each token out by at most
+  // |sources|² (sources are few — no df² hot keys possible); totals
+  // broadcast. Output O(|sources|²) rows.
+  val sourceDivergence = QueryDef.oracled(
+    "source_divergence",
+    """WITH dw AS (SELECT source,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |       FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM dw GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |j AS (SELECT a.source AS source_a, b.source AS source_b,
+      |        count(*) AS n_common,
+      |        any_value(ta.n) AS na, any_value(tb.n) AS nb,
+      |        sum(abs(CAST(a.c AS HUGEINT) * tb.n - CAST(b.c AS HUGEINT) * ta.n)
+      |            - CAST(a.c AS HUGEINT) * tb.n
+      |            - CAST(b.c AS HUGEINT) * ta.n) AS sc
+      |      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      |           JOIN t ta ON ta.source = a.source
+      |           JOIN t tb ON tb.source = b.source
+      |      GROUP BY 1, 2)
+      |SELECT source_a, source_b, n_common, na AS n_a, nb AS n_b,
+      |  CAST(CAST(2 AS HUGEINT) * na * nb + sc AS DOUBLE)
+      |    / CAST(CAST(2 AS HUGEINT) * na * nb AS DOUBLE) AS tvd
+      |FROM j ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val dw = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("source"), explode(F.tokenize_words(col("text"))).as("tok"))
+    val c = dw.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val t = c.groupBy(col("source")).agg(sum(col("c")).cast("long").as("n"))
+    val joined = c.select(col("source").as("source_a"), col("tok"),
+        col("c").as("ca"))
+      .join(c.select(col("source").as("source_b"), col("tok"), col("c").as("cb")),
+        Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .join(broadcast(t.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(t.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+    val caD = col("ca").cast("decimal(38,0)") * col("nb")
+    val cbD = col("cb").cast("decimal(38,0)") * col("na")
+    val agg = joined
+      .withColumn("term", abs(caD - cbD) - caD - cbD)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"), sum(col("term")).as("sc"))
+    val den = col("na").cast("decimal(38,0)") * col("nb") * 2
+    agg.select(col("source_a"), col("source_b"), col("n_common"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        ((den + col("sc")).cast("double") / den.cast("double")).as("tvd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Materialize every shared FrameCache stage the dedup family reads
     * (shingle frame, DF-capped inverted index, converged cluster map) —
     * the staging-table warm-up a warehouse pays once. Bench calls this
@@ -1248,6 +1315,6 @@ object Dedup {
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
-    sourceOverlap, semanticDecontaminate, curation, semanticKeepers,
-    clusterStats, containment, containmentCapped, winnowPairs)
+    sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
+    semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs)
 }

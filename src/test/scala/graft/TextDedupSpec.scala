@@ -345,6 +345,45 @@ class TextDedupSpec extends AnyFunSuite {
       s"source overlap diverges: got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("source_divergence equals a driver-side TVD replay") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val counts: Map[String, Map[String, Long]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, t) =>
+        "[a-z0-9]+".r.findAllIn(t.toLowerCase)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val totals = counts.view.mapValues(_.values.sum).toMap
+    val srcs = counts.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      common = counts(a).keySet & counts(b).keySet if common.nonEmpty
+    } yield {
+      val (na, nb) = (totals(a), totals(b))
+      // exact TVD over the UNION vocabulary, the definition the
+      // common-token identity in the query is folding towards
+      val num = (counts(a).keySet | counts(b).keySet).toSeq.map { t =>
+        (BigInt(counts(a).getOrElse(t, 0L)) * nb -
+          BigInt(counts(b).getOrElse(t, 0L)) * na).abs
+      }.sum
+      (a, b) -> ((common.size.toLong, na, nb,
+        num.toDouble / (BigInt(2) * na * nb).toDouble))
+    }).toMap
+    val got = SparkEntry.queries("source_divergence")(spark, sf).collect()
+      .map { r =>
+        val tvd = r.getAs[Double]("tvd")
+        assert(tvd >= 0.0 && tvd <= 1.0)
+        (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+          ((r.getAs[Long]("n_common"), r.getAs[Long]("n_a"),
+            r.getAs[Long]("n_b"), tvd))
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (nc, na, nb, tvd)) =>
+      val (enc, ena, enb, etvd) = expected(k)
+      assert((nc, na, nb) == ((enc, ena, enb)), s"counts diverge at $k")
+      assert(math.abs(tvd - etvd) < 1e-12, s"tvd diverges at $k: $tvd vs $etvd")
+    }
+  }
+
   test("text_bigram_novelty equals a driver-side bigram-df replay") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
