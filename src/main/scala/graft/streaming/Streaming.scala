@@ -1601,6 +1601,50 @@ object Streaming {
       runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A43: per-window bottom-k sample feed (round 11) ----------------------
+  // The append-mode member of the sketch family the round-10 verdict
+  // asked for: where A36 maintains ONE corpus-lifetime sample in
+  // complete mode (re-emitted every trigger), A43 runs the same
+  // BottomKAgg INSIDE a watermark-closed hourly window, so each
+  // (hour, type) emits its finalized bottom-8 user sample EXACTLY ONCE
+  // when the hour closes — per-window sketch rows a live sink can
+  // append, no re-emission. State per open (hour, type) is O(k);
+  // closed windows are evicted by the watermark. Oracle = the exact
+  // per-hour rank sample restricted to closed hours (bottom-k is an
+  // exact order statistic — A36's full-hash-oracle argument, per
+  // window).
+  private val HourlyK = 8
+  val hourlySampleFeed = QueryDef.oracled(
+    "stream_hourly_sample",
+    s"""WITH logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+      |du AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, event_type,
+      |              user_id
+      |       FROM events, logend
+      |       WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+      |             <= e // 1000 * 1000),
+      |h AS (SELECT hour, event_type, user_id,
+      |             md5(CAST(user_id AS VARCHAR)) AS user_hash FROM du),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY hour, event_type
+      |               ORDER BY user_hash, user_id) AS rk FROM h)
+      |SELECT event_type, hour, rk, user_id, user_hash
+      |FROM r WHERE rk <= $HourlyK
+      |ORDER BY event_type, hour, rk""".stripMargin) { (s, d) =>
+    val sketch = eventStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .select(col("event_type"), col("ts"),
+        md5(col("user_id").cast("string")).as("user_hash"), col("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.BottomKAgg.bottom_k(
+        col("user_hash"), col("user_id"), HourlyK).as("bk"))
+    runToMemory(s, sketch, OutputMode.Append)
+      .select(col("event_type"), col("window.start").as("hour"),
+        posexplode(col("bk")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("hour"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("e.tag").as("user_id"), col("e.key").as("user_hash"))
+      .orderBy(col("event_type"), col("hour"), col("rk"))
+  }
+
   // --- A40: streaming Count-Min, online twin of B51 ------------------------
   // CountMinAgg as live complete-mode state, beside A33 (MG) and A36
   // (bottom-k). The contract is A36's, for a different reason: the
@@ -1716,5 +1760,5 @@ object Streaming {
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
-    ewmaFeed)
+    ewmaFeed, hourlySampleFeed)
 }
