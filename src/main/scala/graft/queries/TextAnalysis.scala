@@ -527,7 +527,6 @@ object TextAnalysis {
     lexTf(s, d).queryExecution.toRdd.count()
     lexDf(s, d).queryExecution.toRdd.count()
     winnowSel(s, d).queryExecution.toRdd.count()
-    winnowFpSets(s, d).queryExecution.toRdd.count()
     bpeMergesFrame(s, d).queryExecution.toRdd.count()
   }
 
@@ -1398,18 +1397,6 @@ object TextAnalysis {
       // proportional to corpus BYTES, so it must inherit full executor
       // width rather than the parquet file count
       winnowSelected(Tables.spread(winnowDn(s, d), s, "doc_id"))
-    }
-
-  /** Staged per-doc fingerprint SETS (doc_id, fps array<long>, nf) —
-    * D17's join input and exact-verification sides. Distinct by
-    * construction (collect_set), so nf equals the oracle's
-    * count(DISTINCT h) and array_intersect is exact set intersection.
-    */
-  private[graft] def winnowFpSets(s: SparkSession, d: String): DataFrame =
-    graft.FrameCache.getOrPersist(s, s"text.winnowfps:$d") {
-      winnowSel(s, d).groupBy(col("doc_id"))
-        .agg(collect_set(col("h")).as("fps"))
-        .select(col("doc_id"), col("fps"), size(col("fps")).as("nf"))
     }
 
   /** The winnowing CTE chain up to the selected-fingerprint set —

@@ -101,21 +101,23 @@ class TextDedupSpec extends AnyFunSuite {
       .parquet(s"$dir/documents.parquet")
     try {
       // the cap must actually bite: the staged index loses the hot fps
-      val fpAll = queries.TextAnalysis.winnowFpSets(spark, dir)
-        .select(col("doc_id"), explode(col("fps")).as("h"))
-      val dropped = fpAll.count() - queries.Dedup.winnowIdx(spark, dir).count()
-      assert(dropped > 0, "planted boilerplate produced no super-cap fingerprints")
-      // exact uncapped replay, driver-side
       val sel = queries.TextAnalysis.winnowSel(spark, dir)
         .select(col("doc_id"), col("h").cast("string").as("h"))
         .distinct().collect()
         .map(r => (r.getLong(0), r.getString(1)))
-      val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val dropped = sel.length - queries.Dedup.winnowIdx(spark, dir).count()
+      assert(dropped > 0, "planted boilerplate produced no super-cap fingerprints")
+      // rare-only replay, driver-side: df ≤ 100 fingerprints, MinRare=8
+      // floor, shared·2 ≥ min(rare) admission — the declared semantics
+      val df = sel.groupBy(_._2).view.mapValues(_.length).toMap
+      val byDoc = sel.filter(p => df(p._2) <= 100)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        .filter(_._2.size >= 8)
       val ids = byDoc.keys.toSeq.sorted
       val expected = (for {
         a <- ids; b <- ids if a < b
         inter = (byDoc(a) & byDoc(b)).size
-        if inter * 2 >= math.min(byDoc(a).size, byDoc(b).size)
+        if inter > 0 && inter * 2 >= math.min(byDoc(a).size, byDoc(b).size)
       } yield (a, b) -> inter.toLong).toMap
       val got = SparkEntry.queries("dedup_winnow_pairs")(spark, dir).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

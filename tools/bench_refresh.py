@@ -105,10 +105,26 @@ def main() -> int:
     if history:
         med = statistics.median(history)
         if stage > STAGE_FACTOR * med:
-            print(f"REFUSED: _stage {stage:.1f}s > {STAGE_FACTOR}x trailing "
-                  f"median {med:.1f}s of {len(history)} accepted runs — "
-                  "degraded box")
-            return 1
+            # Legit-growth escape hatch (round 11): the gate exists to
+            # catch DEGRADED BOXES, whose contention varies run to run.
+            # Genuinely larger staged work (new FrameCache artifacts)
+            # is STABLE across runs minutes apart — accept it only on
+            # >= 3 runs whose stages all agree within the variance
+            # tolerance, and say so loudly; history then adapts.
+            stages = sorted(r["queries"].get("_stage", 0.0) for r in runs)
+            stable = (len(runs) >= 3 and stages[0] > 0 and
+                      (stages[-1] - stages[0]) / stages[0] <= VARIANCE_TOL)
+            if stable:
+                print(f"NOTE: _stage {stage:.1f}s exceeds {STAGE_FACTOR}x "
+                      f"trailing median {med:.1f}s but is STABLE across "
+                      f"{len(runs)} runs ({stages}) — accepting as grown "
+                      "staged work, not contention")
+            else:
+                print(f"REFUSED: _stage {stage:.1f}s > {STAGE_FACTOR}x trailing "
+                      f"median {med:.1f}s of {len(history)} accepted runs — "
+                      "degraded box (or grown staged work: confirm with >= 3 "
+                      "stage-stable runs)")
+                return 1
 
     total = sum(v for v in merged.values() if v >= 0) + stage
     rec = {
