@@ -1936,6 +1936,40 @@ object Analytics {
       .orderBy(col("bucket"))
   }
 
+  // --- B54: sequential trigram patterns (round 11) ---------------------------
+  // B37's second-order extension and C13's idea lifted to the event
+  // stream: the most common 3-event sequences per user ordering — the
+  // workflow-mining primitive ("view → click → purchase") behind
+  // funnel DISCOVERY, where B11 checks a funnel someone already named.
+  // Two lags over ONE user-ordered window (shared Exchange + Sort),
+  // then a ≤ |types|³-row rollup with map-side partials; support ≥ 5
+  // kills noise sequences and the top-25 cut is deterministic
+  // (n DESC, then the sequence) via TakeOrdered — no global sort.
+  val eventsTrigrams = QueryDef.oracled(
+    "events_trigrams",
+    """WITH t AS (
+      |  SELECT event_type AS e3,
+      |         lag(event_type, 1) OVER w AS e2,
+      |         lag(event_type, 2) OVER w AS e1
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (SELECT e1, e2, e3, count(*) AS n FROM t
+      |      WHERE e1 IS NOT NULL GROUP BY 1, 2, 3)
+      |SELECT e1, e2, e3, n FROM c WHERE n >= 5
+      |ORDER BY n DESC, e1, e2, e3 LIMIT 25""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type").as("e3"),
+        lag(col("event_type"), 1).over(w).as("e2"),
+        lag(col("event_type"), 2).over(w).as("e1"))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(25)
+  }
+
   // --- B37: event-type transition matrix -----------------------------------
   // First-order Markov structure of user behavior: for every consecutive
   // pair of events by the SAME user, count (from_type → to_type) and the
@@ -2183,5 +2217,5 @@ object Analytics {
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
     eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
-    eventsKeySkew)
+    eventsKeySkew, eventsTrigrams)
 }

@@ -1257,9 +1257,12 @@ object Dedup {
       ex.join(broadcast(hot), Seq("h"), "left_anti")
     }
 
-  val winnowPairs = QueryDef.oracled(
-    "dedup_winnow_pairs",
-    s"""WITH ${TextAnalysis.winnowCtes},
+  /** The D17 CTE fragment up to the ADMITTED pair list (terminal CTE
+    * `dup(doc_a, doc_b, shared, mn)`) — shared by the D17 and D19
+    * oracles so the two replays cannot drift.
+    */
+  private def winnowPairCtes: String =
+    s"""${TextAnalysis.winnowCtes},
       |fp AS (SELECT DISTINCT doc_id, h FROM sel),
       |hot AS (SELECT h FROM (SELECT h, count(*) AS df FROM fp GROUP BY 1) t
       |        WHERE df > $WinnowMaxDf),
@@ -1270,13 +1273,16 @@ object Dedup {
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |                 count(*) AS shared
       |          FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, shared,
-      |  CAST(shared AS DOUBLE) / CAST(least(ra.nr, rb.nr) AS DOUBLE) AS score
-      |FROM pairs JOIN nr ra ON doc_a = ra.doc_id
-      |           JOIN nr rb ON doc_b = rb.doc_id
-      |WHERE shared * 2 >= least(ra.nr, rb.nr)
-      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      |          GROUP BY 1, 2),
+      |dup AS (SELECT doc_a, doc_b, shared, least(ra.nr, rb.nr) AS mn
+      |        FROM pairs JOIN nr ra ON doc_a = ra.doc_id
+      |                   JOIN nr rb ON doc_b = rb.doc_id
+      |        WHERE shared * 2 >= least(ra.nr, rb.nr))""".stripMargin
+
+  /** D17's admitted pair frame (doc_a, doc_b, shared, mn) — the Scala
+    * twin of the `dup` CTE, shared with D19's cluster build.
+    */
+  private def winnowRarePairs(s: SparkSession, d: String): DataFrame = {
     val idx = winnowIdx(s, d)
     // per-doc rare-fingerprint counts; the MinRare floor drops docs
     // whose rare signal is too thin to score (a short boilerplate doc
@@ -1296,14 +1302,52 @@ object Dedup {
         Seq("doc_b"))
       .filter(col("shared") * 2 >= least(col("nra"), col("nrb")))
       .select(col("doc_a"), col("doc_b"), col("shared"),
-        (col("shared").cast("double") / least(col("nra"), col("nrb"))
-          .cast("double")).as("score"))
+        least(col("nra"), col("nrb")).as("mn"))
+  }
+
+  val winnowPairs = QueryDef.oracled(
+    "dedup_winnow_pairs",
+    s"""WITH $winnowPairCtes
+      |SELECT doc_a, doc_b, shared,
+      |  CAST(shared AS DOUBLE) / CAST(mn AS DOUBLE) AS score
+      |FROM dup ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    winnowRarePairs(s, d)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / col("mn").cast("double")).as("score"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- D19: winnowing-fingerprint dup clusters (round 11) --------------------
+  // D7's decision layer over D17's pair graph: connected components of
+  // the rare-fingerprint match graph via the SAME min-label
+  // propagation kernel as D7/D14/F5 (shared `propagateMin`, loud
+  // 64-sweep non-convergence guard). A third edge family through one
+  // proven CC kernel — shingle-Jaccard (D7), embedding-cosine (D14),
+  // and now winnowing — which is exactly how a production curation
+  // stack composes: detectors vary, the cluster/keeper machinery
+  // doesn't. Edge list is D17's admitted pairs (bounded-fan-out
+  // build); the label table is dup-cluster-sized.
+  val winnowClusters = QueryDef.oracled(
+    "dedup_winnow_clusters",
+    s"""WITH RECURSIVE $winnowPairCtes,
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |      UNION ALL SELECT doc_b, doc_a FROM dup),
+      |reach AS (
+      |  SELECT DISTINCT a, a AS r FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.a = e.b),
+      |cl AS (SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+    propagateMin(s, winnowRarePairs(s, d).select(col("doc_a"), col("doc_b")),
+      "dedup_winnow_clusters")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
-    semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs)
+    semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
+    winnowClusters)
 }

@@ -1637,11 +1637,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C31: the induced BPE vocabulary (round 11) ----------------------------
+  // The third leg of the BPE triple (C29 learn → C31 vocab → C30
+  // encode): the token inventory the learned merges induce over the
+  // corpus, with its mass — per BPE token, how many distinct word
+  // positions it fills (n_positions, unweighted) and how many corpus
+  // occurrences it covers (n_occurrences, frequency-weighted). This is
+  // the table a tokenizer release ships, and the coverage input C18
+  // approximates with a fixed vocab.
+  //
+  // Scale: same shape as C30 — the staged 8-row merge artifact compiles
+  // into one literal replace cascade over the WORD-frequency table
+  // (vocab-sized, not corpus-sized: the one corpus scan is the v0
+  // word count), then a symbol explode + map-side-combinable rollup.
+  val bpeVocab = QueryDef.oracled(
+    "text_bpe_vocab",
+    s"""WITH $bpeCtes,
+      |u AS (SELECT t.t AS token, freq
+      |      FROM (SELECT string_split(w, ' ') AS l, freq FROM v$BpeSteps) v,
+      |           unnest(v.l) t(t))
+      |SELECT token, count(*) AS n_positions,
+      |  CAST(sum(freq) AS BIGINT) AS n_occurrences
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val merges = bpeMergesFrame(s, d).orderBy(col("step"))
+      .select(col("sym_a"), col("sym_b")).collect()
+    val enc = merges.foldLeft("concat(' ', w, ' ')") { (e, r) =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      s"replace(replace($e, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+    Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(explode(words(col("text"))).as("tok"))
+      .groupBy(concat_ws(" ",
+        regexp_extract_all(col("tok"), lit("."), lit(0))).as("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(explode(split(trim(expr(enc)), " ")).as("token"), col("freq"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_positions"), sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("token"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
-      bpeTokens)
+      bpeTokens, bpeVocab)
 }
