@@ -72,6 +72,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    // box-contention fingerprint: the MAX 1-min loadavg sampled across
+    // the WHOLE run — before staging, after each stage family, and
+    // after every pass. Staging is exactly the phase the degraded-box
+    // gate fingerprints via _stage, so it must be inside the sampling
+    // window. Our own local[32] work contributes; the signal is read
+    // relative to other runs of the same suite.
+    var loadMax = 0.0
+    def sampleLoad(): Unit =
+      try {
+        val l = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+        if (l > loadMax) loadMax = l
+      } catch { case _: Throwable => () }
+    sampleLoad()
     // shared-stage warm-up, off the measured path, reported separately;
     // per-family split to stderr — the diagnostic that tells a real
     // staging regression from a contended/cold box (first-touch JIT,
@@ -82,6 +96,7 @@ object Bench {
       System.err.println("[bench] _stage " + label + " " +
         String.format(java.util.Locale.ROOT, "%.2f",
           Double.box((System.nanoTime() - t0) / 1e9)) + " s")
+      sampleLoad()
     }
     // text first: the winnowing kernel (text.winnowsel) is owned by the
     // text family but consumed by dedup's winnowIdx — warming text first
@@ -93,18 +108,6 @@ object Bench {
     val stageSec = (System.nanoTime() - stage0) / 1e9
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    // box-contention fingerprint: the MAX 1-min loadavg sampled across
-    // the run (start + after every pass). Our own local[32] work
-    // contributes, so the signal is "how far above our own ceiling the
-    // box sat", read relative to other runs of the same suite.
-    var loadMax = 0.0
-    def sampleLoad(): Unit =
-      try {
-        val l = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
-        if (l > loadMax) loadMax = l
-      } catch { case _: Throwable => () }
-    sampleLoad()
     def pass(sel: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
       sel.foreach { case (name, fn) =>
         val t = try timeOnce(fn) catch { case _: Throwable => -1.0 }

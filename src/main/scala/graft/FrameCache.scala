@@ -74,6 +74,23 @@ private[graft] object FrameCache {
     }
   }
 
+  /** Drop (and unpersist) only the entries owned by `s` whose key
+    * contains `keyPart` — the dir-scoped cleanup a test that stages
+    * frames for a TEMPORARY corpus needs (a blanket [[evict]] there
+    * would also unpersist every sf-keyed frame the rest of the suite
+    * has warmed, silently ballooning suite runtime).
+    */
+  def evictMatching(s: SparkSession, keyPart: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala
+      .filter(k => (k._1 eq s) && k._2.contains(keyPart)).toList
+      .foreach { k =>
+        Option(cache.remove(k)).foreach { df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+      }
+  }
+
   /** Number of live entries owned by `s` (spec observability). */
   def size(s: SparkSession): Int = {
     import scala.jdk.CollectionConverters._

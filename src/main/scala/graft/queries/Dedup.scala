@@ -193,32 +193,13 @@ object Dedup {
       |       CAST(inter AS DOUBLE)/least(na, nb) AS containment
       |FROM pairs WHERE CAST(inter AS DOUBLE)/least(na, nb) >= $ContainTau
       |ORDER BY contained_doc, container_doc""".stripMargin) { (s, d) =>
-    val sets = shingled(s, d)
-    val idx = cappedIndex(s, d)
-    val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter_c"))
-    val meta = sets.select(col("doc_id"), col("n"))
-      .join(idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_capped")),
-        Seq("doc_id"), "left")
-      .na.fill(0, Seq("n_capped"))
-      .withColumn("n_hot", col("n") - col("n_capped"))
-    val bounded = interCapped
-      .join(meta.select(col("doc_id").as("doc_a"), col("n").as("na"),
-        col("n_hot").as("hot_a")), Seq("doc_a"))
-      .join(meta.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-        col("n_hot").as("hot_b")), Seq("doc_b"))
+    // containment bound: dropped shingles add at most min(hot) to the
+    // intersection → C ≤ (inter_c + min(hot)) / min(na, nb)
+    val bounded = cappedPairStats(s, d)
       .withColumn("ub", (col("inter_c") + least(col("hot_a"), col("hot_b")))
         .cast("double") / least(col("na"), col("nb")))
       .filter(col("ub") >= ContainTau)
-    bounded
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
-        Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    verifiedInter(s, d, bounded)
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= ContainTau)
@@ -337,19 +318,18 @@ object Dedup {
       ex.join(broadcast(hot), Seq("sh"), "left_anti")
     }
 
-  /** The DF-capped exact-Jaccard pair pipeline (D2b's body, shared):
-    * capped inverted index → bounded candidate pairs → exact full-set
-    * verification. Output == [[jaccardPairs]] under D2b's stated cost
-    * model (spec-checked); cost excludes the O(df²) hot keys. Also the
-    * pair-graph feed of [[clusterLabels]] — at warehouse scale the CC
-    * build MUST run on the capped graph or the boilerplate keys alone
-    * blow up its first join.
+  /** The admission-formula-agnostic capped-candidate core shared by
+    * D2b (Jaccard) and D16b (containment): per-pair capped shared
+    * counts (`inter_c`, ONE shuffle on the shingle hash, fan-out ≤
+    * cap² per key) joined with each side's full set size and capped-out
+    * count — `(doc_a, doc_b, inter_c, na, nb, hot_a, hot_b)`. Callers
+    * apply their own upper bound, then verify survivors exactly via
+    * [[verifiedInter]]. (AQE picks broadcast for the meta joins when
+    * small; at warehouse scale they hash-shuffle.)
     */
-  private def cappedJaccardPairs(s: SparkSession, d: String,
-      tau: Double): DataFrame = {
+  private def cappedPairStats(s: SparkSession, d: String): DataFrame = {
     val sets = shingled(s, d) // cached+persisted by the shared loader
     val idx = cappedIndex(s, d)
-    // shared-capped-shingle counts per pair — the cheap aggregate path
     val interCapped = idx.select(col("doc_id").as("doc_a"), col("sh"))
       .join(idx.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -361,26 +341,49 @@ object Dedup {
         Seq("doc_id"), "left")
       .na.fill(0, Seq("n_capped"))
       .withColumn("n_hot", col("n") - col("n_capped"))
-    // Jaccard upper bound: dropped shingles can add at most
-    // min(hot_a, hot_b) to the intersection. Only pairs whose bound
-    // clears τ get the exact array verification — everything else is
-    // decided by the aggregate counts alone. (AQE picks broadcast for
-    // the meta joins when small; at warehouse scale they hash-shuffle.)
-    val bounded = interCapped
+    interCapped
       .join(meta.select(col("doc_id").as("doc_a"), col("n").as("na"),
         col("n_hot").as("hot_a")), Seq("doc_a"))
       .join(meta.select(col("doc_id").as("doc_b"), col("n").as("nb"),
         col("n_hot").as("hot_b")), Seq("doc_b"))
-      .withColumn("min_hot", least(col("hot_a"), col("hot_b")))
-      .withColumn("ub", (col("inter_c") + col("min_hot")).cast("double")
-        / (col("na") + col("nb") - col("inter_c") - col("min_hot")))
-      .filter(col("ub") >= tau)
-    bounded
+  }
+
+  /** Exact full-shingle-set intersection for bound-clearing candidate
+    * pairs — adds `inter` (long). Shared verify stage of D2b and D16b.
+    */
+  private def verifiedInter(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    val sets = shingled(s, d)
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
         Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .drop("sa", "sb")
+  }
+
+  /** The DF-capped exact-Jaccard pair pipeline (D2b's body, shared):
+    * capped candidate core → Jaccard upper bound → exact full-set
+    * verification. Output == [[jaccardPairs]] under D2b's stated cost
+    * model (spec-checked); cost excludes the O(df²) hot keys. Also the
+    * pair-graph feed of [[clusterLabels]] — at warehouse scale the CC
+    * build MUST run on the capped graph or the boilerplate keys alone
+    * blow up its first join.
+    */
+  private def cappedJaccardPairs(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    // Jaccard upper bound: dropped shingles can add at most
+    // min(hot_a, hot_b) to the intersection. Only pairs whose bound
+    // clears τ get the exact array verification — everything else is
+    // decided by the aggregate counts alone.
+    val bounded = cappedPairStats(s, d)
+      .withColumn("min_hot", least(col("hot_a"), col("hot_b")))
+      .withColumn("ub", (col("inter_c") + col("min_hot")).cast("double")
+        / (col("na") + col("nb") - col("inter_c") - col("min_hot")))
+      .filter(col("ub") >= tau)
+    verifiedInter(s, d, bounded)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -981,7 +984,6 @@ object Dedup {
       |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
       |j AS (SELECT a.source AS source_a, b.source AS source_b,
       |        count(*) AS n_common,
-      |        any_value(ta.n) AS na, any_value(tb.n) AS nb,
       |        sum(abs(CAST(a.c AS HUGEINT) * tb.n - CAST(b.c AS HUGEINT) * ta.n)
       |            - CAST(a.c AS HUGEINT) * tb.n
       |            - CAST(b.c AS HUGEINT) * ta.n) AS sc
@@ -989,10 +991,13 @@ object Dedup {
       |           JOIN t ta ON ta.source = a.source
       |           JOIN t tb ON tb.source = b.source
       |      GROUP BY 1, 2)
-      |SELECT source_a, source_b, n_common, na AS n_a, nb AS n_b,
-      |  CAST(CAST(2 AS HUGEINT) * na * nb + sc AS DOUBLE)
-      |    / CAST(CAST(2 AS HUGEINT) * na * nb AS DOUBLE) AS tvd
-      |FROM j ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      |SELECT ta.source AS source_a, tb.source AS source_b,
+      |  coalesce(j.n_common, 0) AS n_common, ta.n AS n_a, tb.n AS n_b,
+      |  CAST(CAST(2 AS HUGEINT) * ta.n * tb.n + coalesce(j.sc, 0) AS DOUBLE)
+      |    / CAST(CAST(2 AS HUGEINT) * ta.n * tb.n AS DOUBLE) AS tvd
+      |FROM t ta JOIN t tb ON ta.source < tb.source
+      |     LEFT JOIN j ON j.source_a = ta.source AND j.source_b = tb.source
+      |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
     val dw = Tables.spread(Tables.documents(s, d), s, "doc_id")
       .select(col("source"), explode(F.tokenize_words(col("text"))).as("tok"))
     val c = dw.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
@@ -1011,12 +1016,21 @@ object Dedup {
     val agg = joined
       .withColumn("term", abs(caD - cbD) - caD - cbD)
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
-        first(col("nb")).as("nb"), sum(col("term")).as("sc"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term")).as("sc"))
+    // the FULL |sources|² pair grid, so fully-disjoint source pairs —
+    // the maximally divergent case a mixture designer most needs —
+    // report tvd = 1.0 instead of silently vanishing from the output
+    // (their private mass is exactly the closed-form 2·Na·Nb term)
+    val grid = t.select(col("source").as("source_a"), col("n").as("na"))
+      .join(broadcast(t.select(col("source").as("source_b"), col("n").as("nb"))),
+        col("source_a") < col("source_b"))
     val den = col("na").cast("decimal(38,0)") * col("nb") * 2
-    agg.select(col("source_a"), col("source_b"), col("n_common"),
+    grid.join(agg, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
         col("na").as("n_a"), col("nb").as("n_b"),
-        ((den + col("sc")).cast("double") / den.cast("double")).as("tvd"))
+        ((den + coalesce(col("sc"), lit(0).cast("decimal(38,0)")))
+          .cast("double") / den.cast("double")).as("tvd"))
       .orderBy(col("source_a"), col("source_b"))
   }
 

@@ -1494,7 +1494,19 @@ object TextAnalysis {
         |        FROM (SELECT string_split(w, ' ') AS l, freq FROM v${i - 1}) t,
         |             unnest(range(1, len(l))) u(j)
         |        GROUP BY 1, 2),
-        |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |-- sentinel when NO pair exists (degenerate corpus): an empty
+        |-- t$i would annihilate v$i through the CROSS JOIN. The ('','')
+        |-- sentinel rides the SAME scan (cnt = -1 loses every ordering
+        |-- against real counts >= 1, survives only when p$i is empty —
+        |-- one reference to p$i, so inlined-CTE cost stays linear); its
+        |-- replace pattern ('   ') never matches a single-space symbol
+        |-- string, so the vocab passes unchanged, and the merge-table
+        |-- SELECT filters it out, matching the Spark loop which simply
+        |-- emits no row for a pairless step
+        |t$i AS (SELECT a, b, cnt FROM (
+        |          SELECT a, b, cnt FROM p$i
+        |          UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+        |        ORDER BY cnt DESC, a, b LIMIT 1),
         |v$i AS (SELECT trim(replace(replace(' ' || w || ' ',
         |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
         |                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '))
@@ -1548,7 +1560,7 @@ object TextAnalysis {
     "text_bpe_merges", {
       val union = (1 to BpeSteps).map { i =>
         s"SELECT CAST($i AS INTEGER) AS step, a AS sym_a, b AS sym_b, " +
-          s"a || b AS merged, cnt AS pair_count FROM t$i"
+          s"a || b AS merged, cnt AS pair_count FROM t$i WHERE a <> ''"
       }.mkString("\nUNION ALL ")
       s"WITH $bpeCtes\n$union\nORDER BY step"
     }) { (s, d) =>

@@ -1711,15 +1711,25 @@ object Streaming {
       (graft.queries.Coordination.fpUnsigned(col("text"))
         % graft.queries.TextAnalysis.PackStreams).cast("int").as("stream"))
 
+  // ONE default drop accumulator per SparkContext — re-registering a
+  // same-named accumulator on every invocation would pile dozens of
+  // partial counters into the UI across a bench session
+  private val packDropAccums =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, org.apache.spark.util.LongAccumulator]()
+
   /** The A41 pipeline over an arbitrary PackDoc stream — seam for the
     * multi-batch state-carry spec.
     *
     * `dropCounter`: out-of-order (or duplicate) cross-batch docs
     * violate the per-stream doc_id-ascending arrival contract and are
     * excluded from packing; every exclusion increments this
-    * accumulator (default: a named one, visible in the Spark UI /
-    * status APIs) so contract violations are OBSERVABLE data loss, not
-    * silent (round-10 advice).
+    * accumulator (default: one named accumulator per context, visible
+    * in the Spark UI / status APIs) so contract violations are
+    * OBSERVABLE data loss, not silent (round-10 advice). Accumulator
+    * semantics are AT-LEAST-ONCE under task retries/speculation (the
+    * increment runs inside a stateful transformation) — it is a
+    * violation ALARM, not an exact ledger; zero still means zero.
     */
   private[graft] def runCorpusPack(s: SparkSession,
       docs: Dataset[PackDoc],
@@ -1728,7 +1738,8 @@ object Streaming {
     import s.implicits._
     val budget = graft.queries.TextAnalysis.PackBudget
     val dropped = dropCounter.getOrElse(
-      s.sparkContext.longAccumulator("graft.corpus_pack.dropped_docs"))
+      packDropAccums.computeIfAbsent(s.sparkContext,
+        _.longAccumulator("graft.corpus_pack.dropped_docs")))
     val rows = docs.groupByKey(_.stream)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (stream: Int, it: Iterator[PackDoc], state: GroupState[PackState]) => {

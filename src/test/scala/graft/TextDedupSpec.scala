@@ -126,7 +126,9 @@ class TextDedupSpec extends AnyFunSuite {
         s"capped winnow pairs diverge: got ${got.size}, expected ${expected.size}")
       assert(got.contains((1000L, 1001L)), "planted near-dup pair missing")
     } finally {
-      FrameCache.evict(spark) // drop the temp-dir staged frames
+      // drop ONLY the temp-dir staged frames — a blanket evict would
+      // also unpersist every sf-keyed frame other tests have warmed
+      FrameCache.evictMatching(spark, dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
@@ -356,9 +358,11 @@ class TextDedupSpec extends AnyFunSuite {
       }.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
     val totals = counts.view.mapValues(_.values.sum).toMap
     val srcs = counts.keys.toSeq.sorted
+    // the FULL pair grid — disjoint-vocabulary pairs must appear with
+    // tvd = 1.0, not vanish (the round-11 review fix)
     val expected = (for {
       a <- srcs; b <- srcs if a < b
-      common = counts(a).keySet & counts(b).keySet if common.nonEmpty
+      common = counts(a).keySet & counts(b).keySet
     } yield {
       val (na, nb) = (totals(a), totals(b))
       // exact TVD over the UNION vocabulary, the definition the

@@ -12,12 +12,12 @@ cd "$(dirname "$0")/.."
 
 fail=0
 
-echo "=== gate 1/3: sbt test ==="
+echo "=== gate 1/4: sbt test ==="
 if ! sbt -batch test 2>&1 | tail -4; then
   echo "GATE FAIL: sbt test"; fail=1
 fi
 
-echo "=== gate 2/3: verify vs DuckDB oracles (sf0.01) ==="
+echo "=== gate 2/4: verify vs DuckDB oracles (sf0.01) ==="
 rm -rf /tmp/gate_verify_out
 if ! sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_verify_out" \
     2>&1 | grep -vE 'INFO|WARN' | tail -2; then
@@ -27,7 +27,7 @@ if ! python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/gate_verify_out; 
   echo "GATE FAIL: oracle mismatch"; fail=1
 fi
 
-echo "=== gate 3/3: bench pair (sf0.1, two interleaved runs) ==="
+echo "=== gate 3/4: bench pair (sf0.1, two interleaved runs) ==="
 # Two full interleaved runs minutes apart; the committed BENCH_local.json
 # is refreshed ONLY via bench_refresh.py (per-query pair min), which
 # refuses contended/degraded boxes — round 7 shipped a 139 s noisy
@@ -51,9 +51,25 @@ print(f\"bench ok: total={rec['value']}s, {len(rec['queries'])} entries, {len(sy
     echo "GATE FAIL: bench record invalid (run $i)"; fail=1
   fi
 done
-if ! python3 tools/bench_refresh.py /tmp/gate_bench_1.json /tmp/gate_bench_2.json; then
-  echo "GATE FAIL: bench pair refused (variance or degraded box) — BENCH_local.json NOT refreshed"
-  fail=1
+refresh_ok=0
+if python3 tools/bench_refresh.py /tmp/gate_bench_1.json /tmp/gate_bench_2.json; then
+  refresh_ok=1
+else
+  # One automatic escalation: a contended pair (or genuinely grown
+  # staged work, which needs >= 3 stage-stable runs) gets a third
+  # interleaved run before the gate gives up — this was the manual
+  # recovery every refused pair ended in anyway, made self-sufficient.
+  echo "bench pair refused — running a third interleaved bench for confirmation"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_OUT=/tmp/gate_bench_3.json \
+    sbt -batch "runMain graft.Bench" > /dev/null 2>&1
+  if python3 tools/bench_refresh.py /tmp/gate_bench_1.json \
+      /tmp/gate_bench_2.json /tmp/gate_bench_3.json; then
+    refresh_ok=1
+  else
+    echo "GATE FAIL: bench runs refused (variance or degraded box) — BENCH_local.json NOT refreshed"
+    fail=1
+  fi
 fi
 
 echo "=== gate 4/4: no stowaway queries (round-10 D17 episode) ==="
@@ -62,20 +78,32 @@ echo "=== gate 4/4: no stowaway queries (round-10 D17 episode) ==="
 # dedup_winnow_pairs landed 4 minutes after the gated refresh at 27.8 s
 # unreviewed. The fresh bench run's full-precision artifact lists every
 # registered key; each must appear in SURVEY.md (backtick-quoted, the
-# §2 convention) and in the COMMITTED BENCH_local.json.
-if ! python3 - <<'EOF'
-import json, sys
+# §2 convention) and in the GIT-COMMITTED BENCH_local.json — comparing
+# against the working-tree copy would be self-defeating, since gate 3
+# just rewrote it to include every registered query. A key present in
+# the fresh refresh but absent at HEAD is reported as pending-commit
+# (pass) when this run's refresh succeeded, and as a stowaway (fail)
+# when it did not.
+git show HEAD:BENCH_local.json > /tmp/gate_bench_head.json 2>/dev/null \
+  || echo '{"queries":{}}' > /tmp/gate_bench_head.json
+if ! REFRESH_OK="$refresh_ok" python3 - <<'EOF'
+import json, os, sys
 keys = [k for k in json.load(open('/tmp/gate_bench_1.json'))['queries']
         if not k.startswith('_')]
 survey = open('SURVEY.md').read()
-committed = set(json.load(open('BENCH_local.json'))['queries'])
+head = set(json.load(open('/tmp/gate_bench_head.json'))['queries'])
+refresh_ok = os.environ.get('REFRESH_OK') == '1'
 missing_doc = [k for k in keys if f'`{k}`' not in survey]
-missing_bench = [k for k in keys if k not in committed]
+missing_head = [k for k in keys if k not in head]
 if missing_doc:
     print('stowaway (no SURVEY row):', ', '.join(missing_doc))
-if missing_bench:
-    print('stowaway (not in committed BENCH_local.json):', ', '.join(missing_bench))
-sys.exit(1 if (missing_doc or missing_bench) else 0)
+if missing_head and refresh_ok:
+    print('pending-commit (in this refresh, not yet at HEAD — commit '
+          'BENCH_local.json):', ', '.join(missing_head))
+elif missing_head:
+    print('stowaway (not in HEAD BENCH_local.json and no accepted refresh):',
+          ', '.join(missing_head))
+sys.exit(1 if (missing_doc or (missing_head and not refresh_ok)) else 0)
 EOF
 then
   echo "GATE FAIL: stowaway queries"; fail=1
