@@ -1544,12 +1544,19 @@ object TextAnalysis {
         // materialized once for both the output and the merge join
         val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).localCheckpoint()
-        v = v.crossJoin(broadcast(top))
-          .select(trim(expr(
-            "replace(replace(concat(' ', w, ' '), concat(' ', a, ' ', b, ' '), " +
-              "concat(' ', a, b, ' ')), concat(' ', a, ' ', b, ' '), " +
-              "concat(' ', a, b, ' '))")).as("w"), col("freq"))
-          .localCheckpoint() // cut the per-iteration plan growth (B44's idiom)
+        // pairless step (degenerate corpus: every word fully merged or
+        // single-symbol): an empty `top` would annihilate v through the
+        // cross join — leave the vocab unchanged instead, matching the
+        // oracle's sentinel semantics ("the vocab passes unchanged");
+        // isEmpty on the checkpointed 0/1-row frame is a bounded read
+        if (!top.isEmpty) {
+          v = v.crossJoin(broadcast(top))
+            .select(trim(expr(
+              "replace(replace(concat(' ', w, ' '), concat(' ', a, ' ', b, ' '), " +
+                "concat(' ', a, b, ' ')), concat(' ', a, ' ', b, ' '), " +
+                "concat(' ', a, b, ' '))")).as("w"), col("freq"))
+            .localCheckpoint() // cut the per-iteration plan growth (B44's idiom)
+        }
         top.select(lit(i).as("step"), col("a").as("sym_a"), col("b").as("sym_b"),
           concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
       }

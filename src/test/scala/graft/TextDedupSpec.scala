@@ -76,6 +76,78 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("containment-capped admission bound survives a planted boilerplate block") {
+    // The D16b completeness boundary, pinned at the point where the cap
+    // BITES on a qualifying pair (the suite corpus never exercises it:
+    // no sf0.01 shingle is hot enough). Planted corpus:
+    //  - 150 docs sharing one 40-word boilerplate sentence repeated 4x
+    //    (its ~40 distinct interior shingles have df=152 > MaxDf=100 →
+    //    capped out of the index; the O(150²) hot-key pairs never form)
+    //  - a genuine containment pair where the contained doc is
+    //    boiler + 60 unique words: ~40% of its shingle set is HOT, so
+    //    inter_c/min(n) ≈ 0.6 < τ=0.9 — the pair is admitted ONLY via
+    //    the (inter_c + min(hot))/min(n) upper bound. A regression in
+    //    the hot-count join (e.g. hot=0) silently drops it; this test
+    //    is the tripwire the equality-at-suite-SF spec cannot be.
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def prose(words: Int): String =
+      Seq.fill(words)(("b" + rng.alphanumeric.filter(_.isLetter).take(6)
+        .mkString).toLowerCase).mkString(" ")
+    val boilerSentence = prose(40)
+    val boiler = (boilerSentence + " ") * 4
+    val shared = prose(60)
+    val contained = s"$boiler $shared"           // doc 1000
+    val container = s"$boiler $shared ${prose(200)}" // doc 1001: strict superset
+    val docs =
+      (0 until 150).map(i => (i.toLong, s"${prose(50)} $boiler ${prose(50)}")) ++
+      Seq((1000L, contained), (1001L, container))
+    val dir = java.nio.file.Files.createTempDirectory("containcap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      import graft.functions.{expressions => FX}
+      // shingle profile, recomputed independently of Dedup's internals
+      val ex = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(FX.shingles3(FX.tokenize_words(col("text")))).as("sh"))
+      val df = ex.groupBy(col("sh")).agg(countDistinct(col("doc_id")).as("df"))
+      assert(df.filter(col("df") > 100).count() >= 30,
+        "planted boilerplate produced no super-cap shingles — the cap never bites")
+      // the bound must be DOING something: the contained doc's hot mass
+      // pushes inter_c/min(n) below τ while the true containment is 1.0
+      val sets = ex.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val hotShingles = df.filter(col("df") > 100).collect()
+        .map(_.getString(0)).toSet
+      val sa = sets(1000L); val sb = sets(1001L)
+      val interFull = (sa & sb).size
+      val interCapped = ((sa -- hotShingles) & (sb -- hotShingles)).size
+      assert(interFull == sa.size, "planted containment is not total")
+      assert(interCapped.toDouble / sa.size < 0.9,
+        "capped intersection alone clears tau — the planted hot mass is too small " +
+          s"($interCapped of ${sa.size})")
+      // capped output == uncapped output, values exact
+      def rows(name: String) =
+        SparkEntry.queries(name)(spark, dir).collect()
+          .map(r => (r.getAs[Long]("contained_doc"), r.getAs[Long]("container_doc")) ->
+            (r.getAs[Long]("inter"), r.getAs[Int]("n_contained"),
+              r.getAs[Double]("containment"))).toMap
+      val exact = rows("dedup_containment")
+      val capped = rows("dedup_containment_capped")
+      assert(capped == exact,
+        s"capped containment diverges: got ${capped.size}, expected ${exact.size}")
+      val planted = capped.get((1000L, 1001L))
+      assert(planted.isDefined, "planted containment pair missing from the capped path")
+      assert(planted.get == ((interFull.toLong, sa.size, 1.0)),
+        s"planted pair not exact: ${planted.get}")
+    } finally {
+      FrameCache.evictMatching(spark, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("winnow-pairs DF cap drops a planted 150-doc boilerplate block, output exact") {
     // Synthetic corpus in a temp dir (the query reads <dir>/documents.parquet):
     //  - 150 docs sharing ONE long boilerplate block (its interior
@@ -675,6 +747,32 @@ class TextDedupSpec extends AnyFunSuite {
           r.getAs[Long]("n_chars"), nb))
       }.toMap
     assert(got == expected, s"BPE token rollups diverge (${got.size} docs)")
+  }
+
+  test("BPE pairless steps: single-symbol corpus yields zero merges, tokens intact") {
+    // Degenerate corpus — every word is one symbol, so step 1 is already
+    // pairless. The learner must emit NO merge rows (not sentinel junk),
+    // and the vocab must survive the pairless sweeps un-annihilated so
+    // the downstream encoder still sees every word (ADVICE r11: the
+    // empty-top cross join used to zero the vocab frame).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpedegen").toString
+    Seq((1L, "a b c a b"), (2L, "c c a 9"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val merges = SparkEntry.queries("text_bpe_merges")(spark, dir).collect()
+      assert(merges.isEmpty, s"pairless corpus produced merges: ${merges.toSeq}")
+      val toks = SparkEntry.queries("text_bpe_tokens")(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+      // every 1-char word encodes to exactly 1 token
+      assert(toks == Map(1L -> ((5L, 5L)), 2L -> ((4L, 4L))),
+        s"degenerate encode diverged: $toks")
+    } finally {
+      FrameCache.evictMatching(spark, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("winnowing guarantees: shared-substring detection and window coverage") {
