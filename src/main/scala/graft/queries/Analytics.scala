@@ -1915,8 +1915,11 @@ object Analytics {
   // free. This is the profile you run BEFORE choosing cap/salt dials,
   // so it must not itself blow up on the skew it measures — and a
   // groupBy count cannot.
-  val eventsKeySkew = QueryDef.oracled(
-    "events_key_skew",
+  /** The B53 oracle — shared verbatim by the streaming twin A44 (the
+    * complete-mode per-key counts drain to the same totals regardless
+    * of batch boundaries, so the histogram oracles identically).
+    */
+  private[graft] val keySkewOracle: String =
     """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
       |h AS (SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket,
       |             count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
@@ -1925,15 +1928,24 @@ object Analytics {
       |SELECT bucket, n_keys, n_rows, min_cnt, max_cnt,
       |       CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS BIGINT)
       |         AS share
-      |FROM h ORDER BY bucket""".stripMargin) { (s, d) =>
-    val c = Tables.events(s, d)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    c.groupBy(length(bin(col("cnt"))).as("bucket"))
+      |FROM h ORDER BY bucket""".stripMargin
+
+  /** The log2 histogram + share projection over a per-key `cnt` frame —
+    * B53's body after its one corpus-scale groupBy, shared with the A44
+    * streaming twin (whose counts come from the complete-mode sink).
+    */
+  private[graft] def keySkewRows(counts: DataFrame): DataFrame =
+    counts.groupBy(length(bin(col("cnt"))).as("bucket"))
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
         min(col("cnt")).as("min_cnt"), max(col("cnt")).as("max_cnt"))
       .withColumn("share", col("n_rows").cast("double")
         / sum(col("n_rows")).over(Window.partitionBy()))
       .orderBy(col("bucket"))
+
+  val eventsKeySkew = QueryDef.oracled(
+    "events_key_skew", keySkewOracle) { (s, d) =>
+    keySkewRows(Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
   }
 
   // --- B54: sequential trigram patterns (round 11) ---------------------------
@@ -1968,6 +1980,199 @@ object Analytics {
       .filter(col("n") >= 5)
       .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
       .limit(25)
+  }
+
+  // --- B55: event-type co-occurrence / affinity matrix (round 12) -----------
+  // Market-basket structure of user behavior: for every unordered pair
+  // of event types, how many users perform BOTH, with the user-set
+  // Jaccard and the lift over independence — the affinity signal
+  // behind "users who error also purchase" product questions and
+  // feature cross-selection, where B37 captures ORDER (a→b transitions)
+  // this captures ASSOCIATION regardless of order.
+  //
+  // Exactness: all counts are integers off one DISTINCT (type, user)
+  // frame; jaccard and lift are each ONE double divide over exact
+  // int64 products (n_both·total ≤ total² ≈ 10¹⁸ at a billion users —
+  // inside int64; a deployment beyond that scales lift in DECIMAL).
+  //
+  // Scale (100 TB): the corpus is touched ONCE — one map-side-
+  // combinable groupBy(user_id) collapses the stream to a per-user
+  // TYPE-SET frame (≤ |users| rows × a ≤ |types| array), which is
+  // localCheckpointed so its three consumers (pair grid, per-type
+  // totals, user total) read the materialized copy instead of
+  // re-scanning events. Pairs fan out map-side from each user's own
+  // set (≤ |types|² rows per user — bounded by type cardinality,
+  // never by event count); every rollup after that is ≤ |types|²
+  // rows with map-side partials, and the totals broadcast.
+  val eventsCooccurrence = QueryDef.oracled(
+    "events_cooccurrence",
+    """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |nt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |nu AS (SELECT count(DISTINCT user_id) AS total FROM ut),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             count(*) AS n_both
+      |      FROM ut a JOIN ut b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_both, na.n AS n_a, nb.n AS n_b,
+      |  CAST(p.n_both AS DOUBLE) / (na.n + nb.n - p.n_both) AS jaccard,
+      |  CAST(p.n_both * nu.total AS DOUBLE) / (na.n * nb.n) AS lift
+      |FROM p JOIN nt na ON p.type_a = na.event_type
+      |       JOIN nt nb ON p.type_b = nb.event_type
+      |       CROSS JOIN nu
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    // one corpus pass; the tiny per-user set frame feeds all three
+    // consumers from its checkpointed copy
+    val us = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("ts"))
+      .localCheckpoint()
+    val exploded = us.select(explode(col("ts")).as("event_type"))
+    val nt = exploded.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nu = us.agg(count(lit(1)).as("total"))
+    // per-user pair grid: double-explode of the SAME set + a<b filter —
+    // map-side, fan-out ≤ |types|² per user
+    us.select(explode(col("ts")).as("type_a"), col("ts"))
+      .select(col("type_a"), explode(col("ts")).as("type_b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(nt.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(nt.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"),
+        ((col("n_both") * col("total")).cast("double")
+          / (col("n_a") * col("n_b"))).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  // --- B56: robust MAD anomaly detection (round 12) --------------------------
+  // B19's rolling z-score flags deviations from the RECENT mean — but a
+  // mean/stddev baseline is itself dragged by the outliers it hunts.
+  // B56 is the robust distribution-level twin: per event type, the
+  // MEDIAN hourly count and the median absolute deviation (MAD — the
+  // 50% breakdown-point scale estimator), flagging hours more than 4
+  // MAD units from the median. Catches both spikes and outages that a
+  // contaminated-window z-score smears over.
+  //
+  // Exactness: hourly counts are integers; Spark `percentile` and
+  // DuckDB `quantile_cont` interpolate identically (B12's argument), so
+  // med/mad are exact k or k+0.5 doubles; |n − med| is an exact double;
+  // the score is ONE divide by greatest(mad, 0.5) (the floor keeps a
+  // zero-MAD type well-defined: any deviation then scores in half-count
+  // units). Threshold compares are on exact values — engine-identical.
+  //
+  // Scale (100 TB): the corpus is touched ONCE — the hourly rollup is
+  // ONE map-side-combinable groupBy, localCheckpointed so its three
+  // consumers (median pass, deviation join, MAD pass) read the
+  // materialized |types|·|hours| frame (thousands of rows per year)
+  // instead of re-aggregating events. The two percentile passes group
+  // per type over those tiny series; the flag join broadcasts |types|
+  // rows of (med, mad) back onto them.
+  val eventsMadAnomalies = QueryDef.oracled(
+    "events_mad_anomalies",
+    """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |                count(*) AS n
+      |              FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+      |        FROM hourly GROUP BY 1),
+      |dev AS (SELECT h.event_type, h.hour, h.n, m.med,
+      |               abs(CAST(h.n AS DOUBLE) - m.med) AS ad
+      |        FROM hourly h JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT d.event_type, d.hour, d.n AS n_events, d.med, md.mad,
+      |  (CAST(d.n AS DOUBLE) - d.med) / greatest(md.mad, 0.5) AS score
+      |FROM dev d JOIN mad md USING (event_type)
+      |WHERE abs(CAST(d.n AS DOUBLE) - d.med) > 4 * greatest(md.mad, 0.5)
+      |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // one corpus pass; three tiny-frame consumers
+    val med = hourly.groupBy(col("event_type"))
+      .agg(expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("n").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("ad") > lit(4) * greatest(col("mad"), lit(0.5)))
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        col("med"), col("mad"),
+        ((col("n").cast("double") - col("med"))
+          / greatest(col("mad"), lit(0.5))).as("score"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  // --- B57: session bounce / depth by entry type (round 12) ------------------
+  // The landing-page report over B10's sessions: sessions grouped by
+  // their ENTRY event type, with bounce rate (single-event sessions)
+  // and average depth — which entry points hold users and which shed
+  // them. Composition: B10's lag+cumsum sessionization, a per-session
+  // min-struct pick of the first event (ts, event_id order — the
+  // B10/B37 tiebreak), then a ≤ |types|-row rollup.
+  //
+  // Exactness: all counts integers; bounce_rate and avg_depth are each
+  // ONE double divide of exact int64s — engine-identical.
+  //
+  // Scale (100 TB): the session build shares B10's one user_id window
+  // Exchange (high-cardinality partitions, per-task slivers); the
+  // per-session aggregate rides the same clustering; the final rollup
+  // is map-side-combinable to ≤ |types| rows.
+  val eventsBounce = QueryDef.oracled(
+    "events_session_bounce",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+      |f AS (SELECT user_id, sid, event_type,
+      |             row_number() OVER (PARTITION BY user_id, sid
+      |                                ORDER BY ts, event_id) AS rn
+      |      FROM s),
+      |sess AS (SELECT user_id, sid, count(*) AS depth FROM s GROUP BY 1, 2)
+      |SELECT f.event_type AS entry_type,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN sess.depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(sum(sess.depth) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN sess.depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS bounce_rate,
+      |  CAST(sum(sess.depth) AS DOUBLE) / count(*) AS avg_depth
+      |FROM f JOIN sess USING (user_id, sid) WHERE f.rn = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("ns", when(col("prev_us").isNull
+        || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      // first event = min (ts, event_id, type) struct — ts+event_id is a
+      // total order, so the type field never decides the comparison
+      .agg(count(lit(1)).as("depth"),
+        min(struct(col("ts"), col("event_id"), col("event_type"))).as("fst"))
+    sess.groupBy(col("fst.event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("depth")).as("n_events"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        col("n_events"),
+        (col("n_bounces").cast("double") / col("n_sessions")).as("bounce_rate"),
+        (col("n_events").cast("double") / col("n_sessions")).as("avg_depth"))
+      .orderBy(col("entry_type"))
   }
 
   // --- B37: event-type transition matrix -----------------------------------
@@ -2217,5 +2422,6 @@ object Analytics {
     valuePercentilesSketch, eventsDwell, heavyHitters, eventsTransitions,
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
     eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
-    eventsKeySkew, eventsTrigrams)
+    eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
+    eventsBounce)
 }

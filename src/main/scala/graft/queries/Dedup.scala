@@ -1235,6 +1235,69 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  // --- D20: per-source duplication report (round 12) ------------------------
+  // D15 histograms cluster SIZES; D20 attributes the duplication to its
+  // ORIGIN — per corpus source: how many docs sit in a near-dup
+  // cluster, how many the keeper rule drops, and how many duplicate
+  // ACROSS sources (the mirror-site / syndication signal that tells a
+  // curator whether dedup is removing intra-source boilerplate or
+  // cross-source replication — different remediations). The per-source
+  // dup_rate is the number a mixture plan (C25) discounts source
+  // budgets by.
+  //
+  // Exactness: all counts integers off the staged cluster map; dup_rate
+  // is ONE double divide.
+  //
+  // Scale (100 TB): rides the STAGED D7 cluster map (≪ corpus — only
+  // pair-participating docs). The map joins the doc→source projection
+  // doc_id-keyed; the per-cluster source-spread rollup and its join
+  // back are both cluster-map-sized (AQE-broadcast); the final rollup
+  // is ≤ |sources| rows with map-side partials. The corpus itself is
+  // touched ONCE, for the per-source totals — a map-side-combinable
+  // groupBy on a 2-column ReadSchema.
+  val dupSources = QueryDef.oracled(
+    "corpus_dup_sources",
+    s"""WITH RECURSIVE $clusterCteSql,
+      |cm AS (SELECT cl.doc_id, cl.cluster_id, d.source
+      |       FROM cl JOIN documents d USING (doc_id)),
+      |cs AS (SELECT cluster_id, count(DISTINCT source) AS n_sources
+      |       FROM cm GROUP BY 1),
+      |per AS (SELECT cm.source,
+      |          count(*) AS n_dup_docs,
+      |          CAST(sum(CASE WHEN cm.doc_id <> cm.cluster_id
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |          CAST(sum(CASE WHEN cs.n_sources > 1
+      |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source
+      |        FROM cm JOIN cs USING (cluster_id) GROUP BY 1),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  coalesce(p.n_dup_docs, 0) AS n_dup_docs,
+      |  coalesce(p.n_dropped, 0) AS n_dropped,
+      |  coalesce(p.n_cross_source, 0) AS n_cross_source,
+      |  CAST(coalesce(p.n_dup_docs, 0) AS DOUBLE) / t.n_docs AS dup_rate
+      |FROM tot t LEFT JOIN per p USING (source)
+      |ORDER BY t.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // every cl member shares its cluster with ≥1 other doc (labels come
+    // from the pair graph), so "in cl" == "is a dup-cluster member"
+    val cm = clusterLabels(s, d).join(docs, Seq("doc_id"))
+    val cs = cm.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val per = cm.join(broadcast(cs), Seq("cluster_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_docs"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L))
+          .as("n_cross_source"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_docs", "n_dropped", "n_cross_source"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   // --- D17: winnowing-fingerprint near-dup pairs (round 10, redefined 11) ---
   // The MATCH step of MOSS (Schleimer et al. SIGMOD'03), composing
   // C28's fingerprint selection into pair detection. Semantics,
@@ -1363,5 +1426,5 @@ object Dedup {
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
-    winnowClusters)
+    winnowClusters, dupSources)
 }

@@ -233,6 +233,62 @@ object Similarity {
       .join(corpus, col("vec_id") =!= col("query_id")))
   }
 
+  // --- E20: k-NN majority-vote classification (round 12) -------------------
+  // The evaluation primitive embedding pipelines run before trusting a
+  // vector space: classify each query by the majority label of its k
+  // exact nearest neighbors and compare to its own label — k-NN probe
+  // accuracy. Composition: E1's brute-force top-k (the oracle-anchored
+  // exact path — an eval harness must not inherit ANN recall error),
+  // one label join, a ≤ k-row vote count per query, deterministic
+  // argmax (votes DESC, then smallest label).
+  //
+  // Exactness: votes are integers; the winner is a row_number pick
+  // under a total order; cosine ties inside top-k break on vec_id
+  // (E1's contract) — engine-identical throughout.
+  //
+  // Scale (100 TB): identical to E1 — broadcast query set, map-only
+  // corpus scan, per-query top-k via the window rank on k·|queries|
+  // rows; the label join and vote rollup run on that tiny frame.
+  val classify = QueryDef.oracled(
+    "knn_classify",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS tl
+      |           FROM embeddings WHERE vec_id < $NQueries),
+      |s AS (SELECT query_id, vec_id, label, ${cosSql("qe", "embedding")} AS cosine
+      |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf),
+      |v AS (SELECT query_id, label, count(*) AS n_votes
+      |      FROM r WHERE rank <= $K GROUP BY 1, 2),
+      |p AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY n_votes DESC, label) AS vr FROM v)
+      |SELECT q.query_id, q.tl AS true_label, p.label AS pred_label,
+      |  p.n_votes, (p.label = q.tl) AS correct
+      |FROM p JOIN q USING (query_id) WHERE p.vr = 1
+      |ORDER BY q.query_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(col("vec_id"), col("embedding").as("ea"))
+    val nn = topK(broadcast(queriesDf(s, d))
+      .join(corpus, col("vec_id") =!= col("query_id")))
+    val votes = nn
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+    votes
+      .join(broadcast(emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   // --- E2: SRP-LSH bucketed search (recall-checked vs E1 by spec) ---------
   // L=16 tables × B=8 bits carved from two seeded 64-bit SRP
   // signatures; a query probes, per table, every bucket within hamming
@@ -1620,5 +1676,5 @@ object Similarity {
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering, hybrid, mmr)
+    binary, clustering, hybrid, mmr, classify)
 }

@@ -1673,6 +1673,25 @@ object Streaming {
       s, runToMemory(s, sketch, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A44: streaming hot-key skew profile, online twin of B53 -------------
+  // The shuffle-sizing diagnostic as LIVE state: per-key running counts
+  // as a complete-mode aggregation (counts are linear in the input —
+  // A40's merge-is-sum argument — so after the stream drains the state
+  // equals the batch counts REGARDLESS of batch boundaries), with
+  // B53's log2 histogram computed batch-side over the sink — the same
+  // sketch-in-stream / extract-batch-side split as A33/A40. A live
+  // deployment reads the current skew profile after any trigger: the
+  // signal that tells an operator to re-dial salting/caps WHILE the
+  // hot key is forming, not after the nightly batch job finds it.
+  // Full hash oracle ≡ B53's SQL (shared constant).
+  val keySkewFeed = QueryDef.oracled(
+    "stream_key_skew", graft.queries.Analytics.keySkewOracle) { (s, d) =>
+    val counts = eventStream(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    graft.queries.Analytics.keySkewRows(
+      runToMemory(s, counts, OutputMode.Complete, needsNoDataBatch = false))
+  }
+
   // --- A41: streaming sequence packing, online twin of C14 -----------------
   // Documents arrive as a stream and receive their context-window
   // assignment THE MOMENT they arrive — the online half of the
@@ -1771,5 +1790,5 @@ object Streaming {
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
-    ewmaFeed, hourlySampleFeed)
+    ewmaFeed, hourlySampleFeed, keySkewFeed)
 }

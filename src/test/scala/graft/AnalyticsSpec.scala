@@ -443,4 +443,70 @@ class AnalyticsSpec extends AnyFunSuite {
       (r.getAs[String]("s_name"), r.getAs[Long]("numwait"))).toSeq
     assert(got == expected)
   }
+
+  test("events_cooccurrence equals a driver-side set replay") {
+    import org.apache.spark.sql.functions._
+    val ut = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val total = ut.map(_._2).distinct.length.toLong
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      both = (byType(a) & byType(b)).size.toLong if both > 0
+    } yield (a, b) -> ((both, byType(a).size.toLong, byType(b).size.toLong,
+      both.toDouble / (byType(a).size + byType(b).size - both),
+      (both * total).toDouble / (byType(a).size.toLong * byType(b).size)))).toMap
+    val got = SparkEntry.queries("events_cooccurrence")(spark, sf).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("lift")))).toMap
+    assert(got == expected, s"co-occurrence diverges: ${got.size} vs ${expected.size}")
+  }
+
+  test("events_mad_anomalies: flags exactly the > 4 MAD hours, robust to spikes") {
+    import org.apache.spark.sql.functions._
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    def medianD(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val idx = 0.5 * (n - 1); val lo = s(idx.toInt)
+      if (idx == idx.floor) lo else lo + (s(idx.toInt + 1) - lo) * (idx - idx.floor)
+    }
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val med = medianD(rows.map(_._3.toDouble).toSeq)
+      val mad = medianD(rows.map(r => math.abs(r._3.toDouble - med)).toSeq)
+      val floor = math.max(mad, 0.5)
+      rows.filter(r => math.abs(r._3.toDouble - med) > 4 * floor)
+        .map(r => (t, r._2) -> ((r._3, med, mad, (r._3.toDouble - med) / floor)))
+    }.toMap
+    val got = SparkEntry.queries("events_mad_anomalies")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("hour")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("med"),
+          r.getAs[Double]("mad"), r.getAs[Double]("score")))).toMap
+    assert(got == expected, s"MAD anomaly rows diverge: ${got.size} vs ${expected.size}")
+  }
+
+  test("events_session_bounce: rollup consistent with events_sessionize") {
+    // B10's oracled session table is the ground truth for counts/depths;
+    // B57 must roll up to the same session population
+    val sessions = SparkEntry.queries("events_sessionize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_events"))
+    val got = SparkEntry.queries("events_session_bounce")(spark, sf).collect()
+    val nSessions = got.map(_.getAs[Long]("n_sessions")).sum
+    val nBounces = got.map(_.getAs[Long]("n_bounces")).sum
+    val nEvents = got.map(_.getAs[Long]("n_events")).sum
+    assert(nSessions == sessions.length, "session count diverges from B10")
+    assert(nBounces == sessions.count(_ == 1L), "bounce count diverges from B10")
+    assert(nEvents == sessions.sum, "event mass diverges from B10")
+    got.foreach { r =>
+      assert(r.getAs[Double]("bounce_rate") ==
+        r.getAs[Long]("n_bounces").toDouble / r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Double]("avg_depth") ==
+        r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_sessions"))
+    }
+  }
 }

@@ -469,4 +469,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ids.distinct.length == ids.length, s"query $q dup picks")
     }
   }
+
+  test("knn_classify: majority vote of the brute-force neighbor labels") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r => labels(r.getAs[Long]("neighbor_id")))).toMap
+    val expected = nn.map { case (q, ls) =>
+      val (pred, votes) = ls.groupBy(identity).view.mapValues(_.length)
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      q -> ((labels(q), pred, votes.toLong, pred == labels(q)))
+    }
+    val got = SparkEntry.queries("knn_classify")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Int]("true_label"), r.getAs[Int]("pred_label"),
+          r.getAs[Long]("n_votes"), r.getAs[Boolean]("correct")))).toMap
+    assert(got == expected, s"classification diverges: $got vs $expected")
+  }
 }

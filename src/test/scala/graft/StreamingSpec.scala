@@ -642,4 +642,27 @@ class StreamingSpec extends AnyFunSuite {
     // emission rule: everything shown clears n/k
     assert(out.forall(_.getAs[Long]("est_count") > 3000L / 8))
   }
+
+  test("stream_key_skew equals the batch histogram regardless of batch boundaries") {
+    // counts are linear in the input (merge = sum), so the drained
+    // complete-mode state must equal B53's batch profile exactly
+    val batch = SparkEntry.queries("events_key_skew")(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_cnt"), r.getAs[Long]("max_cnt"),
+          r.getAs[Double]("share")))).toMap
+    val stream = SparkEntry.queries("stream_key_skew")(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("min_cnt"), r.getAs[Long]("max_cnt"),
+          r.getAs[Double]("share")))).toMap
+    assert(stream == batch, s"skew profile diverges: $stream vs $batch")
+    // histogram invariants: buckets partition the key mass
+    assert(batch.values.map(_._1).sum > 0)
+    batch.foreach { case (b, (_, _, mn, mx, _)) =>
+      assert(mn <= mx && java.lang.Long.toBinaryString(mn).length == b
+        && java.lang.Long.toBinaryString(mx).length == b,
+        s"bucket $b bounds [$mn, $mx] outside its bit-length class")
+    }
+  }
 }

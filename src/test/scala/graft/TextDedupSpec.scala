@@ -241,6 +241,32 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_dup_sources equals a driver-side replay of the staged cluster map") {
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cl = graft.queries.Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val bySrcTotal = srcOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val clusterSources = cl.groupBy(_._2).view
+      .mapValues(_.map(p => srcOf(p._1)).toSet).toMap
+    val dupBySrc = cl.groupBy(p => srcOf(p._1))
+    val expected = bySrcTotal.map { case (src, nDocs) =>
+      val members = dupBySrc.getOrElse(src, Array.empty[(Long, Long)])
+      val nDup = members.length.toLong
+      src -> ((nDocs, nDup,
+        members.count(p => p._1 != p._2).toLong,
+        members.count(p => clusterSources(p._2).size > 1).toLong,
+        nDup.toDouble / nDocs))
+    }
+    val got = SparkEntry.queries("corpus_dup_sources")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("n_cross_source"),
+          r.getAs[Double]("dup_rate")))).toMap
+    assert(got == expected, s"dup-source report diverges:\n$got\nvs\n$expected")
+  }
+
   test("tau=0.8 embedding dedup (16x16 bands): exact on planted dups, sharper pruning") {
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
