@@ -2175,6 +2175,142 @@ object Analytics {
       .orderBy(col("entry_type"))
   }
 
+  // --- B58: daily event-mix drift (round 12) ---------------------------------
+  // Data-drift monitoring for the event stream — the check a training
+  // pipeline runs before trusting "today's data looks like the
+  // corpus": per day, the total-variation distance between that day's
+  // event-type distribution and the corpus-wide one. D18's
+  // exact-integer TVD idiom on the time axis:
+  //   TVD_d = [Σ_present |c·M − m·N_d| + (M − Σ_present m)·N_d] / (2·N_d·M)
+  // — the numerator is pure DECIMAL(38,0) integer arithmetic (types
+  // absent from a day contribute their full global mass via the
+  // closed-form (M − Σ_present m)·N_d term, so the join only touches
+  // types the day actually has), and tvd is ONE double divide.
+  //
+  // Scale (100 TB): the corpus is touched ONCE — the (day, type)
+  // rollup is map-side combinable and localCheckpointed for its three
+  // consumers (global totals, daily totals, the drift join). Everything
+  // after runs on |days|·|types| rows; global totals broadcast.
+  /** The B58 oracle — shared verbatim by the streaming twin A45
+    * (complete-mode counts drain to the same totals regardless of
+    * batch boundaries).
+    */
+  private[graft] val mixDriftOracle: String =
+    """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+      |             count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS m FROM c GROUP BY 1),
+      |mm AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM m),
+      |nd AS (SELECT day, CAST(sum(c) AS BIGINT) AS nd, count(*) AS n_types
+      |       FROM c GROUP BY 1),
+      |j AS (SELECT c.day,
+      |        sum(abs(CAST(c.c AS HUGEINT) * mm.mm
+      |                - CAST(m.m AS HUGEINT) * nd.nd)) AS sp,
+      |        CAST(sum(m.m) AS BIGINT) AS mp
+      |      FROM c JOIN m USING (event_type) JOIN nd USING (day)
+      |           CROSS JOIN mm
+      |      GROUP BY 1)
+      |SELECT nd.day, nd.nd AS n_events, nd.n_types,
+      |  CAST(j.sp + CAST(mm.mm - j.mp AS HUGEINT) * nd.nd AS DOUBLE)
+      |    / CAST(CAST(2 AS HUGEINT) * nd.nd * mm.mm AS DOUBLE) AS tvd
+      |FROM nd JOIN j USING (day) CROSS JOIN mm
+      |ORDER BY day""".stripMargin
+
+  /** The drift computation over a `(day, event_type, c)` count frame —
+    * B58's body after its one corpus-scale groupBy, shared with the A45
+    * streaming twin (whose counts come from the complete-mode sink).
+    */
+  private[graft] def mixDriftRows(counts: DataFrame): DataFrame = {
+    val c = counts.localCheckpoint() // tiny |days|·|types| frame, 3 consumers
+    val m = c.groupBy(col("event_type")).agg(sum(col("c")).cast("long").as("m"))
+    val mm = m.agg(sum(col("m")).cast("long").as("mm"))
+    val nd = c.groupBy(col("day"))
+      .agg(sum(col("c")).cast("long").as("nd"), count(lit(1)).as("n_types"))
+    val cD = col("c").cast("decimal(38,0)") * col("mm")
+    val mD = col("m").cast("decimal(38,0)") * col("nd")
+    val agg = c.join(broadcast(m), Seq("event_type"))
+      .join(nd, Seq("day"))
+      .crossJoin(broadcast(mm))
+      .groupBy(col("day"))
+      .agg(first(col("nd")).as("nd"), first(col("n_types")).as("n_types"),
+        first(col("mm")).as("mm"),
+        sum(abs(cD - mD)).as("sp"), sum(col("m")).as("mp"))
+    val den = col("nd").cast("decimal(38,0)") * col("mm") * 2
+    agg.select(col("day"), col("nd").as("n_events"), col("n_types"),
+      ((col("sp") + (col("mm") - col("mp")).cast("decimal(38,0)") * col("nd"))
+        .cast("double") / den.cast("double")).as("tvd"))
+      .orderBy(col("day"))
+  }
+
+  val eventsMixDrift = QueryDef.oracled(
+    "events_mix_drift", mixDriftOracle) { (s, d) =>
+    mixDriftRows(Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  // --- B59: monthly open-order backlog (round 12) ----------------------------
+  // The fulfillment time series ops dashboards live on: per month, how
+  // many orders were placed, how many fully shipped (month of the
+  // order's LAST lineitem ship), and the running backlog of orders
+  // still open at month end. An order with no shipped lineitem rows
+  // stays open to the end of the axis (never enters n_closed).
+  //
+  // Scale (100 TB): the one corpus-scale job is the per-order
+  // max-shipdate groupBy on lineitem (map-side combinable, one
+  // shuffle); orders join it o_orderkey-keyed, and that orders-sized
+  // (key, 2 months) frame is localCheckpointed for its three tiny
+  // consumers (opened rollup, closed rollup, axis bounds). The month
+  // axis is ≤ a few hundred rows, so its densifying explode and the
+  // single-partition cumulative window are free — no corpus-scale
+  // global sort anywhere.
+  val ordersBacklog = QueryDef.oracled(
+    "orders_backlog",
+    """WITH ls AS (SELECT l_orderkey,
+      |             date_trunc('month', max(l_shipdate)) AS cm
+      |           FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey, date_trunc('month', o_orderdate) AS om, ls.cm
+      |      FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey),
+      |op AS (SELECT om AS month, count(*) AS n_opened FROM o GROUP BY 1),
+      |cl AS (SELECT cm AS month, count(*) AS n_closed FROM o
+      |       WHERE cm IS NOT NULL GROUP BY 1),
+      |ax AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+      |       FROM (SELECT min(om) AS mn, greatest(max(om), max(cm)) AS mx
+      |             FROM o)),
+      |j AS (SELECT ax.month,
+      |        CAST(coalesce(op.n_opened, 0) AS BIGINT) AS n_opened,
+      |        CAST(coalesce(cl.n_closed, 0) AS BIGINT) AS n_closed
+      |      FROM ax LEFT JOIN op USING (month) LEFT JOIN cl USING (month))
+      |SELECT month, n_opened, n_closed,
+      |  CAST(sum(n_opened - n_closed) OVER (ORDER BY month
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+      |FROM j ORDER BY month""".stripMargin) { (s, d) =>
+    val ls = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ms"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("om"))
+      .join(ls.select(col("l_orderkey").as("o_orderkey"),
+        date_trunc("month", col("ms")).as("cm")), Seq("o_orderkey"), "left")
+      .localCheckpoint() // one key shuffle; three tiny consumers
+    val opened = o.groupBy(col("om").as("month"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = o.filter(col("cm").isNotNull)
+      .groupBy(col("cm").as("month")).agg(count(lit(1)).as("n_closed"))
+    val axis = o.agg(min(col("om")).as("mn"),
+        greatest(max(col("om")), max(col("cm"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 month"))).as("month"))
+    // single-partition window over the ≤ few-hundred-row month axis
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(opened, Seq("month"), "left")
+      .join(closed, Seq("month"), "left")
+      .na.fill(0L, Seq("n_opened", "n_closed"))
+      .withColumn("backlog", sum(col("n_opened") - col("n_closed")).over(w))
+      .orderBy(col("month"))
+  }
+
   // --- B37: event-type transition matrix -----------------------------------
   // First-order Markov structure of user behavior: for every consecutive
   // pair of events by the SAME user, count (from_type → to_type) and the
@@ -2412,6 +2548,97 @@ object Analytics {
       .orderBy(col("hour_of_day"), col("event_type"))
   }
 
+  // --- B60: customer cohort LTV matrix (round 12) ---------------------------
+  // The retention-revenue report every subscription/commerce warehouse
+  // materializes: customers cohorted by FIRST-order month, revenue and
+  // activity tracked at each month offset since the cohort — the
+  // triangle a growth team reads LTV curves off. B16's retention idea
+  // (cohort × offset grid) applied to the orders fact with exact money.
+  //
+  // Scale (100 TB): two shuffles, both on o_custkey — the first-order
+  // groupBy (map-side combinable min) and the self-join back; the
+  // (cohort, offset) rollup's distinct-count is Spark's standard
+  // two-phase expand, keyed by a grid that is at most |months|²/2 ≈
+  // 3.2k groups. Money accumulates in DECIMAL(18,2) (the q1/q18
+  // idiom), month offsets are exact integers on month-truncated dates.
+  val cohortLtv = QueryDef.oracled(
+    "customer_cohort_ltv",
+    """WITH fo AS (SELECT o_custkey,
+      |             min(date_trunc('month', o_orderdate)) AS cohort
+      |           FROM orders GROUP BY 1),
+      |j AS (SELECT fo.cohort,
+      |        date_diff('month', fo.cohort,
+      |                  date_trunc('month', o.o_orderdate)) AS month_offset,
+      |        o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      |      FROM orders o JOIN fo USING (o_custkey))
+      |SELECT cohort, month_offset,
+      |  count(DISTINCT o_custkey) AS n_active,
+      |  count(*) AS n_orders,
+      |  CAST(sum(rev) AS DOUBLE) AS revenue
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).as("om"),
+      col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val fo = o.groupBy(col("o_custkey")).agg(min(col("om")).as("cohort"))
+    o.join(fo, Seq("o_custkey"))
+      .select(col("cohort"),
+        months_between(col("om"), col("cohort")).cast("long")
+          .as("month_offset"),
+        col("o_custkey"), col("rev"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("cohort"), col("month_offset"))
+  }
+
+  // --- B61: inter-order gap profile (round 12) ------------------------------
+  // Purchase-frequency segmentation: per repeat customer, the gaps in
+  // days between consecutive orders (min / max / mean) — the
+  // replenishment-cycle signal a churn model thresholds (a customer
+  // whose current silence exceeds their own historical max gap is the
+  // churn candidate, not one crossing a global cutoff). B43's Recency
+  // gives the LAST gap only; this is the full gap distribution per key.
+  //
+  // Scale (100 TB): ONE hash shuffle on o_custkey — the lag window and
+  // the per-customer rollup share the same clustering, so Catalyst
+  // plans a single Exchange+Sort and the aggregate is map-side-free but
+  // key-local. Gaps are exact integer day diffs on date-typed order
+  // days; mean is ONE double divide by the exact gap count.
+  val orderGaps = QueryDef.oracled(
+    "customer_order_gaps",
+    """WITH g AS (SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap
+      |  FROM orders)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_days,
+      |  CAST(sum(gap) AS DOUBLE) / (count(*) - 1) AS mean_gap_days
+      |FROM g GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("gap")).as("min_gap_days"),
+        max(col("gap")).as("max_gap_days"),
+        sum(col("gap")).as("tot_gap"))
+      .filter(col("n_orders") >= 2)
+      .select(col("o_custkey"), col("n_orders"),
+        col("min_gap_days"), col("max_gap_days"),
+        (col("tot_gap").cast("double") / (col("n_orders") - 1))
+          .as("mean_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -2423,5 +2650,5 @@ object Analytics {
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
     eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
     eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
-    eventsBounce)
+    eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps)
 }

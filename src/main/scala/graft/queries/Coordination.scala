@@ -884,6 +884,83 @@ object Coordination {
         col("valid_to").isNull.as("is_current"))
   }
 
+  // --- A46: TTL-expiring KV snapshot (Cassandra per-cell row TTL) ----------
+  // The reference's storage tier is Cassandra, whose defining retention
+  // primitive is the per-write TTL (`USING TTL` on every INSERT the
+  // plugin issues) — a row vanishes from reads once its last write is
+  // older than the TTL. Replayed over the changelog: the compacted
+  // snapshot (A1) restricted to keys whose LAST write is still inside
+  // the TTL window at log end, each row carrying its expiry instant.
+  // The session-cache / presence-table view of the KV log, distinct
+  // from the election liveness TTL (that one gates per-RENEWAL gaps;
+  // this one expires the materialized ROW).
+  //
+  // Scale (100 TB): unlike A1's window, the last-write pick here is a
+  // groupBy max(struct(ts, event_id, value)) — map-side combinable, so
+  // the one (namespace, key) shuffle moves per-key partials, not the
+  // changelog (and the same agg IS the streaming twin's state update).
+  // Log-end T comes from the last-write frame itself (each event
+  // belongs to some key, so the per-key max preserves the global max);
+  // the keys-sized frame is checkpointed for its two consumers.
+  // Liveness is integer microsecond arithmetic — exact, codegen'd.
+
+  /** Default row TTL for the expiring snapshot — one day of event
+    * time (the changelog spans 30 days; 1d keeps a nontrivial live
+    * set at every SF, probed: 273/750 keys at sf0.01).
+    */
+  val KvRowTtlMicros = 86400L * 1000000L
+
+  private[graft] def kvTtlOracleFor(ttlUs: Long): String =
+    s"""WITH ranked AS (
+      |  SELECT event_type AS namespace, user_id AS key, value, ts,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |t AS (SELECT max(ts) AS mt FROM events)
+      |SELECT namespace, key, value, ts,
+      |       epoch_us(ts) + CAST($ttlUs AS BIGINT) AS expires_us
+      |FROM ranked, t
+      |WHERE rn = 1 AND epoch_us(ts) + CAST($ttlUs AS BIGINT) > epoch_us(mt)
+      |ORDER BY namespace, key""".stripMargin
+
+  /** The A46 oracle — shared verbatim by the streaming twin A47
+    * (last-write state is a max, so the drained state equals the
+    * batch pick regardless of batch boundaries).
+    */
+  private[graft] val kvTtlOracle: String = kvTtlOracleFor(KvRowTtlMicros)
+
+  /** The last-write-per-key aggregation shared by A46 and its
+    * streaming twin: max over (ts, event_id, value) structs — the
+    * latest-wins rule as a map-side-combinable aggregate (event_id is
+    * unique, so the struct order never reaches the value field).
+    */
+  private[graft] def lastWrites(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("namespace"), col("user_id").as("key"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("lw"))
+      .select(col("namespace"), col("key"),
+        col("lw.value").as("value"), col("lw.ts").as("ts"))
+
+  /** A46's expiry filter over a `(namespace, key, value, ts)`
+    * last-write frame — shared with the streaming twin, whose frame
+    * comes from the drained complete-mode sink.
+    */
+  private[graft] def kvTtlRows(lw0: DataFrame, ttlUs: Long): DataFrame = {
+    val lw = lw0.localCheckpoint() // keys-sized; two consumers
+    val t = lw.agg(max(col("ts")).as("mt"))
+    lw.crossJoin(broadcast(t))
+      .filter(unix_micros(col("ts")) + lit(ttlUs) > unix_micros(col("mt")))
+      .select(col("namespace"), col("key"), col("value"), col("ts"),
+        (unix_micros(col("ts")) + lit(ttlUs)).as("expires_us"))
+      .orderBy(col("namespace"), col("key"))
+  }
+
+  def kvTtlSnapshotTtl(ttlUs: Long): QueryDef = QueryDef.oracled(
+    "kv_ttl_snapshot", kvTtlOracleFor(ttlUs)) { (s, d) =>
+    kvTtlRows(lastWrites(ev(s, d)), ttlUs)
+  }
+  val kvTtlSnapshot = kvTtlSnapshotTtl(KvRowTtlMicros)
+
   /** All TTL-sensitive A-family queries at a caller-chosen TTL — the
     * reference's `le.renew.ttl.period.ms` knob applied across the whole
     * replay surface at once (each entry keeps its canonical name, so a
@@ -899,5 +976,5 @@ object Coordination {
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
     kvStorageReplay, groupMembershipLeave, leaderElectionResign,
-    leaderChangeFeed, kvStorageFeed, groupChangeFeed, kvScd2)
+    leaderChangeFeed, kvStorageFeed, groupChangeFeed, kvScd2, kvTtlSnapshot)
 }

@@ -408,7 +408,48 @@ object Multimodal {
       .orderBy(col("stream"), col("shard_seq"))
   }
 
+  // --- F8: payload-size profile per format (round 12) ------------------------
+  // B53's log2-histogram idea in asset space: per media format, the
+  // payload-size distribution as bit-length buckets (bucket = bit
+  // length of n_bytes — exact INTEGER arithmetic at every
+  // power-of-two boundary, no float log), with per-bucket item count,
+  // byte mass, min/max, and the bucket's byte share WITHIN its format.
+  // This is the profile F7's shard sizing and a decode batcher's
+  // memory budget presuppose — a fat high bucket says "these assets
+  // need their own shard stream / batch size", and it must come from
+  // METADATA, not a payload read.
+  //
+  // Scale (100 TB): one map-side-combinable groupBy over a 2-column
+  // projection (format, n_bytes) — the payload column is never read
+  // (ReadSchema excludes it); the histogram collapses to
+  // ≤ |formats|·64 rows and the share window runs over those.
+  val sizeProfile = QueryDef.oracled(
+    "media_size_profile",
+    """WITH t AS (SELECT 'media/' || source AS format,
+      |             CAST(strlen(text) AS BIGINT) AS nb
+      |           FROM documents),
+      |h AS (SELECT format, CAST(length(bin(nb)) AS INTEGER) AS bucket,
+      |        count(*) AS n_items, CAST(sum(nb) AS BIGINT) AS total_bytes,
+      |        min(nb) AS min_bytes, max(nb) AS max_bytes
+      |      FROM t GROUP BY 1, 2)
+      |SELECT format, bucket, n_items, total_bytes, min_bytes, max_bytes,
+      |  CAST(total_bytes AS DOUBLE)
+      |    / CAST(sum(total_bytes) OVER (PARTITION BY format) AS BIGINT)
+      |    AS share
+      |FROM h ORDER BY format, bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(concat(lit("media/"), col("source")).as("format"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .groupBy(col("format"), length(bin(col("nb"))).as("bucket"))
+      .agg(count(lit(1)).as("n_items"), sum(col("nb")).as("total_bytes"),
+        min(col("nb")).as("min_bytes"), max(col("nb")).as("max_bytes"))
+      .withColumn("share", col("total_bytes").cast("double")
+        / sum(col("total_bytes")).over(Window.partitionBy(col("format"))))
+      .orderBy(col("format"), col("bucket"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(mediaFeatures, mediaFrames, mediaDedup, mediaPhash, mediaKeepers,
-      captionPairs, shardManifest)
+      captionPairs, shardManifest, sizeProfile)
 }

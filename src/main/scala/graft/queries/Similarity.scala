@@ -426,6 +426,59 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  // --- E21: label-affinity matrix over centroids (round 12) -----------------
+  // E20's eval sibling at the class level: the cosine between every
+  // pair of LABEL CENTROIDS — the separation report that says whether
+  // the embedding space keeps classes apart at all (near-1.0
+  // off-diagonal affinities = k-NN probes can't work, retrain).
+  // Rides E4's centroid computation (vector_avg — map-side-combined
+  // buffers), localCheckpointed so the pair self-join reads the
+  // |labels|-row materialization instead of re-aggregating the corpus
+  // twice; the |labels|² pair grid is driver-trivial. cos_micro is the
+  // E4 micro-unit BIGINT idiom (sidesteps float→string formatting;
+  // the strict double fold is bit-identical in both engines per E4's
+  // exactness argument, and micro-rounding absorbs sub-1e-6 noise).
+  val labelAffinity = QueryDef.oracled(
+    "embedding_label_affinity",
+    s"""WITH u AS (
+      |  SELECT label, unnest(embedding) AS x,
+      |         generate_subscripts(embedding, 1) AS ord
+      |  FROM embeddings),
+      |m AS (SELECT label, ord, sum(CAST(x AS DOUBLE)) / count(*) AS c
+      |      FROM u GROUP BY 1, 2),
+      |g AS (SELECT label, list(c ORDER BY ord) AS centroid FROM m GROUP BY label),
+      |n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        ${cosSql("a.centroid", "b.centroid")} AS cos
+      |      FROM g a JOIN g b ON a.label < b.label)
+      |SELECT p.label_a, p.label_b,
+      |  na.n_vectors AS n_a, nb.n_vectors AS n_b,
+      |  CAST(round(p.cos * 1000000) AS BIGINT) AS cos_micro
+      |FROM p JOIN n na ON na.label = p.label_a
+      |       JOIN n nb ON nb.label = p.label_b
+      |WHERE NOT isnan(p.cos)
+      |ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+    val c = centroidsRaw(s, d).localCheckpoint() // |labels| rows, 2 branches
+    val a = c.select(col("label").as("label_a"), col("centroid").as("ca"),
+      col("n_vectors").as("n_a"))
+    val b = c.select(col("label").as("label_b"), col("centroid").as("cb"),
+      col("n_vectors").as("n_b"))
+    // centroids are array<double> — the strict HOF fold (not the
+    // float-input CosineSim kernel), matching the oracle's list_reduce
+    // op order exactly
+    val cos = expr(
+      """aggregate(zip_with(ca, cb, (x, y) -> x * y), CAST(0.0 AS DOUBLE),
+        |  (acc, v) -> acc + v)
+        |/ (sqrt(aggregate(ca, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))
+        | * sqrt(aggregate(cb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)))""".stripMargin)
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("cos", cos)
+      .filter(!isnan(col("cos")))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        expr("CAST(round(cos * 1000000) AS BIGINT)").as("cos_micro"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   // --- E5: int8-quantized brute force (the memory/bandwidth dial) ---------
   // Corpus stored 4× smaller (array<tinyint>); scoring is pure integer
   // dot/norm accumulation (CosineSimI8). At 100 TB this is the
@@ -1676,5 +1729,5 @@ object Similarity {
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering, hybrid, mmr, classify)
+    binary, clustering, hybrid, mmr, classify, labelAffinity)
 }

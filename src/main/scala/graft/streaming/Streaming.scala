@@ -1692,6 +1692,44 @@ object Streaming {
       runToMemory(s, counts, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A45: streaming event-mix drift, online twin of B58 ------------------
+  // Data-drift monitoring as LIVE state: complete-mode (day, type)
+  // running counts (linear in the input — the A40/A44 merge-is-sum
+  // argument, so the drained state equals the batch counts regardless
+  // of batch boundaries), with B58's exact-integer TVD computed
+  // batch-side over the sink. A live deployment reads today's drift
+  // against the corpus after any trigger — the "is today's data
+  // weird?" gate evaluated WHILE the day is still ingesting, not in
+  // tomorrow's batch report. Full hash oracle ≡ B58's SQL (shared
+  // constant).
+  val mixDriftFeed = QueryDef.oracled(
+    "stream_mix_drift", graft.queries.Analytics.mixDriftOracle) { (s, d) =>
+    val counts = eventStream(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    graft.queries.Analytics.mixDriftRows(
+      runToMemory(s, counts, OutputMode.Complete, needsNoDataBatch = false))
+  }
+
+  // --- A47: streaming TTL KV snapshot, online twin of A46 ------------------
+  // Cassandra's per-write row TTL as LIVE state: complete-mode
+  // last-write-per-key (max over (ts, event_id, value) structs — merge
+  // is max, so the drained state equals the batch pick REGARDLESS of
+  // batch boundaries, the A40/A44 argument for an order statistic),
+  // with A46's expiry filter computed batch-side over the sink. A live
+  // deployment reads the CURRENT unexpired keyspace after any trigger
+  // — the session-cache view while sessions are still forming, where
+  // batch A46 is the nightly compaction's answer. Full hash oracle
+  // ≡ A46's SQL (shared constant).
+  val kvTtlFeed = QueryDef.oracled(
+    "stream_kv_ttl", graft.queries.Coordination.kvTtlOracle) { (s, d) =>
+    graft.queries.Coordination.kvTtlRows(
+      runToMemory(s,
+        graft.queries.Coordination.lastWrites(eventStream(s, d)),
+        OutputMode.Complete, needsNoDataBatch = false),
+      graft.queries.Coordination.KvRowTtlMicros)
+  }
+
   // --- A41: streaming sequence packing, online twin of C14 -----------------
   // Documents arrive as a stream and receive their context-window
   // assignment THE MOMENT they arrive — the online half of the
@@ -1790,5 +1828,5 @@ object Streaming {
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
-    ewmaFeed, hourlySampleFeed, keySkewFeed)
+    ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed)
 }

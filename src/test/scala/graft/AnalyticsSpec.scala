@@ -490,6 +490,76 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expected, s"MAD anomaly rows diverge: ${got.size} vs ${expected.size}")
   }
 
+  test("orders_backlog equals a driver-side open/close fold") {
+    import org.apache.spark.sql.functions._
+    // timestamp_ntz columns collect as LocalDateTime; tz ones as Timestamp
+    def month(v: Any): (Int, Int) = v match {
+      case t: java.sql.Timestamp =>
+        val ld = t.toLocalDateTime; (ld.getYear, ld.getMonthValue)
+      case ld: java.time.LocalDateTime => (ld.getYear, ld.getMonthValue)
+    }
+    val lastShip = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("ms"))
+      .collect().map(r => r.getLong(0) -> month(r.get(1))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0), month(r.get(1))))
+    val got = SparkEntry.queries("orders_backlog")(spark, sf).collect()
+      .map(r => month(r.get(r.fieldIndex("month"))) ->
+        ((r.getAs[Long]("n_opened"), r.getAs[Long]("n_closed"),
+          r.getAs[Long]("backlog"))))
+    // axis is dense and ordered
+    assert(got.map(_._1).toSeq.sliding(2).forall {
+      case Seq((y1, m1), (y2, m2)) => y2 * 12 + m2 == y1 * 12 + m1 + 1
+      case _ => true
+    }, "month axis not dense")
+    // totals and running identity
+    assert(got.map(_._2._1).sum == orders.length.toLong)
+    assert(got.map(_._2._2).sum == orders.count(o => lastShip.contains(o._1)).toLong)
+    var running = 0L
+    got.foreach { case (m, (op, cl, bl)) =>
+      val expOp = orders.count(_._2 == m).toLong
+      val expCl = orders.count(o => lastShip.get(o._1).contains(m)).toLong
+      assert(op == expOp && cl == expCl, s"month $m opened/closed diverge")
+      running += op - cl
+      assert(bl == running, s"month $m backlog $bl != running $running")
+      assert(bl >= 0, s"month $m negative backlog")
+    }
+  }
+
+  test("events_mix_drift equals a driver-side exact-TVD replay") {
+    import org.apache.spark.sql.functions._
+    val c = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val m = c.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mm = m.values.sum
+    val expected = c.groupBy(_._1).map { case (day, rows) =>
+      val nd = rows.map(_._3).sum
+      // BigInt replay of the DECIMAL(38,0) numerator
+      val sp = rows.map(r => (BigInt(r._3) * mm - BigInt(m(r._2)) * nd).abs).sum
+      val mp = rows.map(r => m(r._2)).sum
+      val tvd = (BigDecimal(sp + BigInt(mm - mp) * nd)
+        / BigDecimal(BigInt(2) * nd * mm)).toDouble
+      day -> ((nd, rows.length.toLong, tvd))
+    }
+    val got = SparkEntry.queries("events_mix_drift")(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("tvd")))).toMap
+    // the one float op is the final divide; the BigDecimal replay can
+    // differ in the last ulp from double/double division, so compare
+    // tvd to 1e-12 and the integer fields exactly
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (day, (nd, nt, tvd)) =>
+      val (end, ent, etvd) = expected(day)
+      assert(nd == end && nt == ent, s"day $day integer fields diverge")
+      assert(math.abs(tvd - etvd) < 1e-12, s"day $day tvd $tvd vs $etvd")
+      assert(tvd >= 0.0 && tvd <= 1.0, s"day $day tvd out of range")
+    }
+  }
+
   test("events_session_bounce: rollup consistent with events_sessionize") {
     // B10's oracled session table is the ground truth for counts/depths;
     // B57 must roll up to the same session population
@@ -507,6 +577,69 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getAs[Long]("n_bounces").toDouble / r.getAs[Long]("n_sessions"))
       assert(r.getAs[Double]("avg_depth") ==
         r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_sessions"))
+    }
+  }
+
+  test("customer_cohort_ltv equals a driver-side cohort fold") {
+    def month(d: java.time.LocalDateTime): (Int, Int) =
+      (d.getYear, d.getMonthValue)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        month(r.getAs[java.time.LocalDateTime]("o_orderdate")),
+        BigDecimal(r.getAs[Double]("o_totalprice"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val cohort = orders.groupBy(_._1).map { case (k, os) =>
+      k -> os.map(_._2).min
+    }
+    def off(c: (Int, Int), m: (Int, Int)): Long =
+      (m._1 - c._1) * 12L + (m._2 - c._2)
+    val expect = orders
+      .groupBy(o => (cohort(o._1), off(cohort(o._1), o._2)))
+      .map { case (k, os) =>
+        k -> ((os.map(_._1).distinct.length.toLong, os.length.toLong,
+          os.map(_._3).sum))
+      }
+    val got = SparkEntry.queries("customer_cohort_ltv")(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (month(r.getAs[java.sql.Timestamp]("cohort").toLocalDateTime),
+        r.getAs[Long]("month_offset"))
+      val (na, no, rev) = expect(k)
+      assert(r.getAs[Long]("n_active") == na, s"n_active at $k")
+      assert(r.getAs[Long]("n_orders") == no, s"n_orders at $k")
+      assert(r.getAs[Double]("revenue") == rev.toDouble, s"revenue at $k")
+    }
+    // offset-0 diagonal exists for every cohort and holds its full size
+    val byCohort = got.groupBy(_.getAs[java.sql.Timestamp]("cohort"))
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.exists(_.getAs[Long]("month_offset") == 0L),
+        s"cohort $c missing its own acquisition month")
+    }
+  }
+
+  test("customer_order_gaps equals a driver-side gap fold") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_orderkey").collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate.toEpochDay,
+        r.getAs[Long]("o_orderkey")))
+    val expect = orders.groupBy(_._1).collect {
+      case (k, os) if os.length >= 2 =>
+        val days = os.sortBy(o => (o._2, o._3)).map(_._2)
+        val gaps = days.sliding(2).map(w => w(1) - w(0)).toSeq
+        k -> ((os.length.toLong, gaps.min, gaps.max,
+          gaps.sum.toDouble / gaps.length))
+    }
+    val got = SparkEntry.queries("customer_order_gaps")(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val k = r.getAs[Long]("o_custkey")
+      val (no, mn, mx, mean) = expect(k)
+      assert(r.getAs[Long]("n_orders") == no, s"n_orders for $k")
+      assert(r.getAs[Long]("min_gap_days") == mn, s"min gap for $k")
+      assert(r.getAs[Long]("max_gap_days") == mx, s"max gap for $k")
+      assert(r.getAs[Double]("mean_gap_days") == mean, s"mean gap for $k")
     }
   }
 }

@@ -78,4 +78,35 @@ class CoordinationEdgeSpec extends AnyFunSuite {
     assert(members.keySet == Set(1L, 3L), s"got $members")
     assert(members(1L) == 7.0)
   }
+
+  test("kv_ttl_snapshot: strict expiry boundary, latest-wins tiebreak") {
+    val H = 3600L * 1000000L
+    val ttl = graft.queries.Coordination.KvRowTtlMicros // 24h
+    // log end T = T0+48h (key 1's write). Live iff last_write + ttl > T.
+    val dir = changelog(Seq(
+      (1L, T0 + 48 * H, 1L, "ns", 1.0),       // defines T; live
+      (2L, T0 + 24 * H, 2L, "ns", 2.0),       // expires exactly AT T: dead
+      (3L, T0 + 24 * H + 1, 3L, "ns", 3.0),   // 1µs inside: live
+      (10L, T0 + 47 * H, 4L, "ns", 5.0),      // same-ts pair: event_id
+      (11L, T0 + 47 * H, 4L, "ns", 6.0),      //   11 wins → value 6.0
+      (4L, T0, 5L, "ns", 9.0)))                // ancient: dead
+    val out = SparkEntry.queries("kv_ttl_snapshot")(spark, dir).collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Double]("value"), r.getAs[Long]("expires_us")))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L), s"live set wrong: $out")
+    assert(out(1L) == ((1.0, T0 + 48 * H + ttl)))
+    assert(out(3L) == ((3.0, T0 + 24 * H + 1 + ttl)))
+    assert(out(4L)._1 == 6.0, "latest-wins tiebreak lost on equal ts")
+  }
+
+  test("kv_ttl_snapshot: live set grows monotonically with the TTL") {
+    def keys(ttlUs: Long): Set[(String, Long)] =
+      graft.queries.Coordination.kvTtlSnapshotTtl(ttlUs).fn(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"))).toSet
+    val t1 = keys(graft.queries.Coordination.KvRowTtlMicros)
+    val t4 = keys(4 * graft.queries.Coordination.KvRowTtlMicros)
+    assert(t1.nonEmpty && t1.subsetOf(t4), "longer TTL must keep a superset")
+    assert(t4.size > t1.size, "4x TTL should revive some expired keys here")
+  }
 }

@@ -185,4 +185,30 @@ class MultimodalSpec extends AnyFunSuite {
     // the gate must be live in both directions on this corpus
     assert(rows.exists(_.getAs[Boolean]("pair_keep")))
   }
+
+  test("media_size_profile equals a driver-side histogram replay") {
+    val sizes = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => ("media/" + r.getString(0),
+        r.getString(1).getBytes("UTF-8").length.toLong))
+    val expected = sizes.groupBy { case (f, nb) =>
+      (f, java.lang.Long.toBinaryString(nb).length)
+    }.map { case ((f, b), xs) =>
+      (f, b) -> ((xs.length.toLong, xs.map(_._2).sum,
+        xs.map(_._2).min, xs.map(_._2).max))
+    }
+    val fmtBytes = sizes.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = SparkEntry.queries("media_size_profile")(spark, sf).collect()
+      .map { r =>
+        val f = r.getAs[String]("format")
+        val tb = r.getAs[Long]("total_bytes")
+        assert(r.getAs[Double]("share") == tb.toDouble / fmtBytes(f),
+          s"share mismatch for $f")
+        (f, r.getAs[Int]("bucket")) ->
+          ((r.getAs[Long]("n_items"), tb,
+            r.getAs[Long]("min_bytes"), r.getAs[Long]("max_bytes")))
+      }.toMap
+    assert(got == expected, s"size profile diverges: ${got.size} vs ${expected.size}")
+  }
 }

@@ -489,4 +489,38 @@ class SimilaritySpec extends AnyFunSuite {
           r.getAs[Long]("n_votes"), r.getAs[Boolean]("correct")))).toMap
     assert(got == expected, s"classification diverges: $got vs $expected")
   }
+
+  test("embedding_label_affinity equals a driver-side centroid-cosine replay") {
+    import org.apache.spark.sql.functions._
+    val byLabel = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def centroid(vs: Array[Array[Float]]): Array[Double] = {
+      val dim = vs.head.length
+      val s = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => s(i) += v(i)))
+      s.map(_ / vs.length)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = byLabel.view.mapValues(centroid).toMap
+    val labels = cents.keys.toSeq.sorted
+    val expected = (for {
+      a <- labels; b <- labels if a < b
+      c = cos(cents(a), cents(b)) if !c.isNaN
+    } yield (a, b) -> ((byLabel(a).length.toLong, byLabel(b).length.toLong,
+      math.round(c * 1000000)))).toMap
+    val got = SparkEntry.queries("embedding_label_affinity")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("cos_micro")))).toMap
+    assert(got.nonEmpty && got == expected,
+      s"label affinity diverges: $got vs $expected")
+  }
 }

@@ -665,4 +665,36 @@ class StreamingSpec extends AnyFunSuite {
         s"bucket $b bounds [$mn, $mx] outside its bit-length class")
     }
   }
+
+  test("stream_mix_drift equals the batch drift regardless of batch boundaries") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getAs[java.sql.Timestamp]("day") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+            r.getAs[Double]("tvd")))).toMap
+    val batch = rows("events_mix_drift")
+    val stream = rows("stream_mix_drift")
+    assert(stream == batch, s"drift feed diverges: $stream vs $batch")
+    assert(batch.nonEmpty && batch.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+  }
+
+  test("stream_kv_ttl equals the batch TTL snapshot regardless of batch boundaries") {
+    // last-write state is a max over (ts, event_id, value) structs —
+    // merge is max, so the drained complete-mode state must equal the
+    // batch pick exactly, whatever the file/batch split was
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key")) ->
+          ((r.getAs[Double]("value"), r.getAs[java.sql.Timestamp]("ts"),
+            r.getAs[Long]("expires_us")))).toMap
+    val batch = rows("kv_ttl_snapshot")
+    val stream = rows("stream_kv_ttl")
+    assert(stream == batch, s"TTL snapshot diverges: $stream vs $batch")
+    assert(batch.nonEmpty)
+    // expiry really is write-time + TTL
+    batch.values.foreach { case (_, ts, exp) =>
+      val us = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+      assert(exp == us + graft.queries.Coordination.KvRowTtlMicros)
+    }
+  }
 }

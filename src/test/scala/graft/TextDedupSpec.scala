@@ -801,6 +801,26 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("text_sentence_stats equals a driver-side regex replay") {
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val text = r.getString(1)
+        val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase).length.toLong
+        val swc = "[^.!?]+".r.findAllIn(text)
+          .map(s => "[a-z0-9]+".r.findAllIn(s.toLowerCase).length)
+          .filter(_ > 0).toSeq
+        r.getLong(0) -> ((swc.length.toLong, words,
+          if (swc.isEmpty) 0L else swc.max.toLong,
+          words.toDouble / math.max(swc.length, 1)))
+      }.toMap
+    val got = SparkEntry.queries("text_sentence_stats")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("max_sentence_words"),
+          r.getAs[Double]("words_per_sentence")))).toMap
+    assert(got == expected, s"sentence stats diverge (${got.size} docs)")
+  }
+
   test("winnowing guarantees: shared-substring detection and window coverage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -829,5 +849,58 @@ class TextDedupSpec extends AnyFunSuite {
           s"doc $doc window [$j, ${j + 3}] has no fingerprint")
       }
     }
+  }
+
+  test("text_coverage_curve equals a driver-side exact top-N mass sweep") {
+    val got = SparkEntry.queries("text_coverage_curve")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("vocab_size"))
+    assert(got.map(_.getAs[Int]("vocab_size")).toSeq ==
+      Seq(16, 64, 256, 1024, 4096))
+    val word = "[a-z0-9]+".r
+    val cnt = collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .foreach(r => word.findAllIn(r.getString(0).toLowerCase)
+        .foreach(w => cnt(w) = cnt.getOrElse(w, 0L) + 1L))
+    val total = cnt.values.sum
+    val sorted = cnt.toSeq.sortBy { case (t, n) => (-n, t) }
+    got.foreach { r =>
+      val n = r.getAs[Int]("vocab_size")
+      val cov = sorted.take(n).map(_._2).sum
+      assert(r.getAs[Long]("covered_tokens") == cov, s"covered at $n")
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("n_distinct") == cnt.size.toLong)
+      assert(r.getAs[Double]("coverage") == cov.toDouble / total)
+    }
+    // the curve is monotone and ends at (or below) full coverage
+    val covs = got.map(_.getAs[Double]("coverage")).toSeq
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b })
+    assert(covs.last <= 1.0 && covs.head > 0.0)
+  }
+
+  test("text_syllable_profile equals a driver-side vowel-run replay") {
+    val word = "[a-z0-9]+".r
+    val vowel = "[aeiouy]+".r
+    val expect = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val syl = word.findAllIn(r.getAs[String]("text").toLowerCase)
+          .map(w => math.max(1, vowel.findAllIn(w).length)).toSeq
+        r.getAs[Long]("doc_id") -> syl
+      }.toMap
+    val got = SparkEntry.queries("text_syllable_profile")(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val syl = expect(r.getAs[Long]("doc_id"))
+      val (nw, ns) = (syl.length.toLong, syl.map(_.toLong).sum)
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_syllables") == ns)
+      assert(r.getAs[Long]("n_mono") == syl.count(_ == 1).toLong)
+      assert(r.getAs[Long]("n_complex") == syl.count(_ >= 3).toLong)
+      assert(r.getAs[Double]("syllables_per_word") ==
+        ns.toDouble / math.max(nw, 1L))
+      assert(r.getAs[Double]("complex_share") ==
+        syl.count(_ >= 3).toDouble / math.max(nw, 1L))
+    }
+    // heuristic sanity: vowelless tokens still carry one syllable
+    assert(expect.values.forall(_.forall(_ >= 1)))
   }
 }
