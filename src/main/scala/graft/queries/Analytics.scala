@@ -324,30 +324,52 @@ object Analytics {
   // no explicit broadcast hints: AQE picks broadcast vs shuffle from the
   // measured stage size at runtime (a forced broadcast of a per-user
   // aggregate is a driver-OOM at 100× scale).
-  val eventsFunnel = QueryDef.oracled(
-    "events_funnel",
-    """WITH s AS (SELECT user_id, min(ts) AS t FROM events
+
+  /** Shared funnel stage chain (B11 counts / B62 latencies / A48 feed
+    * semantics): per user, the first signup, the first click strictly
+    * after it, the first purchase strictly after that. Every stage frame
+    * is a user_id-keyed aggregate, so the chain's joins are
+    * co-partitioned on the one clustering.
+    */
+  private[graft] def funnelStages(
+      events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // su feeds cl + the B62 signup→click join, cl feeds pu + BOTH B62
+    // joins: localCheckpoint the users-sized stage frames so each
+    // type-filtered corpus scan runs exactly once however many
+    // downstream consumers a caller wires up
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      .localCheckpoint()
+    val cl = events.filter(col("event_type") === "click")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .localCheckpoint()
+    val pu = events.filter(col("event_type") === "purchase")
+      .join(cl, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    (su, cl, pu)
+  }
+
+  /** The B11/B62 oracle's shared stage CTEs (chain of min-after joins). */
+  private[graft] val funnelStagesSql: String =
+    """s AS (SELECT user_id, min(ts) AS t FROM events
       |           WHERE event_type = 'signup' GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
       |      JOIN s ON e.user_id = s.user_id AND e.ts > s.t
       |      WHERE e.event_type = 'click' GROUP BY e.user_id),
       |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
       |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
-      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)""".stripMargin
+
+  val eventsFunnel = QueryDef.oracled(
+    "events_funnel",
+    s"""WITH $funnelStagesSql
       |SELECT (SELECT count(*) FROM s) AS n_signup,
       |       (SELECT count(*) FROM c) AS n_click_after,
       |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin) { (s, d) =>
-    val events = Tables.events(s, d)
-    val su = events.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
-    val cl = events.filter(col("event_type") === "click").as("e")
-      .join(su, Seq("user_id"))
-      .filter(col("ts") > col("t_signup"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val pu = events.filter(col("event_type") === "purchase").as("e")
-      .join(cl, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val (su, cl, pu) = funnelStages(Tables.events(s, d))
     su.agg(count(lit(1)).as("n_signup"))
       .crossJoin(cl.agg(count(lit(1)).as("n_click_after")))
       .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
@@ -2639,6 +2661,256 @@ object Analytics {
       .orderBy(col("o_custkey"))
   }
 
+  // --- B62: funnel stage latency profile (round 12) -------------------------
+  // B11 counts conversions; this reports HOW LONG they take — per stage
+  // transition (signup→click, click→purchase), the exact latency
+  // distribution: n, min/max, mean, p50/p90. The same min-after stage
+  // chain (shared `funnelStages`, so counts and latencies can never
+  // disagree); latencies are exact integer micros, the mean is one
+  // double divide, and p50/p90 ride Spark `percentile` ≡ DuckDB
+  // `quantile_cont` (both interpolate lower + (upper−lower)·frac at
+  // rank (n−1)·p over exact-integer inputs — the B12 argument, and
+  // lat_us < 2⁵³ so every input is an exact double).
+  //
+  // Scale (100 TB): each stage frame is a user_id-keyed aggregate of a
+  // type-filtered scan (filter pushed to parquet), so the chain's joins
+  // are co-partitioned on the one clustering; the union'd latency feed
+  // is ≤ 2·|converting users| rows and the final 2-group aggregate is
+  // map-side combinable (percentile buffers are per-group value→count
+  // maps, bounded by distinct latencies, not rows).
+  val funnelLatency = QueryDef.oracled(
+    "events_funnel_latency",
+    s"""WITH $funnelStagesSql,
+      |lat AS (
+      |  SELECT 'signup_to_click' AS stage,
+      |         epoch_us(c.t) - epoch_us(s.t) AS lat_us
+      |  FROM c JOIN s USING (user_id)
+      |  UNION ALL
+      |  SELECT 'click_to_purchase' AS stage,
+      |         epoch_us(p.t) - epoch_us(c.t) AS lat_us
+      |  FROM p JOIN c USING (user_id))
+      |SELECT stage, count(*) AS n_conversions,
+      |  min(lat_us) AS min_us, max(lat_us) AS max_us,
+      |  CAST(sum(lat_us) AS DOUBLE) / count(*) AS mean_us,
+      |  quantile_cont(lat_us, 0.5) AS p50_us,
+      |  quantile_cont(lat_us, 0.9) AS p90_us
+      |FROM lat GROUP BY stage ORDER BY stage""".stripMargin) { (s, d) =>
+    val (su, cl, pu) = funnelStages(Tables.events(s, d))
+    val s2c = cl.join(su, Seq("user_id"))
+      .select(lit("signup_to_click").as("stage"),
+        (unix_micros(col("t_click")) - unix_micros(col("t_signup")))
+          .as("lat_us"))
+    val c2p = pu.join(cl, Seq("user_id"))
+      .select(lit("click_to_purchase").as("stage"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+          .as("lat_us"))
+    s2c.unionAll(c2p)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"),
+        (sum(col("lat_us")).cast("double") / count(lit(1))).as("mean_us"),
+        expr("percentile(lat_us, 0.5)").as("p50_us"),
+        expr("percentile(lat_us, 0.9)").as("p90_us"))
+      .orderBy(col("stage"))
+  }
+
+  // --- B63: seasonality-adjusted anomalies (round 12) ------------------------
+  // B19/B56 score an hour against its trailing 24 — so a normal daily
+  // peak looks anomalous and a quiet 3am hour never can. This scores
+  // each (type, day, hour-of-day) cell against the SAME hour-of-day's
+  // distribution across all observed days (zeros included via the dense
+  // grid), flagging |z| ≥ 2 — "traffic weird FOR this time of day".
+  // B19's integer-sums z formula verbatim on the (type, hod) axis.
+  //
+  // Scale (100 TB): the corpus is touched once (map-side-combinable
+  // (type, day, hod) rollup, localCheckpointed for its three consumers);
+  // the dense grid is |types|·|days|·24 rows, the baseline |types|·24 —
+  // everything after the rollup is broadcast-sized.
+  val seasonalAnomalies = QueryDef.oracled(
+    "events_seasonal_anomalies",
+    """WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |             CAST(hour(ts) AS INT) AS hod, count(*) AS n
+      |           FROM events GROUP BY 1, 2, 3),
+      |days AS (SELECT DISTINCT day FROM c),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |grid AS (SELECT event_type, day, CAST(h.range AS INT) AS hod
+      |         FROM types CROSS JOIN days CROSS JOIN range(24) h),
+      |dense AS (SELECT g.event_type, g.day, g.hod,
+      |            coalesce(c.n, 0) AS n
+      |          FROM grid g LEFT JOIN c
+      |            ON g.event_type = c.event_type AND g.day = c.day
+      |               AND g.hod = c.hod),
+      |st AS (SELECT event_type, hod, count(*) AS d,
+      |         CAST(sum(n) AS BIGINT) AS s,
+      |         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+      |       FROM dense GROUP BY 1, 2),
+      |z AS (SELECT dense.event_type, dense.day, dense.hod, dense.n,
+      |        (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / d)
+      |        / sqrt(CAST(sq AS DOUBLE) / d
+      |               - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d))
+      |          AS zscore
+      |      FROM dense JOIN st USING (event_type, hod)
+      |      WHERE CAST(sq AS DOUBLE) / d
+      |            - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d) > 0)
+      |SELECT event_type, day, hod, n AS n_events, zscore
+      |FROM z WHERE abs(zscore) >= 2
+      |ORDER BY event_type, day, hod""".stripMargin) { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny |types|·|days|·24 bound, 3 consumers
+    val days = c.select(col("day")).distinct()
+    val types = c.select(col("event_type")).distinct()
+    val hods = s.range(24).select(col("id").cast("int").as("hod"))
+    val dense = types.crossJoin(days).crossJoin(hods)
+      .join(c, Seq("event_type", "day", "hod"), "left")
+      .select(col("event_type"), col("day"), col("hod"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val st = dense.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).cast("long").as("s"),
+        sum(col("n").cast(DecimalType(38, 0)) * col("n")).as("sq"))
+    val meanD = col("s").cast("double") / col("d")
+    val varD = col("sq").cast("double") / col("d") - meanD * meanD
+    dense.join(broadcast(st), Seq("event_type", "hod"))
+      .filter(varD > 0)
+      .withColumn("zscore", (col("n").cast("double") - meanD) / sqrt(varD))
+      .filter(abs(col("zscore")) >= 2)
+      .select(col("event_type"), col("day"), col("hod"),
+        col("n").as("n_events"), col("zscore"))
+      .orderBy(col("event_type"), col("day"), col("hod"))
+  }
+
+  // --- B64: daily-seasonality autocorrelation (round 12) ---------------------
+  // The seasonality-STRENGTH scalar B63's cell flags presuppose: per
+  // event type, the lag-24h Pearson autocorrelation of the dense hourly
+  // count series (missing hours count 0 — a gap is real silence, not
+  // missing data). r ≈ 1 means strong daily rhythm (B63's per-hod
+  // baseline is meaningful); r ≈ 0 means the type has no daily cycle
+  // and a seasonal baseline would just launder noise.
+  //
+  // Determinism: all six sufficient statistics are exact integers
+  // (DECIMAL(38,0) ≡ HUGEINT products — the C28 argument), and r is a
+  // fixed double tree over them: one divide of num by the product of
+  // two sqrt's — sqrt is one of IEEE 754's correctly-rounded basic ops
+  // (the C25 argument), so both engines emit the same bits.
+  //
+  // Scale (100 TB): one map-side-combinable (type, hour) rollup over
+  // the corpus; the dense axis, lag window, and sufficient-statistic
+  // rollup all run on |types|·|hours| rows (the window partitions by
+  // type — |types| parallel sorts of tiny series, no global sort).
+  val eventsAutocorr = QueryDef.oracled(
+    "events_autocorr",
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |             count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM c),
+      |ax AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |       FROM b),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |dense AS (SELECT t.event_type, ax.hour, coalesce(c.n, 0) AS x
+      |          FROM types t CROSS JOIN ax
+      |          LEFT JOIN c ON c.event_type = t.event_type
+      |                     AND c.hour = ax.hour),
+      |pairs AS (SELECT event_type, x,
+      |            lag(x, 24) OVER (PARTITION BY event_type
+      |                             ORDER BY hour) AS y
+      |          FROM dense),
+      |su AS (SELECT event_type, count(*) AS np,
+      |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |       FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT event_type, np AS n_pairs,
+      |  CASE WHEN CAST(np AS HUGEINT) * sxx - sx * sx > 0
+      |        AND CAST(np AS HUGEINT) * syy - sy * sy > 0 THEN
+      |    CAST(CAST(np AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(CAST(np AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(CAST(np AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+      |  END AS r_lag24
+      |FROM su ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dec38 = DecimalType(38, 0)
+    val c = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny |types|·|hours| frame, 3 consumers
+    val ax = c.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+    val types = c.select(col("event_type")).distinct()
+    val dense = types.crossJoin(ax)
+      .join(c, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val su = dense.withColumn("y", lag(col("x"), 24).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("x")).cast(dec38).as("sx"), sum(col("y")).cast(dec38).as("sy"),
+        sum(col("x").cast(dec38) * col("y")).as("sxy"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("y").cast(dec38) * col("y")).as("syy"))
+    val npD = col("np").cast(dec38)
+    val denx = npD * col("sxx") - col("sx") * col("sx")
+    val deny = npD * col("syy") - col("sy") * col("sy")
+    su.select(col("event_type"), col("np").as("n_pairs"),
+      when(denx > 0 && deny > 0,
+        (npD * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+        .as("r_lag24"))
+      .orderBy(col("event_type"))
+  }
+
+  // --- B65: supplier fulfillment lead time (round 12) ------------------------
+  // The procurement-side latency profile (the B62 idea in the supply
+  // chain): per supplier, the order-date → ship-date lead-time
+  // distribution across its lineitems — exact min/max/mean plus
+  // p50/p90 via the percentile ≡ quantile_cont identity on integer
+  // day counts (the B62/B12 argument; percentile's per-group state is
+  // a value→count map bounded by distinct lead values, ~thousands of
+  // days, regardless of row count).
+  //
+  // Scale (100 TB): the one fact-fact join (lineitem ⋈ orders on
+  // orderkey) shuffles both sides once — or zero times under the
+  // Bucketing dial, both facts bucketed by orderkey; the per-supplier
+  // rollup is the second map-side-combinable shuffle, and the supplier
+  // name join is broadcast.
+  val supplierLeadTime = QueryDef.oracled(
+    "supplier_lead_time",
+    """WITH lt AS (SELECT l_suppkey,
+      |             datediff('day', o_orderdate, l_shipdate) AS lead_days
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT s_suppkey, s_name, count(*) AS n_items,
+      |  min(lead_days) AS min_days, max(lead_days) AS max_days,
+      |  CAST(sum(lead_days) AS DOUBLE) / count(*) AS mean_days,
+      |  quantile_cont(lead_days, 0.5) AS p50_days,
+      |  quantile_cont(lead_days, 0.9) AS p90_days
+      |FROM lt JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val lt = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lead_days"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lead_days")).as("min_days"),
+        max(col("lead_days")).as("max_days"),
+        (sum(col("lead_days")).cast("double") / count(lit(1))).as("mean_days"),
+        expr("percentile(lead_days, 0.5)").as("p50_days"),
+        expr("percentile(lead_days, 0.9)").as("p90_days"))
+    lt.join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        col("min_days"), col("max_days"), col("mean_days"),
+        col("p50_days"), col("p90_days"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -2650,5 +2922,6 @@ object Analytics {
     eventsAttribution, eventsPivot, eventsSlidingWindow, userSample,
     eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
     eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
-    eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps)
+    eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps,
+    funnelLatency, seasonalAnomalies, eventsAutocorr, supplierLeadTime)
 }

@@ -642,4 +642,154 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("mean_gap_days") == mean, s"mean gap for $k")
     }
   }
+
+  /** Spark `percentile` interpolation replay: lower + (upper-lower)*frac
+    * at rank (n-1)*p over the sorted values.
+    */
+  private def pct(sorted: Seq[Long], p: Double): Double = {
+    val pos = (sorted.length - 1) * p
+    val lo = pos.toInt
+    val hi = math.min(lo + 1, sorted.length - 1)
+    sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+  }
+
+  test("events_funnel_latency equals a driver-side min-after chain replay") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us")))
+    val byUser = ev.groupBy(_._1)
+    def stage(prev: Map[Long, Long], tpe: String): Map[Long, Long] =
+      byUser.flatMap { case (u, es) =>
+        prev.get(u).flatMap { t0 =>
+          val after = es.filter(e => e._2 == tpe && e._3 > t0)
+          if (after.isEmpty) None else Some(u -> after.map(_._3).min)
+        }
+      }.toMap
+    val su = byUser.collect { case (u, es) if es.exists(_._2 == "signup") =>
+      u -> es.filter(_._2 == "signup").map(_._3).min }.toMap
+    val cl = stage(su, "click")
+    val pu = stage(cl, "purchase")
+    val expect = Map(
+      "signup_to_click" -> cl.map { case (u, t) => t - su(u) }.toSeq,
+      "click_to_purchase" -> pu.map { case (u, t) => t - cl(u) }.toSeq)
+    val got = SparkEntry.queries("events_funnel_latency")(spark, sf).collect()
+    assert(got.length == expect.count(_._2.nonEmpty))
+    got.foreach { r =>
+      val lats = expect(r.getAs[String]("stage")).sorted
+      assert(r.getAs[Long]("n_conversions") == lats.length)
+      assert(r.getAs[Long]("min_us") == lats.min)
+      assert(r.getAs[Long]("max_us") == lats.max)
+      assert(r.getAs[Double]("mean_us") == lats.sum.toDouble / lats.length)
+      assert(math.abs(r.getAs[Double]("p50_us") - pct(lats, 0.5)) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("p90_us") - pct(lats, 0.9)) <= 1e-6)
+    }
+  }
+
+  test("events_seasonal_anomalies equals a driver-side dense-grid z replay") {
+    import org.apache.spark.sql.functions.{col, date_trunc, hour, unix_micros}
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day"),
+        hour(col("ts")).as("hod"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Int]("hod")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val days = cells.keys.map(_._2).toSeq.distinct
+    val types = cells.keys.map(_._1).toSeq.distinct
+    val expect = scala.collection.mutable.Map
+      .empty[(String, Long, Int), (Long, Double)]
+    for (t <- types; h <- 0 until 24) {
+      val xs = days.map(dy => cells.getOrElse((t, dy, h), 0L))
+      val d = xs.length
+      val s = xs.sum
+      val sq = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val mean = s.toDouble / d
+      val variance = sq.toDouble / d - mean * mean
+      if (variance > 0) for (dy <- days) {
+        val n = cells.getOrElse((t, dy, h), 0L)
+        val z = (n.toDouble - mean) / math.sqrt(variance)
+        if (math.abs(z) >= 2) expect((t, dy, h)) = (n, z)
+      }
+    }
+    val got = SparkEntry.queries("events_seasonal_anomalies")(spark, sf)
+      .withColumn("day", unix_micros(col("day"))).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Int]("hod"))
+      val (n, z) = expect(k)
+      assert(r.getAs[Long]("n_events") == n, s"count for $k")
+      assert(math.abs(r.getAs[Double]("zscore") - z) <= 1e-9, s"z for $k")
+    }
+  }
+
+  test("events_autocorr equals a driver-side dense-series Pearson replay") {
+    import org.apache.spark.sql.functions.{col, date_trunc, unix_micros}
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val hours = hourly.keys.map(_._2)
+    val axis = (hours.min to hours.max by 3600000000L).toSeq
+    val expect = hourly.keys.map(_._1).toSeq.distinct.map { t =>
+      val xs = axis.map(h => hourly.getOrElse((t, h), 0L))
+      val pairs = xs.drop(24).zip(xs.dropRight(24)) // (x_t, x_{t-24})
+      val np = BigInt(pairs.length)
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val denx = np * sxx - sx * sx
+      val deny = np * syy - sy * sy
+      val r = if (denx > 0 && deny > 0)
+        Some((np * sxy - sx * sy).toDouble
+          / (math.sqrt(denx.toDouble) * math.sqrt(deny.toDouble)))
+      else None
+      t -> ((pairs.length.toLong, r))
+    }.toMap
+    val got = SparkEntry.queries("events_autocorr")(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (np, rr) = expect(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_pairs") == np)
+      rr match {
+        case Some(v) =>
+          assert(math.abs(r.getAs[Double]("r_lag24") - v) <= 1e-12)
+          assert(math.abs(v) <= 1.0 + 1e-12)
+        case None => assert(r.isNullAt(r.fieldIndex("r_lag24")))
+      }
+    }
+  }
+
+  test("supplier_lead_time equals a driver-side join-and-fold replay") {
+    val orderDate = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate.toEpochDay)
+      .toMap
+    val leads = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        r.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate.toEpochDay
+          - orderDate(r.getAs[Long]("l_orderkey"))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val got = SparkEntry.queries("supplier_lead_time")(spark, sf).collect()
+    assert(got.length == leads.size && got.nonEmpty)
+    got.foreach { r =>
+      val ls = leads(r.getAs[Long]("s_suppkey"))
+      assert(r.getAs[Long]("n_items") == ls.length)
+      assert(r.getAs[Int]("min_days").toLong == ls.min)
+      assert(r.getAs[Int]("max_days").toLong == ls.max)
+      assert(r.getAs[Double]("mean_days") == ls.sum.toDouble / ls.length)
+      assert(math.abs(r.getAs[Double]("p50_days") - pct(ls, 0.5)) <= 1e-9)
+      assert(math.abs(r.getAs[Double]("p90_days") - pct(ls, 0.9)) <= 1e-9)
+    }
+  }
 }
