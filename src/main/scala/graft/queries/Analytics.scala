@@ -2726,8 +2726,11 @@ object Analytics {
   // (type, day, hod) rollup, localCheckpointed for its three consumers);
   // the dense grid is |types|·|days|·24 rows, the baseline |types|·24 —
   // everything after the rollup is broadcast-sized.
-  val seasonalAnomalies = QueryDef.oracled(
-    "events_seasonal_anomalies",
+  /** The B63 oracle — shared verbatim by the streaming twin A49
+    * (complete-mode counts drain to the same cells regardless of batch
+    * boundaries).
+    */
+  private[graft] val seasonalAnomaliesOracle: String =
     """WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
       |             CAST(hour(ts) AS INT) AS hod, count(*) AS n
       |           FROM events GROUP BY 1, 2, 3),
@@ -2754,15 +2757,17 @@ object Analytics {
       |            - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d) > 0)
       |SELECT event_type, day, hod, n AS n_events, zscore
       |FROM z WHERE abs(zscore) >= 2
-      |ORDER BY event_type, day, hod""".stripMargin) { (s, d) =>
-    val c = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        hour(col("ts")).cast("int").as("hod"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // tiny |types|·|days|·24 bound, 3 consumers
+      |ORDER BY event_type, day, hod""".stripMargin
+
+  /** The z computation over an `(event_type, day, hod, n)` cell frame —
+    * B63's body after its one corpus-scale groupBy, shared with the A49
+    * streaming twin (whose cells come from the complete-mode sink).
+    */
+  private[graft] def seasonalAnomalyRows(cells: DataFrame): DataFrame = {
+    val c = cells.localCheckpoint() // tiny |types|·|days|·24 bound, 3 consumers
     val days = c.select(col("day")).distinct()
     val types = c.select(col("event_type")).distinct()
-    val hods = s.range(24).select(col("id").cast("int").as("hod"))
+    val hods = c.sparkSession.range(24).select(col("id").cast("int").as("hod"))
     val dense = types.crossJoin(days).crossJoin(hods)
       .join(c, Seq("event_type", "day", "hod"), "left")
       .select(col("event_type"), col("day"), col("hod"),
@@ -2779,6 +2784,14 @@ object Analytics {
       .select(col("event_type"), col("day"), col("hod"),
         col("n").as("n_events"), col("zscore"))
       .orderBy(col("event_type"), col("day"), col("hod"))
+  }
+
+  val seasonalAnomalies = QueryDef.oracled(
+    "events_seasonal_anomalies", seasonalAnomaliesOracle) { (s, d) =>
+    seasonalAnomalyRows(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n")))
   }
 
   // --- B64: daily-seasonality autocorrelation (round 12) ---------------------

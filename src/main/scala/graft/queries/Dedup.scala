@@ -1421,10 +1421,91 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- D21: incremental ingest dedup (round 12) -----------------------------
+  // The op an incremental crawl refresh actually runs: dedupe the NEW
+  // snapshot batch against the EXISTING corpus without reprocessing it
+  // — C27 tells you what changed; this decides what the change batch is
+  // allowed to ADD. v2 is C27's deterministically fabricated snapshot
+  // (drop ≡3, revise ≡5, addendum ≡7 mod 17); each v2 doc gets a
+  // disposition: `dup_of_existing` (its normalized D1 content hash is
+  // already in the corpus — points at the v1 keeper), else
+  // `dup_in_batch` (first-seen-wins by doc_id within the batch), else
+  // `admit`. Mostly-unchanged re-crawls land dup_of_existing by
+  // construction — exactly the real-world shape.
+  //
+  // Scale (100 TB): both sides reduce to (16-byte hash, doc_id)
+  // MAP-SIDE before anything shuffles; the v1 keeper table, the batch
+  // first-seen table, and the classification join are all keyed on the
+  // same hash → one clustering, and the existing-corpus side is the
+  // only corpus-scale input (the batch is incremental — small by
+  // definition). Output ∝ |batch|. The normalize+md5 kernel runs ONCE
+  // per v1 doc (ingest-spread wide, then localCheckpointed for its two
+  // consumers); unchanged v2 docs REUSE the v1 hash — identical text
+  // hashes identically — so only the revised ~1/17 slice and the tiny
+  // addenda re-hash (first draft re-hashed the whole fabricated v2:
+  // 3 corpus-wide kernel passes, 20.6 s cold at sf0.1 → 3.9 s).
+  val incremental = QueryDef.oracled(
+    "dedup_incremental",
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 5
+      |              THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |         'v2 addendum for ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 17 = 7),
+      |v1h AS (SELECT md5(trim(regexp_replace(lower(text),
+      |                 '[ \t\n\f\r]+', ' ', 'g'))) AS h,
+      |               min(doc_id) AS v1_keeper
+      |        FROM documents GROUP BY 1),
+      |v2h AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+      |                 '[ \t\n\f\r]+', ' ', 'g'))) AS h
+      |        FROM v2),
+      |bf AS (SELECT h, min(doc_id) AS batch_keeper FROM v2h GROUP BY 1)
+      |SELECT v2h.doc_id, v2h.h AS content_hash,
+      |  CASE WHEN v1_keeper IS NOT NULL THEN 'dup_of_existing'
+      |       WHEN v2h.doc_id > batch_keeper THEN 'dup_in_batch'
+      |       ELSE 'admit' END AS disposition,
+      |  CASE WHEN v1_keeper IS NOT NULL THEN v1_keeper
+      |       WHEN v2h.doc_id > batch_keeper THEN batch_keeper END AS dup_of
+      |FROM v2h LEFT JOIN v1h USING (h) JOIN bf USING (h)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def norm(c: org.apache.spark.sql.Column) =
+      md5(trim(regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", " ")))
+    val spreadDocs = Tables.spread(
+      docs.select(col("doc_id"), col("text")), s, "doc_id")
+    val h1 = spreadDocs.select(col("doc_id"), norm(col("text")).as("h"))
+      .localCheckpoint() // (id, 16 B) rows; feeds v1 keepers AND v2 reuse
+    val v1h = h1.groupBy(col("h")).agg(min(col("doc_id")).as("v1_keeper"))
+    val revised = spreadDocs.filter(col("doc_id") % 17 === 5)
+      .select(col("doc_id"),
+        norm(concat(col("text"), lit(" [rev2]"))).as("h"))
+    val addenda = docs.filter(col("doc_id") % 17 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        norm(concat(lit("v2 addendum for "), col("doc_id").cast("string")))
+          .as("h"))
+    val v2h = h1
+      .filter(col("doc_id") % 17 =!= 3 && col("doc_id") % 17 =!= 5)
+      .unionAll(revised).unionAll(addenda)
+    val bf = v2h.groupBy(col("h")).agg(min(col("doc_id")).as("batch_keeper"))
+    v2h.join(v1h, Seq("h"), "left")
+      .join(bf, Seq("h"))
+      .select(col("doc_id"), col("h").as("content_hash"),
+        when(col("v1_keeper").isNotNull, "dup_of_existing")
+          .when(col("doc_id") > col("batch_keeper"), "dup_in_batch")
+          .otherwise("admit").as("disposition"),
+        when(col("v1_keeper").isNotNull, col("v1_keeper"))
+          .when(col("doc_id") > col("batch_keeper"), col("batch_keeper"))
+          .as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
-    winnowClusters, dupSources)
+    winnowClusters, dupSources, incremental)
 }

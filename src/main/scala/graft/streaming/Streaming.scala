@@ -50,6 +50,7 @@ case class IngestDecision(doc_id: Long, disposition: String)
 case class CandidatePair(doc_a: Long, doc_b: Long)
 case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
 case class FunnelStage(user_id: Long, stage: String)
+case class FunnelLatency(user_id: Long, stage: String, lat_us: Long)
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
@@ -1730,6 +1731,99 @@ object Streaming {
       graft.queries.Coordination.KvRowTtlMicros)
   }
 
+  // --- A48: streaming funnel latency feed, online twin of B62 --------------
+  // A15's per-user stage machine with the transition TIMES kept: the
+  // moment a user completes a stage, the feed emits how long that
+  // stage took — the live conversion-latency monitor (a latency
+  // regression shows up while the campaign runs, not in tomorrow's
+  // batch report). Replayed in event-time order the machine's first
+  // signup / first later click / first later purchase equal the batch
+  // min-after chain, so the feed ≡ B62's per-conversion latency rows
+  // (shared stage CTEs) — full hash oracle. State per user is the one
+  // FunnelState triple A15 already carries, watermark + event-time
+  // timeout bounded.
+  val funnelLatencyFeed = QueryDef.oracled(
+    "stream_funnel_latency",
+    s"""WITH ${graft.queries.Analytics.funnelStagesSql}
+      |SELECT user_id, 'signup_to_click' AS stage,
+      |       epoch_us(c.t) - epoch_us(s.t) AS lat_us
+      |FROM c JOIN s USING (user_id)
+      |UNION ALL
+      |SELECT user_id, 'click_to_purchase' AS stage,
+      |       epoch_us(p.t) - epoch_us(c.t) AS lat_us
+      |FROM p JOIN c USING (user_id)
+      |ORDER BY user_id, stage""".stripMargin) { (s, d) =>
+    import s.implicits._
+    runFunnelLatency(s, eventStream(s, d)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .as[KeyedEvent])
+  }
+
+  /** The A48 latency fold over any KeyedEvent stream — seam for the
+    * multi-batch state-carry spec (a purchase whose click landed in an
+    * earlier batch emits only if the FunnelState triple carries).
+    */
+  private[graft] def runFunnelLatency(s: SparkSession,
+      typed: Dataset[KeyedEvent]): DataFrame = {
+    import s.implicits._
+    val lats = typed
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[KeyedEvent], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelLatency]
+            sorted.foreach { e =>
+              val us = tsMicros(e.ts)
+              e.namespace match {
+                case "signup" if st.tSignupUs < 0 =>
+                  st = st.copy(tSignupUs = us)
+                case "click" if st.tSignupUs >= 0 && st.tClickUs < 0 &&
+                    us > st.tSignupUs =>
+                  st = st.copy(tClickUs = us)
+                  out += FunnelLatency(user, "signup_to_click",
+                    us - st.tSignupUs)
+                case "purchase" if st.tClickUs >= 0 && st.tPurchaseUs < 0 &&
+                    us > st.tClickUs =>
+                  st = st.copy(tPurchaseUs = us)
+                  out += FunnelLatency(user, "click_to_purchase",
+                    us - st.tClickUs)
+                case _ => ()
+              }
+            }
+            state.update(st)
+            if (sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                tsMicros(sorted.last.ts) / 1000L + StateHorizonMs)
+            out.iterator
+          }
+        })
+    runToMemory(s, lats.toDF(), OutputMode.Append, needsNoDataBatch = false)
+      .orderBy(col("user_id"), col("stage"))
+  }
+
+  // --- A49: streaming seasonal anomalies, online twin of B63 ---------------
+  // Complete-mode (type, day, hour-of-day) running counts (linear →
+  // boundary-invariant, the A40/A44/A45 argument) with B63's dense-grid
+  // hour-of-day z computed batch-side over the sink — "is traffic weird
+  // for this time of day?" evaluated after any trigger, against a
+  // baseline that updates as days accumulate.
+  val seasonalFeed = QueryDef.oracled(
+    "stream_seasonal_anomalies",
+    graft.queries.Analytics.seasonalAnomaliesOracle) { (s, d) =>
+    val cells = eventStream(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    graft.queries.Analytics.seasonalAnomalyRows(
+      runToMemory(s, cells, OutputMode.Complete, needsNoDataBatch = false))
+  }
+
   // --- A41: streaming sequence packing, online twin of C14 -----------------
   // Documents arrive as a stream and receive their context-window
   // assignment THE MOMENT they arrive — the online half of the
@@ -1828,5 +1922,6 @@ object Streaming {
     leaderTenures, groupFeed, intervalJoin, corpusIngest, dwellFeed, oovFeed,
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
-    ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed)
+    ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
+    funnelLatencyFeed, seasonalFeed)
 }

@@ -697,4 +697,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(exp == us + graft.queries.Coordination.KvRowTtlMicros)
     }
   }
+
+  test("stream_funnel_latency carries stage state across MULTIPLE micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 time-split files, one per trigger: a click whose signup landed
+    // in an earlier batch (or a purchase whose click did) emits its
+    // latency ONLY if the per-user FunnelState triple carries between
+    // triggers. Reference = the single-file streaming run.
+    val srcDir = timeSplitSource(Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value")),
+      4, Seq(col("ts"), col("event_id")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.KeyedEvent]
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[String]("stage"),
+        r.getAs[Long]("lat_us"))
+    val got = graft.streaming.Streaming.runFunnelLatency(spark, typed)
+      .collect().map(key).toSet
+    val oneBatch = SparkEntry.queries("stream_funnel_latency")(spark, sf)
+      .collect().map(key).toSet
+    assert(got === oneBatch && got.nonEmpty)
+    // both latency stages must be exercised
+    assert(got.map(_._2) === Set("signup_to_click", "click_to_purchase"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
+  test("stream_seasonal_anomalies equals the batch dense-grid z regardless of boundaries") {
+    // complete-mode (type, day, hod) counts are linear in the input, so
+    // the drained sink equals the batch rollup whatever the batch split
+    // — and the shared seasonalAnomalyRows body does the rest
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[java.sql.Timestamp]("day"), r.getAs[Int]("hod")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("zscore")))).toMap
+    val batch = rows("events_seasonal_anomalies")
+    val stream = rows("stream_seasonal_anomalies")
+    assert(stream == batch, s"seasonal feed diverges")
+    assert(batch.nonEmpty)
+  }
 }

@@ -903,4 +903,47 @@ class TextDedupSpec extends AnyFunSuite {
     // heuristic sanity: vowelless tokens still carry one syllable
     assert(expect.values.forall(_.forall(_ >= 1)))
   }
+
+  test("dedup_incremental equals a driver-side replay and partitions the batch") {
+    val norm = (t: String) =>
+      t.toLowerCase.replaceAll("[ \\t\\n\\f\\r]+", " ").trim
+    def h(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm(t).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val v1Keeper = docs.map { case (id, t) => (h(t), id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val v2 = docs.filter(_._1 % 17 != 3)
+      .map { case (id, t) => (id, if (id % 17 == 5) t + " [rev2]" else t) } ++
+      docs.filter(_._1 % 17 == 7)
+        .map { case (id, _) => (id + 10000000L, s"v2 addendum for $id") }
+    val batchKeeper = v2.map { case (id, t) => (h(t), id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val expect = v2.map { case (id, t) =>
+      val hh = h(t)
+      val (disp, dupOf) = v1Keeper.get(hh) match {
+        case Some(k) => ("dup_of_existing", Some(k))
+        case None if id > batchKeeper(hh) => ("dup_in_batch", Some(batchKeeper(hh)))
+        case None => ("admit", None)
+      }
+      id -> ((hh, disp, dupOf))
+    }.toMap
+    val got = SparkEntry.queries("dedup_incremental")(spark, SparkTestSession.sf)
+      .collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (hh, disp, dupOf) = expect(id)
+      assert(r.getAs[String]("content_hash") == hh, s"hash for $id")
+      assert(r.getAs[String]("disposition") == disp, s"disposition for $id")
+      assert((if (r.isNullAt(r.fieldIndex("dup_of"))) None
+              else Some(r.getAs[Long]("dup_of"))) == dupOf, s"dup_of for $id")
+    }
+    // the realistic shape: unchanged re-crawls dominate, revisions +
+    // addenda admit, and every disposition points somewhere valid
+    val n = got.groupBy(_.getAs[String]("disposition")).view.mapValues(_.length)
+    assert(n.getOrElse("dup_of_existing", 0) > n.getOrElse("admit", 0))
+    assert(n.getOrElse("admit", 0) > 0)
+  }
 }
