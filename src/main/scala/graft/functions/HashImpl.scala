@@ -381,4 +381,25 @@ object HashImpl {
     }
     new GenericArrayData(out)
   }
+
+  /** DISTINCT space-joined word k-grams of a token array (the
+    * shingles3 shape with k parameterized — per-doc presence sets, so
+    * downstream document-frequency counts need no (doc, gram) distinct
+    * shuffle).
+    */
+  def ngramsDistinct(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](k)
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      while (j < k) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
 }

@@ -196,6 +196,17 @@ object expressions {
     override protected def withNewChildInternal(c: Expression): Bigrams2 = copy(c)
   }
 
+  /** Distinct space-joined word k-grams of a token array. */
+  case class NgramsDistinct(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any =
+      HashImpl.ngramsDistinct(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.ngramsDistinct($c, $k)")
+    override protected def withNewChildInternal(c: Expression): NgramsDistinct =
+      copy(child = c)
+  }
+
   case class CharGrams4(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override protected def nullSafeEval(v: Any): Any =
@@ -247,6 +258,7 @@ object expressions {
        |  t * ${1 << bandBits} + ${srpBandExpr(sigsCol, "t", bandBits)})""".stripMargin
   def shingles3(c: Column): Column = toCol(Shingles3(ex(c)))
   def bigrams2(c: Column): Column = toCol(Bigrams2(ex(c)))
+  def ngrams_distinct(c: Column, k: Int): Column = toCol(NgramsDistinct(ex(c), k))
   def chargrams4(c: Column): Column = toCol(CharGrams4(ex(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(ex(c)))
   def minhash_sigs(c: Column): Column = toCol(MinHashSigs(ex(c)))

@@ -1444,8 +1444,11 @@ object Dedup {
   // hashes identically — so only the revised ~1/17 slice and the tiny
   // addenda re-hash (first draft re-hashed the whole fabricated v2:
   // 3 corpus-wide kernel passes, 20.6 s cold at sf0.1 → 3.9 s).
-  val incremental = QueryDef.oracled(
-    "dedup_incremental",
+  /** The D21 oracle — shared verbatim by the streaming twin A50 (the
+    * arrival-order fold equals the batch min-keeper pick under the
+    * doc_id-ascending arrival contract).
+    */
+  private[graft] val incrementalOracle: String =
     """WITH v2 AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 17 = 5
@@ -1470,7 +1473,10 @@ object Dedup {
       |  CASE WHEN v1_keeper IS NOT NULL THEN v1_keeper
       |       WHEN v2h.doc_id > batch_keeper THEN batch_keeper END AS dup_of
       |FROM v2h LEFT JOIN v1h USING (h) JOIN bf USING (h)
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val incremental = QueryDef.oracled(
+    "dedup_incremental", incrementalOracle) { (s, d) =>
     val docs = Tables.documents(s, d)
     def norm(c: org.apache.spark.sql.Column) =
       md5(trim(regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", " ")))
@@ -1502,10 +1508,94 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- D22: dedup threshold sweep (round 12) --------------------------------
+  // The tuning table a dedup rollout reads BEFORE fixing τ: for each
+  // candidate threshold in {0.5 … 0.9}, how many pairs fire, how many
+  // docs they touch, and the shared-shingle mass they represent —
+  // running the D2 pipeline five times to choose a threshold is the
+  // naive form; this prices every τ from ONE pair computation. Counts
+  // are exact integers; mass_containment (Σinter/Σunion over the τ's
+  // surviving pairs) is one double divide. A τ whose pairs vanish
+  // keeps its axis row with zero counts (dense-grid convention).
+  //
+  // Scale (100 TB): the one corpus-scale job is D2's inverted-index
+  // self-join on the 8-byte shingle hash (the staged shingle frame +
+  // AQE skew-split, same as every pair consumer); the τ≥0.5 pair frame
+  // is localCheckpointed and the 5-way grid fan-out + both rollups run
+  // on pairs only. Pair jaccards are identical single divides in both
+  // engines, so τ comparisons cannot straddle an ulp.
+  val thresholdSweep = QueryDef.oracled(
+    "dedup_threshold_sweep",
+    s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+      |                 any_value(a.n) AS na, any_value(b.n) AS nb
+      |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pj AS (SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |         CAST(na + nb - inter AS BIGINT) AS un,
+      |         CAST(inter AS DOUBLE)/(na + nb - inter) AS jaccard
+      |       FROM pairs WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5),
+      |taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau),
+      |f AS (SELECT tau, doc_a, doc_b, inter, un
+      |      FROM pj CROSS JOIN taus WHERE jaccard >= tau),
+      |ag AS (SELECT tau, count(*) AS n_pairs,
+      |         CAST(sum(inter) AS BIGINT) AS sum_inter,
+      |         CAST(sum(un) AS BIGINT) AS sum_union
+      |       FROM f GROUP BY 1),
+      |dc AS (SELECT tau, count(DISTINCT doc) AS n_docs FROM (
+      |         SELECT tau, doc_a AS doc FROM f
+      |         UNION ALL SELECT tau, doc_b FROM f) GROUP BY 1)
+      |SELECT taus.tau, coalesce(n_pairs, 0) AS n_pairs,
+      |  coalesce(n_docs, 0) AS n_docs,
+      |  coalesce(sum_inter, 0) AS sum_inter,
+      |  coalesce(sum_union, 0) AS sum_union,
+      |  CASE WHEN sum_union IS NOT NULL
+      |       THEN CAST(sum_inter AS DOUBLE) / sum_union END AS mass_containment
+      |FROM taus LEFT JOIN ag USING (tau) LEFT JOIN dc USING (tau)
+      |ORDER BY tau""".stripMargin) { (s, d) =>
+    val ex = shingled(s, d)
+      .select(col("doc_id"), col("n"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh"))
+    val pj = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"),
+        first(col("nb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("un"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .localCheckpoint() // pair-scale frame, 2 rollups + the grid fan-out
+    val taus = s.createDataFrame(
+      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(Tuple1(_))).toDF("tau")
+    val f = pj.crossJoin(broadcast(taus)).filter(col("jaccard") >= col("tau"))
+      .localCheckpoint() // ≤ 5× pairs; feeds both rollups
+    val ag = f.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"),
+        sum(col("un")).as("sum_union"))
+    val dc = f.select(col("tau"), col("doc_a").as("doc"))
+      .unionAll(f.select(col("tau"), col("doc_b").as("doc")))
+      .groupBy(col("tau"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    taus.join(ag, Seq("tau"), "left").join(dc, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sum_inter"), lit(0L)).as("sum_inter"),
+        coalesce(col("sum_union"), lit(0L)).as("sum_union"),
+        when(col("sum_union").isNotNull,
+          col("sum_inter").cast("double") / col("sum_union"))
+          .as("mass_containment"))
+      .orderBy(col("tau"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
-    winnowClusters, dupSources, incremental)
+    winnowClusters, dupSources, incremental, thresholdSweep)
 }

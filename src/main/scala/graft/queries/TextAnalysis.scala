@@ -1845,11 +1845,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // --- C36: cross-document boilerplate n-grams (round 12) --------------------
+  // The REMOVAL-side dual of C16's per-doc novelty score: WHICH 5-gram
+  // phrases are template chrome — word 5-grams present in ≥ 3 distinct
+  // documents, ranked by document frequency (the candidate list a
+  // boilerplate-stripping pass, or a RefinedWeb-style line-dedup rule,
+  // is seeded from; 5 words ≈ a clause, long enough that legitimate
+  // prose rarely collides). Each gram carries its df and the earliest
+  // doc exhibiting it.
+  //
+  // Scale (100 TB): the k-gram kernel emits per-doc DISTINCT grams
+  // (LinkedHashSet inside the codegen'd NgramsDistinct expression), so
+  // document frequency is ONE map-side-combinable groupBy — no
+  // (doc, gram) distinct shuffle ever materializes the corpus-scale
+  // presence frame; top-50 via TakeOrderedAndProject (partial top-k,
+  // no global sort). The df ≥ 3 filter drops the heavy unique-gram
+  // tail before the limit.
+  val boilerplateNgrams = QueryDef.oracled(
+    "text_boilerplate_ngrams",
+    """WITH toks AS (SELECT doc_id,
+      |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |        FROM documents),
+      |dg AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+      |                               FOR i IN range(1, len(t) - 3)])) AS gram
+      |       FROM toks),
+      |df AS (SELECT gram, count(*) AS df, min(doc_id) AS example_doc
+      |       FROM dg GROUP BY 1)
+      |SELECT gram, df, example_doc FROM df WHERE df >= 3
+      |ORDER BY df DESC, gram LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), s, "doc_id")
+      .select(col("doc_id"),
+        explode(F.ngrams_distinct(F.tokenize_words(col("text")), 5))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").desc, col("gram")).limit(50)
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
       repetition, collocations, corpusPack, tfidf, bigramNovelty, rebalance,
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
-      bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile)
+      bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile,
+      boilerplateNgrams)
 }

@@ -51,6 +51,11 @@ case class CandidatePair(doc_a: Long, doc_b: Long)
 case class FunnelState(tSignupUs: Long, tClickUs: Long, tPurchaseUs: Long)
 case class FunnelStage(user_id: Long, stage: String)
 case class FunnelLatency(user_id: Long, stage: String, lat_us: Long)
+case class IncArrival(doc_id: Long, h: String, v1_keeper: Option[Long])
+case class IncArrivalIngest(doc_id: Long, h: String, v1_keeper: Option[Long],
+    ingest_ts: java.sql.Timestamp)
+case class IncDecision(doc_id: Long, content_hash: String,
+    disposition: String, dup_of: Option[Long])
 case class LeaderChange(
     resource: String, ts: java.sql.Timestamp, event_id: Long,
     new_leader: Long, prev_leader: Long)
@@ -1824,6 +1829,99 @@ object Streaming {
       runToMemory(s, cells, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A50: streaming incremental ingest dedup, online twin of D21 ---------
+  // Arriving crawl-refresh documents get their admit/dup disposition
+  // THE MOMENT they arrive: the v2 fabrication runs STATELESSLY per
+  // row (drop ≡3 / revise ≡5 / addendum ≡7 mod 17 — a row yields 0, 1
+  // or 2 stream docs via an explode), the existing-corpus check is a
+  // STREAM-STATIC left join against the batch-built v1 keeper table
+  // (the A32 join class with a corpus-scale static side — shuffled
+  // hash join per micro-batch, checkpointed static plan), and
+  // first-seen-wins within the batch is A14's keyed state carrying the
+  // keeper doc_id. Under the A41 doc_id-ascending arrival contract the
+  // fold's first-seen equals the batch min-keeper pick, so the feed ≡
+  // D21 row-for-row (shared oracle).
+  val incrementalDedupFeed = QueryDef.oracled(
+    "stream_incremental_dedup",
+    graft.queries.Dedup.incrementalOracle) { (s, d) =>
+    import s.implicits._
+    def norm(c: org.apache.spark.sql.Column) =
+      md5(trim(regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", " ")))
+    val path = s"$d/documents.parquet"
+    val docs = s.readStream.schema(parquetSchema(s, path))
+      .parquet(symlinkedDir(path, "documents.parquet"))
+      // ingest-spread: normalize+md5 runs wide (the A14 note)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val variants = docs.select(explode(filter(array(
+        when(col("doc_id") % 17 =!= 3, struct(
+          col("doc_id").as("doc_id"),
+          when(col("doc_id") % 17 === 5,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))),
+        when(col("doc_id") % 17 === 7, struct(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("v2 addendum for "), col("doc_id").cast("string"))
+            .as("text")))),
+        x => x.isNotNull)).as("v"))
+      .select(col("v.doc_id").as("doc_id"), norm(col("v.text")).as("h"))
+    val v1h = Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        s, "doc_id")
+      .select(norm(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("v1_keeper"))
+      .localCheckpoint() // static side evaluated once, re-joined per batch
+    runIncrementalDedup(s,
+      variants.join(v1h, Seq("h"), "left")
+        .select(col("doc_id"), col("h"), col("v1_keeper")).as[IncArrival])
+      .orderBy(col("doc_id"))
+  }
+
+  /** The A50 disposition fold over any arrival stream — seam for the
+    * multi-batch state-carry spec (an in-batch dup whose keeper landed
+    * in an earlier trigger classifies dup_in_batch only if the
+    * per-hash keeper state carries).
+    */
+  private[graft] def runIncrementalDedup(s: SparkSession,
+      typed: Dataset[IncArrival]): DataFrame = {
+    import s.implicits._
+    // no event-time column on the document stream: ingest-time
+    // watermark + timeout bound the per-hash state (the A14 pattern)
+    val decided = typed
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "1 second")
+      .as[IncArrivalIngest]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (hash: String, it: Iterator[IncArrivalIngest], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(_.doc_id)
+            var keeper = state.getOption
+            val out = sorted.map { e =>
+              e.v1_keeper match {
+                case Some(k) =>
+                  IncDecision(e.doc_id, hash, "dup_of_existing", Some(k))
+                case None => keeper match {
+                  case Some(k) =>
+                    IncDecision(e.doc_id, hash, "dup_in_batch", Some(k))
+                  case None =>
+                    keeper = Some(e.doc_id)
+                    IncDecision(e.doc_id, hash, "admit", None)
+                }
+              }
+            }
+            keeper.foreach(state.update)
+            if (sorted.nonEmpty) {
+              val horizon = sorted.map(e => tsMicros(e.ingest_ts)).max / 1000L +
+                StateHorizonMs
+              state.setTimeoutTimestamp(horizon)
+            }
+            out.iterator
+          }
+        })
+    runToMemory(s, decided.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
   // --- A41: streaming sequence packing, online twin of C14 -----------------
   // Documents arrive as a stream and receive their context-window
   // assignment THE MOMENT they arrive — the online half of the
@@ -1923,5 +2021,5 @@ object Streaming {
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
-    funnelLatencyFeed, seasonalFeed)
+    funnelLatencyFeed, seasonalFeed, incrementalDedupFeed)
 }

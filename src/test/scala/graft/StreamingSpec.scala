@@ -727,6 +727,50 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_incremental_dedup carries the batch-keeper state across triggers") {
+    import spark.implicits._
+    // planted arrival set, doc_id-ascending (the A50/A41 contract),
+    // split so every interesting transition straddles a trigger:
+    //   batch 1: doc 1 hash hx (not in v1) -> admit, keeper state hx->1
+    //            doc 2 hash hv (v1 keeper 99) -> dup_of_existing
+    //   batch 2: doc 3 hash hx -> dup_in_batch OF 1 (state must carry)
+    //            doc 4 hash hy -> admit
+    //   batch 3: doc 5 hash hy -> dup_in_batch OF 4
+    //            doc 6 hash hv -> dup_of_existing (stateless re-check)
+    val arrivals = Seq(
+      graft.streaming.IncArrival(1L, "hx", None),
+      graft.streaming.IncArrival(2L, "hv", Some(99L)),
+      graft.streaming.IncArrival(3L, "hx", None),
+      graft.streaming.IncArrival(4L, "hy", None),
+      graft.streaming.IncArrival(5L, "hy", None),
+      graft.streaming.IncArrival(6L, "hv", Some(99L)))
+    val srcDir = timeSplitSource(arrivals.toDF(),
+      3, Seq(org.apache.spark.sql.functions.col("doc_id")))
+    val schema = spark.read.parquet(s"$srcDir/batch_1.parquet").schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .as[graft.streaming.IncArrival]
+    val got = graft.streaming.Streaming.runIncrementalDedup(spark, typed)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("disposition"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))))).toMap
+    assert(got == Map(
+      1L -> (("admit", None)), 2L -> (("dup_of_existing", Some(99L))),
+      3L -> (("dup_in_batch", Some(1L))), 4L -> (("admit", None)),
+      5L -> (("dup_in_batch", Some(4L))), 6L -> (("dup_of_existing", Some(99L)))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    // and on the real corpus the full feed equals the batch table
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("content_hash"), r.getAs[String]("disposition"),
+          if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))))).toMap
+    val stream = rows("stream_incremental_dedup")
+    val batch = rows("dedup_incremental")
+    assert(stream == batch && batch.nonEmpty)
+  }
+
   test("stream_seasonal_anomalies equals the batch dense-grid z regardless of boundaries") {
     // complete-mode (type, day, hod) counts are linear in the input, so
     // the drained sink equals the batch rollup whatever the batch split

@@ -946,4 +946,48 @@ class TextDedupSpec extends AnyFunSuite {
     assert(n.getOrElse("dup_of_existing", 0) > n.getOrElse("admit", 0))
     assert(n.getOrElse("admit", 0) > 0)
   }
+
+  test("text_boilerplate_ngrams equals a driver-side 5-gram df replay") {
+    val docs = Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val tok = "[a-z0-9]+".r
+    val df = docs.flatMap { case (id, t) =>
+      val ts = tok.findAllIn(t.toLowerCase).toArray
+      ts.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+        .map((g: String) => (g, id))
+    }.groupBy(_._1).map { case (g, v) =>
+      g -> ((v.length.toLong, v.map(_._2).min)) }
+    val expect = df.filter(_._2._1 >= 3).toSeq
+      .sortBy { case (g, (c, _)) => (-c, g) }.take(50)
+    val got = SparkEntry.queries("text_boilerplate_ngrams")(
+      spark, SparkTestSession.sf).collect()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (g, (c, ex))) =>
+      assert(r.getAs[String]("gram") == g)
+      assert(r.getAs[Long]("df") == c)
+      assert(r.getAs[Long]("example_doc") == ex)
+    }
+  }
+
+  test("dedup_threshold_sweep: dense grid, monotone in tau, anchored at D2") {
+    val got = SparkEntry.queries("dedup_threshold_sweep")(
+      spark, SparkTestSession.sf).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Double]("tau")).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    // tightening tau can only shrink every count
+    got.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("n_pairs") >= hi.getAs[Long]("n_pairs"))
+      assert(lo.getAs[Long]("n_docs") >= hi.getAs[Long]("n_docs"))
+      assert(lo.getAs[Long]("sum_union") >= hi.getAs[Long]("sum_union"))
+    }
+    // the tau=0.8 row prices exactly the D2 pair set
+    val d2 = SparkEntry.queries("dedup_ngram_jaccard")(
+      spark, SparkTestSession.sf).collect()
+    val row8 = got.find(_.getAs[Double]("tau") == 0.8).get
+    assert(row8.getAs[Long]("n_pairs") == d2.length.toLong)
+    val docs8 = d2.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(row8.getAs[Long]("n_docs") == docs8.size.toLong)
+  }
 }
