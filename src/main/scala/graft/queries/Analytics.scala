@@ -2924,6 +2924,122 @@ object Analytics {
       .orderBy(col("s_suppkey"))
   }
 
+  // --- B66: market-basket part affinity (round 12) ---------------------------
+  // B55's co-occurrence idea moved to the star schema's transactional
+  // grain: which part PAIRS ship together in one order more than their
+  // solo popularity predicts — support (co-orders) and lift
+  // (support·N / (n_a·n_b), the >1-means-affinity ratio) over the
+  // distinct (order, part) incidence. The cross-sell / co-location
+  // report beside the TPC-H family.
+  //
+  // Scale (100 TB): the incidence distinct is the one lineitem-scale
+  // shuffle; baskets form per order and pairs fan out MAP-SIDE from
+  // each order's own sorted part set (B55's idiom — fan-out bounded by
+  // basket², never corpus size); the pair rollup is map-side
+  // combinable, top-50 via TakeOrderedAndProject, and the per-part
+  // count joins run on 50 rows against a dimension-sized table.
+  val marketBasket = QueryDef.oracled(
+    "orders_market_basket",
+    """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+      |pc AS (SELECT l_partkey, count(*) AS n_part FROM d GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         count(*) AS support
+      |       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+      |            AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2),
+      |top AS (SELECT * FROM pr WHERE support >= 2
+      |        ORDER BY support DESC, part_a, part_b LIMIT 50)
+      |SELECT part_a, part_b, support, pa.n_part AS n_a, pb.n_part AS n_b,
+      |  CAST(CAST(support AS HUGEINT) * n_orders AS DOUBLE)
+      |    / CAST(CAST(pa.n_part AS HUGEINT) * pb.n_part AS DOUBLE) AS lift
+      |FROM top JOIN pc pa ON part_a = pa.l_partkey
+      |         JOIN pc pb ON part_b = pb.l_partkey
+      |         CROSS JOIN n
+      |ORDER BY support DESC, part_a, part_b""".stripMargin) { (s, d) =>
+    val dec38 = DecimalType(38, 0)
+    val inc = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint() // (order, part) incidence: 3 consumers
+    val nOrders = inc.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val pc = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val top = inc.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("part_a"), col("part_b")).limit(50)
+    top
+      .join(broadcast(pc.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("n_part", "n_a")), Seq("part_a"))
+      .join(broadcast(pc.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("n_part", "n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("n_a"), col("n_b"),
+        ((col("support").cast(dec38) * col("n_orders")).cast("double")
+          / (col("n_a").cast(dec38) * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
+  // --- B68: inter-arrival time profile (round 12) ----------------------------
+  // The think-time DISTRIBUTION per event type (B35's dwell feed is the
+  // per-event rows; this is the report): n gaps, mean, p50/p90 (the
+  // percentile ≡ quantile_cont identity on integer micros — B62's
+  // argument), and the index of dispersion var/mean — the burstiness
+  // scalar (≫mean says the type arrives in bursts, not a Poisson
+  // trickle; capacity planning reads this, and B19's z-scores assume
+  // it's moderate). Variance from exact integer sums via B19's formula.
+  //
+  // Scale (100 TB): one user_id hash shuffle for the lag window, then a
+  // |types|-group map-side-combinable rollup; percentile state per
+  // group is a value→count map over distinct gap widths.
+  val interarrivalProfile = QueryDef.oracled(
+    "events_interarrival_profile",
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |su AS (SELECT event_type, count(*) AS n_gaps,
+      |         CAST(sum(gap_us) AS BIGINT) AS s,
+      |         CAST(sum(CAST(gap_us AS HUGEINT) * gap_us) AS HUGEINT) AS sq,
+      |         quantile_cont(gap_us, 0.5) AS p50_us,
+      |         quantile_cont(gap_us, 0.9) AS p90_us
+      |       FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  CAST(s AS DOUBLE) / n_gaps AS mean_us, p50_us, p90_us,
+      |  (CAST(sq AS DOUBLE) / n_gaps
+      |   - (CAST(s AS DOUBLE) / n_gaps) * (CAST(s AS DOUBLE) / n_gaps))
+      |    / (CAST(s AS DOUBLE) / n_gaps) AS dispersion_us
+      |FROM su ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val su = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).cast("long").as("s"),
+        sum(col("gap_us").cast(DecimalType(38, 0)) * col("gap_us")).as("sq"),
+        expr("percentile(gap_us, 0.5)").as("p50_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"))
+    val meanD = col("s").cast("double") / col("n_gaps")
+    su.select(col("event_type"), col("n_gaps"), meanD.as("mean_us"),
+        col("p50_us"), col("p90_us"),
+        ((col("sq").cast("double") / col("n_gaps") - meanD * meanD) / meanD)
+          .as("dispersion_us"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -2936,5 +3052,6 @@ object Analytics {
     eventsUnpivot, eventsRfm, eventsPagerank, countMin, eventsEwma,
     eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
     eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps,
-    funnelLatency, seasonalAnomalies, eventsAutocorr, supplierLeadTime)
+    funnelLatency, seasonalAnomalies, eventsAutocorr, supplierLeadTime,
+    marketBasket, interarrivalProfile)
 }

@@ -792,4 +792,66 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("p90_days") - pct(ls, 0.9)) <= 1e-9)
     }
   }
+
+  test("orders_market_basket equals a driver-side basket fold") {
+    val inc = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .distinct
+    val nOrders = inc.map(_._1).distinct.length.toLong
+    val partN = inc.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val support = inc.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val sorted = ps.map(_._2).sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 2)
+    val expect = support.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+    val got = SparkEntry.queries("orders_market_basket")(spark, sf).collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (r, ((a, b), n)) =>
+      assert(r.getAs[Long]("part_a") == a && r.getAs[Long]("part_b") == b)
+      assert(r.getAs[Long]("support") == n)
+      assert(r.getAs[Long]("n_a") == partN(a) && r.getAs[Long]("n_b") == partN(b))
+      val lift = (BigInt(n) * nOrders).toDouble /
+        (BigInt(partN(a)) * partN(b)).toDouble
+      assert(math.abs(r.getAs[Double]("lift") - lift) <= 1e-12)
+      // affinity pairs at the top: support >= 2 everywhere
+      assert(r.getAs[Long]("support") >= 2)
+    }
+  }
+
+  test("events_interarrival_profile equals a driver-side gap fold") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4)).toSeq
+      sorted.zip(sorted.drop(1)).map { case (p, c) => (c._2, c._3 - p._3) }
+    }.groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+    val got = SparkEntry.queries("events_interarrival_profile")(spark, sf)
+      .collect()
+    assert(got.length == gaps.size && got.nonEmpty)
+    got.foreach { r =>
+      val gs = gaps(r.getAs[String]("event_type"))
+      val n = gs.length
+      assert(r.getAs[Long]("n_gaps") == n.toLong)
+      val mean = gs.sum.toDouble / n
+      assert(r.getAs[Double]("mean_us") == mean)
+      // relative tolerance: the replay's interpolation multiply order
+      // differs from Spark's in the last ulps at 1e9-scale micros
+      assert(math.abs(r.getAs[Double]("p50_us") - pct(gs, 0.5))
+        <= 1e-12 * math.max(1.0, pct(gs, 0.5).abs))
+      assert(math.abs(r.getAs[Double]("p90_us") - pct(gs, 0.9))
+        <= 1e-12 * math.max(1.0, pct(gs, 0.9).abs))
+      val sq = gs.map(g => BigInt(g) * g).sum
+      val disp = (sq.toDouble / n - mean * mean) / mean
+      assert(math.abs(r.getAs[Double]("dispersion_us") - disp) <= 1e-6 * disp.abs.max(1.0))
+      assert(disp > 0)
+    }
+  }
 }
