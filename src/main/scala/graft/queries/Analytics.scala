@@ -3040,6 +3040,156 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // --- B69: CUSUM changepoint detection (round 12) ---------------------------
+  // B19/B56/B63 flag individual anomalous hours; this finds the LEVEL
+  // SHIFT — the hour where a type's rate permanently changed (deploy,
+  // outage, traffic migration). Classic CUSUM over the dense hourly
+  // series: with H hours and total T, the scaled deviation of hour h is
+  // x_h·H − T (integer; ≡ H·(x_h − T/H) without the division), and the
+  // changepoint estimate is argmax |running sum| — where the cumulative
+  // count diverges farthest from the constant-rate line (Page 1954;
+  // Taylor's changepoint bootstrap uses exactly this statistic).
+  //
+  // Exactness: every statistic is an integer (DECIMAL(38,0) products),
+  // the argmax is a row_number pick under a total order (|cusum| DESC,
+  // hour ASC), and the final cusum fits BIGINT (x·H ≤ 1e8 at sf1000) —
+  // CAST both sides to BIGINT, the round-2/round-10 HUGEINT lesson.
+  //
+  // Scale (100 TB): one map-side-combinable (type, hour) rollup is the
+  // only corpus-scale job; the dense axis, running-sum window (|types|
+  // parallel sorts of tiny series) and argmax all run on |types|·|hours|
+  // rows, localCheckpointed for its consumers.
+  /** The B69 oracle — shared verbatim by the streaming twin A51
+    * (complete-mode counts drain to the same cells regardless of
+    * micro-batch boundaries).
+    */
+  private[graft] val changepointOracle: String =
+    """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |             count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM c),
+      |ax AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |       FROM b),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |dense AS (SELECT t.event_type, ax.hour, coalesce(c.n, 0) AS x
+      |          FROM types t CROSS JOIN ax
+      |          LEFT JOIN c ON c.event_type = t.event_type
+      |                     AND c.hour = ax.hour),
+      |tot AS (SELECT event_type, count(*) AS nh,
+      |          CAST(sum(x) AS HUGEINT) AS t FROM dense GROUP BY 1),
+      |cs AS (SELECT d.event_type, d.hour,
+      |         sum(CAST(d.x AS HUGEINT) * tot.nh - tot.t) OVER (
+      |           PARTITION BY d.event_type ORDER BY d.hour) AS cusum,
+      |         tot.nh, tot.t
+      |       FROM dense d JOIN tot USING (event_type)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |               ORDER BY abs(cusum) DESC, hour) AS rk FROM cs)
+      |SELECT event_type, hour AS cp_hour, CAST(nh AS BIGINT) AS n_hours,
+      |  CAST(t AS BIGINT) AS total_events,
+      |  CAST(cusum AS BIGINT) AS cusum_scaled
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** The B69 argmax-|CUSUM| body over an `(event_type, hour, n)` cell
+    * frame — shared with the A51 streaming twin (whose cells come from
+    * the complete-mode sink).
+    */
+  private[graft] def changepointRows(cells: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val c = cells.localCheckpoint() // |types|·|hours| bound, 3 consumers
+    val ax = c.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour"))
+    val dense = c.select(col("event_type")).distinct()
+      .crossJoin(ax)
+      .join(c, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    val tot = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).cast(dec38).as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cusum",
+        sum(col("x").cast(dec38) * col("nh") - col("t")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("hour"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hour").as("cp_hour"),
+        col("nh").cast("long").as("n_hours"),
+        col("t").cast("long").as("total_events"),
+        col("cusum").cast("long").as("cusum_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsChangepoint = QueryDef.oracled(
+    "events_changepoint", changepointOracle) { (s, d) =>
+    changepointRows(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  // --- B70: per-user behavioral diversity (round 12) -------------------------
+  // The user-level twin of C26's corpus Simpson diversity: how
+  // concentrated is each user's behavior across event types? Emits the
+  // exact integer sufficient statistics (Σc², n²) beside the derived
+  // Simpson index — bot/power-user triage reads the index; downstream
+  // reweighting consumes the exact numerators. The dominant type is a
+  // deterministic argmax (count DESC, type ASC).
+  //
+  // Exactness: counts are integers; Σc² in DECIMAL(38,0), CAST to
+  // BIGINT on both sides; the two derived doubles are each a single
+  // division of exactly-representable integers (< 2^53) — one
+  // correctly-rounded IEEE op, engine-identical.
+  //
+  // Scale (100 TB): one (user, type) map-side-combinable rollup is the
+  // corpus-scale job; the per-user rollup and argmax window both
+  // consume the ≤ |users|·|types| frame re-using its user_id hash
+  // partitioning (no second corpus scan). O(|users|) output ships
+  // unsorted (set-compared).
+  val userDiversity = QueryDef.oracled(
+    "events_user_diversity",
+    """WITH tc AS (SELECT user_id, event_type, count(*) AS c
+      |            FROM events GROUP BY 1, 2),
+      |su AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |         count(*) AS n_types,
+      |         CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS simpson_num
+      |       FROM tc GROUP BY 1),
+      |top AS (SELECT user_id, event_type AS top_type, c AS top_n,
+      |          row_number() OVER (PARTITION BY user_id
+      |                             ORDER BY c DESC, event_type) AS rk
+      |        FROM tc)
+      |SELECT s.user_id, s.n_events, s.n_types, t.top_type,
+      |  CAST(t.top_n AS DOUBLE) / s.n_events AS top_share,
+      |  s.simpson_num,
+      |  CAST(s.simpson_num AS DOUBLE)
+      |    / CAST(s.n_events * s.n_events AS DOUBLE) AS simpson_index
+      |FROM su s JOIN top t ON s.user_id = t.user_id AND t.rk = 1""".stripMargin) { (s, d) =>
+    val tc = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |users|·|types| bound; rollup + argmax consumers
+    val su = tc.groupBy(col("user_id"))
+      .agg(sum(col("c")).cast("long").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c"))
+          .cast("long").as("simpson_num"))
+    val top = tc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("c").desc, col("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"),
+        col("c").as("top_n"))
+    su.join(top, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("top_type"),
+        (col("top_n").cast("double") / col("n_events")).as("top_share"),
+        col("simpson_num"),
+        (col("simpson_num").cast("double")
+          / (col("n_events") * col("n_events")).cast("double"))
+          .as("simpson_index"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -3053,5 +3203,5 @@ object Analytics {
     eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
     eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps,
     funnelLatency, seasonalAnomalies, eventsAutocorr, supplierLeadTime,
-    marketBasket, interarrivalProfile)
+    marketBasket, interarrivalProfile, eventsChangepoint, userDiversity)
 }

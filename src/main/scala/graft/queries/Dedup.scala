@@ -1592,10 +1592,84 @@ object Dedup {
       .orderBy(col("tau"))
   }
 
+  // --- D23: bounded edit-distance near-dup (round 12) -------------------------
+  // The character-level detector the set-based family can't replace:
+  // Jaccard on shingle SETS (D2) is blind to small in-place edits that
+  // preserve most shingles but also to their ORDER and COUNT — a
+  // version-bump edit ("v1.2" → "v1.3"), a renamed entity, a changed
+  // number. Exact Levenshtein over the normalized text (D1's
+  // normalization) scores exactly that class. All-pairs DP is O(n²·L²)
+  // — never; candidates come from PREFIX BLOCKING (Gravano et al.
+  // VLDB'01 q-gram prefix filtering's cheapest form): two docs can sit
+  // within a small edit distance of each other only if... not quite —
+  // an edit inside the first 24 chars escapes the block, which is the
+  // declared contract: this operator targets dup classes whose HEAD is
+  // stable (crawl re-fetches, suffix addenda, mid-document edits), the
+  // overwhelmingly common near-identical shape; head-edited dups are
+  // D2/D3's shingle-set territory. Completeness boundary documented,
+  // not hidden.
+  //
+  // Scale (100 TB): the prefix key is an equi-join key (one shuffle of
+  // (pfx, len, doc_id) — the DP runs only on admitted pairs); hot
+  // prefixes (boilerplate heads — the D2b hot-shingle class) are
+  // CAPPED: blocks with more than EditBlockCap members are dropped
+  // whole (reported upstream by C36's boilerplate miner), so a
+  // template head shared by m docs can never make m² DP pairs. The
+  // length pre-filter (|Δlen| ≤ EditMaxDist — a lower bound on edit
+  // distance) prunes before any DP. Both engines run the identical
+  // classic unit-cost DP (ASCII corpus: byte ≡ codepoint).
+  private val EditPrefix = 24   // block key: first 24 normalized chars
+  private val EditBlockCap = 64 // hot-head cap: drop blocks with > 64 docs
+  private val EditMaxDist = 64  // near-dup admission + |Δlen| pre-filter
+
+  val editDistance = QueryDef.oracled(
+    "dedup_edit_distance",
+    s"""WITH n AS (SELECT doc_id,
+      |         trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+      |       FROM documents),
+      |k AS (SELECT doc_id, t, substr(t, 1, $EditPrefix) AS pfx,
+      |        len(t) AS ln FROM n),
+      |ok AS (SELECT pfx FROM k GROUP BY pfx
+      |       HAVING count(*) BETWEEN 2 AND $EditBlockCap),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        levenshtein(a.t, b.t) AS edit_dist,
+      |        a.ln AS len_a, b.ln AS len_b
+      |      FROM k a JOIN ok USING (pfx) JOIN k b USING (pfx)
+      |      WHERE a.doc_id < b.doc_id
+      |        AND abs(a.ln - b.ln) <= $EditMaxDist)
+      |SELECT doc_a, doc_b, edit_dist, len_a, len_b
+      |FROM p WHERE edit_dist <= $EditMaxDist
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val k = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\f\\r]+", " "))
+          .as("t"))
+      .select(col("doc_id"), col("t"),
+        substring(col("t"), 1, EditPrefix).as("pfx"),
+        length(col("t")).as("ln"))
+      .localCheckpoint() // normalize once; block census + both join sides
+    val ok = k.groupBy(col("pfx")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, EditBlockCap))
+      .select(col("pfx"))
+    val a = k.join(ok, Seq("pfx"))
+    val b = a.select(col("pfx"), col("doc_id").as("doc_b"),
+      col("t").as("tb"), col("ln").as("len_b"))
+    a.select(col("pfx"), col("doc_id").as("doc_a"), col("t").as("ta"),
+        col("ln").as("len_a"))
+      .join(b, Seq("pfx"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("len_a") - col("len_b")) <= EditMaxDist)
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        col("len_a"), col("len_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, ngramJaccardCapped, minhashLsh, simhash, embedding,
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
-    winnowClusters, dupSources, incremental, thresholdSweep)
+    winnowClusters, dupSources, incremental, thresholdSweep, editDistance)
 }

@@ -289,6 +289,66 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // --- E22: reciprocal nearest neighbors (round 12) -------------------------
+  // The mutual-NN verification primitive (re-ID / RNN clustering /
+  // Qin et al. CVPR'11 k-reciprocal re-ranking): (q, n) is a RELIABLE
+  // match only if n is in q's top-k AND q is in n's top-k — one-sided
+  // neighbors are hubness artifacts (a vector near the centroid sits
+  // in everyone's top-k without reciprocating). Two-hop exact
+  // composition, no n²: hop 1 is E1's broadcast-queries map-only scan;
+  // hop 2 re-scans the corpus once for the ≤ k·|queries| DISTINCT
+  // hop-1 neighbors (broadcast again). Both hops are exact, so the
+  // output is oracled — an ANN-free reliability filter.
+  //
+  // Scale (100 TB): two map-only corpus scans with broadcast probe
+  // sets; everything after is joins on k·|queries|-row frames. The
+  // probe-set bound (k·|queries| vectors in hop 2) is the explicit
+  // scale dial: batch sizes of queries come from slicing, never from
+  // widening a single broadcast.
+  val reciprocal = QueryDef.oracled(
+    "knn_reciprocal",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < $NQueries),
+      |s AS (SELECT query_id, vec_id, ${cosSql("qe", "embedding")} AS cosine
+      |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |sf AS (SELECT * FROM s WHERE NOT isnan(cosine)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY cosine DESC, vec_id) AS rank FROM sf),
+      |nn AS (SELECT query_id, vec_id AS neighbor_id, rank, cosine
+      |       FROM r WHERE rank <= $K),
+      |nb AS (SELECT DISTINCT neighbor_id FROM nn),
+      |nq AS (SELECT e.vec_id AS nid, e.embedding AS ne
+      |       FROM embeddings e JOIN nb ON e.vec_id = nb.neighbor_id),
+      |s2 AS (SELECT nid, vec_id, ${cosSql("ne", "embedding")} AS cosine
+      |       FROM nq JOIN embeddings ON vec_id <> nid),
+      |sf2 AS (SELECT * FROM s2 WHERE NOT isnan(cosine)),
+      |r2 AS (SELECT nid, vec_id, row_number() OVER (PARTITION BY nid
+      |               ORDER BY cosine DESC, vec_id) AS rank2 FROM sf2)
+      |SELECT nn.query_id, nn.neighbor_id, nn.rank AS rank_qn,
+      |  r2.rank2 AS rank_nq, nn.cosine
+      |FROM nn JOIN r2 ON r2.nid = nn.neighbor_id AND r2.vec_id = nn.query_id
+      |WHERE r2.rank2 <= $K
+      |ORDER BY nn.query_id, nn.rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(col("vec_id"), col("embedding").as("ea"))
+    val nn = topK(broadcast(queriesDf(s, d))
+        .join(corpus, col("vec_id") =!= col("query_id")))
+      .localCheckpoint() // ≤ k·|queries| rows; output + reverse-probe sides
+    val nbrVecs = emb
+      .join(broadcast(nn.select(col("neighbor_id")).distinct()),
+        col("vec_id") === col("neighbor_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val rev = topK(broadcast(nbrVecs)
+        .join(corpus, col("vec_id") =!= col("query_id")))
+      .select(col("query_id").as("nid"), col("neighbor_id").as("back_id"),
+        col("rank").as("rank_nq"))
+    nn.join(rev,
+        rev("nid") === nn("neighbor_id") && rev("back_id") === nn("query_id"))
+      .select(nn("query_id"), nn("neighbor_id"),
+        nn("rank").as("rank_qn"), rev("rank_nq"), nn("cosine"))
+      .orderBy(col("query_id"), col("rank_qn"))
+  }
+
   // --- E2: SRP-LSH bucketed search (recall-checked vs E1 by spec) ---------
   // L=16 tables × B=8 bits carved from two seeded 64-bit SRP
   // signatures; a query probes, per table, every bucket within hamming
@@ -1729,5 +1789,5 @@ object Similarity {
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering, hybrid, mmr, classify, labelAffinity)
+    binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal)
 }

@@ -1885,6 +1885,55 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("gram")).limit(50)
   }
 
+  // --- C37: per-source vocabulary profile (round 12) -------------------------
+  // Heaps-law / hapax diagnostics per source — the vocabulary-health
+  // panel a corpus report shows next to C6's raw counts: total tokens,
+  // distinct terms, hapax (tf = 1) and dis legomena (tf = 2) counts,
+  // type-token ratio, hapax share. A natural-language source sits near
+  // ~40–60% hapax share; far below says boilerplate/templated text,
+  // far above says tokenizer breakage or noise — the cheap screen run
+  // before spending on the C12/C36 n-gram passes.
+  //
+  // Exactness: all counts are integers (the tf rollup is exact); the
+  // two ratios are single divisions of < 2^53 integers — one
+  // correctly-rounded IEEE op each. sum(n) is CAST to BIGINT on both
+  // sides (the HUGEINT lesson).
+  //
+  // Scale (100 TB): word-count shape — one (source, token) map-side-
+  // combinable rollup is the only corpus-scale job (the dominant cost
+  // is the tokenize kernel, map-side and ingest-spread); the per-source
+  // rollup consumes the vocabulary-sized frame. |sources| output rows.
+  val hapaxStats = QueryDef.oracled(
+    "text_hapax_stats",
+    """WITH tok AS (SELECT source,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |       FROM documents),
+      |c AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  count(*) AS distinct_terms,
+      |  count(*) FILTER (WHERE n = 1) AS hapax_terms,
+      |  count(*) FILTER (WHERE n = 2) AS dis_terms,
+      |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS type_token_ratio,
+      |  CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) / count(*)
+      |    AS hapax_share
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val c = Tables.spread(Tables.documents(s, d), s, "doc_id")
+      .select(col("source"), explode(F.tokenize_words(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    c.groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("total_tokens"),
+        count(lit(1)).as("distinct_terms"),
+        count(when(col("n") === 1, lit(1))).as("hapax_terms"),
+        count(when(col("n") === 2, lit(1))).as("dis_terms"))
+      .select(col("source"), col("total_tokens"), col("distinct_terms"),
+        col("hapax_terms"), col("dis_terms"),
+        (col("distinct_terms").cast("double") / col("total_tokens"))
+          .as("type_token_ratio"),
+        (col("hapax_terms").cast("double") / col("distinct_terms"))
+          .as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(tokenStats, quality, langId, fingerprint, clean, corpusStats,
       stratifiedSample, lengthHistogram, topTerms, tokenBudget, trainSplit,
@@ -1892,5 +1941,5 @@ object TextAnalysis {
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
       bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile,
-      boilerplateNgrams)
+      boilerplateNgrams, hapaxStats)
 }

@@ -1829,6 +1829,23 @@ object Streaming {
       runToMemory(s, cells, OutputMode.Complete, needsNoDataBatch = false))
   }
 
+  // --- A51: streaming changepoint detection, online twin of B69 ------------
+  // Complete-mode (type, hour) running counts (linear in the events →
+  // boundary-invariant, the A40/A44/A45/A49 argument) with B69's
+  // dense-axis CUSUM argmax computed batch-side over the sink — "where
+  // did this type's rate shift?" re-estimated after any trigger, the
+  // live deployment shape of Page's test (each trigger sees the same
+  // cells a batch run would, so the estimate converges identically).
+  val changepointFeed = QueryDef.oracled(
+    "stream_changepoint",
+    graft.queries.Analytics.changepointOracle) { (s, d) =>
+    val cells = eventStream(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    graft.queries.Analytics.changepointRows(
+      runToMemory(s, cells, OutputMode.Complete, needsNoDataBatch = false))
+  }
+
   // --- A50: streaming incremental ingest dedup, online twin of D21 ---------
   // Arriving crawl-refresh documents get their admit/dup disposition
   // THE MOMENT they arrive: the v2 fabrication runs STATELESSLY per
@@ -2021,5 +2038,5 @@ object Streaming {
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
-    funnelLatencyFeed, seasonalFeed, incrementalDedupFeed)
+    funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed)
 }

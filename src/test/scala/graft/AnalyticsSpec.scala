@@ -854,4 +854,61 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(disp > 0)
     }
   }
+
+  test("events_changepoint equals a driver-side dense-series CUSUM replay") {
+    import org.apache.spark.sql.functions.{col, date_trunc, unix_micros}
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val hours = hourly.keys.map(_._2)
+    val axis = (hours.min to hours.max by 3600000000L).toSeq
+    val expect = hourly.keys.map(_._1).toSeq.distinct.map { t =>
+      val xs = axis.map(h => hourly.getOrElse((t, h), 0L))
+      val nh = BigInt(xs.length)
+      val tot = BigInt(xs.sum)
+      var run = BigInt(0)
+      // argmax |cusum| with earliest-hour tiebreak = left fold keeping >
+      var best = (BigInt(-1), 0L, BigInt(0)) // (|cusum|, hour, cusum)
+      xs.zip(axis).foreach { case (x, h) =>
+        run += BigInt(x) * nh - tot
+        if (run.abs > best._1) best = (run.abs, h, run)
+      }
+      t -> ((best._2, xs.length.toLong, xs.sum, best._3.toLong))
+    }.toMap
+    val got = SparkEntry.queries("events_changepoint")(spark, sf)
+      .withColumn("cp_hour", unix_micros(col("cp_hour"))).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (h, nh, tot, cs) = expect(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("cp_hour") == h, s"cp hour for $r")
+      assert(r.getAs[Long]("n_hours") == nh)
+      assert(r.getAs[Long]("total_events") == tot)
+      assert(r.getAs[Long]("cusum_scaled") == cs)
+    }
+  }
+
+  test("events_user_diversity equals a driver-side fold") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val byUser = evs.groupBy(_._1)
+    val got = SparkEntry.queries("events_user_diversity")(spark, sf).collect()
+    assert(got.length == byUser.size && got.nonEmpty)
+    got.foreach { r =>
+      val cnts = byUser(r.getAs[Long]("user_id")).groupBy(_._2)
+        .map { case (t, v) => t -> v.length.toLong }
+      val n = cnts.values.sum
+      val top = cnts.toSeq.minBy { case (t, c) => (-c, t) }
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_types") == cnts.size.toLong)
+      assert(r.getAs[String]("top_type") == top._1)
+      assert(r.getAs[Double]("top_share") == top._2.toDouble / n)
+      val sn = cnts.values.map(c => c * c).sum
+      assert(r.getAs[Long]("simpson_num") == sn)
+      assert(r.getAs[Double]("simpson_index") == sn.toDouble / (n * n).toDouble)
+    }
+  }
 }

@@ -523,4 +523,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected,
       s"label affinity diverges: $got vs $expected")
   }
+
+  test("knn_reciprocal: exactly the mutual pairs of the exact kNN graph") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    // strict left-fold double cosine — the CosineSim kernel's op order
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def knn(q: Long): Seq[(Long, Int, Double)] = {
+      val qe = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, cos(qe, e)) }
+        .filterNot(_._2.isNaN)
+        .sortBy { case (v, c) => (-c, v) }
+        .take(5).zipWithIndex.map { case ((v, c), i) => (v, i + 1, c) }
+    }
+    val expect = (for {
+      q <- vecs.keys.filter(_ < 10).toSeq
+      (n, rq, c) <- knn(q)
+      rn <- knn(n).find(_._1 == q).map(_._2).toSeq
+    } yield (q, n) -> ((rq, rn, c))).toMap
+    val got = SparkEntry.queries("knn_reciprocal")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        ((r.getAs[Int]("rank_qn"), r.getAs[Int]("rank_nq"),
+          r.getAs[Double]("cosine")))).toMap
+    assert(got.nonEmpty && got == expect,
+      s"reciprocal pairs diverge: got ${got.size}, expected ${expect.size}")
+  }
 }

@@ -785,4 +785,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch, s"seasonal feed diverges")
     assert(batch.nonEmpty)
   }
+
+  test("stream_changepoint equals the batch CUSUM regardless of boundaries") {
+    // complete-mode (type, hour) counts are linear in the input, so the
+    // drained sink equals the batch rollup whatever the batch split —
+    // and the shared changepointRows body does the rest
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[java.sql.Timestamp]("cp_hour"), r.getAs[Long]("n_hours"),
+            r.getAs[Long]("total_events"), r.getAs[Long]("cusum_scaled"))))
+        .toMap
+    val batch = rows("events_changepoint")
+    val stream = rows("stream_changepoint")
+    assert(stream == batch, s"changepoint feed diverges")
+    assert(batch.nonEmpty)
+  }
 }

@@ -990,4 +990,79 @@ class TextDedupSpec extends AnyFunSuite {
       Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(row8.getAs[Long]("n_docs") == docs8.size.toLong)
   }
+
+  test("text_hapax_stats equals a driver-side per-source tf fold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val word = "[a-z0-9]+".r
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      val tf = ds.flatMap(d => word.findAllIn(d._2.toLowerCase).toSeq)
+        .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+      src -> tf
+    }
+    val got = SparkEntry.queries("text_hapax_stats")(spark, sf).collect()
+    assert(got.length == bySource.size && got.nonEmpty)
+    got.foreach { r =>
+      val tf = bySource(r.getAs[String]("source"))
+      val total = tf.values.sum
+      val hapax = tf.values.count(_ == 1).toLong
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("distinct_terms") == tf.size.toLong)
+      assert(r.getAs[Long]("hapax_terms") == hapax)
+      assert(r.getAs[Long]("dis_terms") == tf.values.count(_ == 2).toLong)
+      assert(r.getAs[Double]("type_token_ratio") == tf.size.toDouble / total)
+      assert(r.getAs[Double]("hapax_share") == hapax.toDouble / tf.size)
+    }
+  }
+
+  test("dedup_edit_distance: planted mutations found exact, hot head capped") {
+    // Planted corpus pins all three contracts at once:
+    //  - a base/mutant pair sharing a stable 24-char head with three
+    //    interior substitutions → emitted with edit_dist == 3, exact;
+    //  - a same-head pair whose tails diverge beyond the τ=64 bound →
+    //    filtered (the |Δlen| prune fires before any DP);
+    //  - a 70-doc template-head block (> EditBlockCap=64) of mutual
+    //    near-dups → the whole block is dropped (no m² DP pairs), even
+    //    though every pair would pass the distance test.
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    val head = "aaaa bbbb cccc dddd eeee" // exactly 24 normalized chars
+    val base = s"$head alpha beta gamma delta epsilon zeta eta theta"
+    val mutant = s"$head alpha bexa gamma dblta epsilon zeta eta thexa"
+    val far = s"$head " + Seq.fill(40)("pad word filler").mkString(" ")
+    val hotDocs = (0 until 70).map(i =>
+      (2000L + i, s"template head block rest $i"))
+    val docs = Seq((1000L, base), (1001L, mutant), (1002L, far)) ++ hotDocs
+    val dir = java.nio.file.Files.createTempDirectory("editdist").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val expected = lev(base, mutant)
+      assert(expected == 3, s"planted mutation count drifted: $expected")
+      assert(math.abs(far.length - base.length) > 64,
+        "far doc is inside the length prune — plant is broken")
+      val got = SparkEntry.queries("dedup_edit_distance")(spark, dir)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Int]("edit_dist")).toMap
+      assert(got == Map((1000L, 1001L) -> expected),
+        s"edit-distance output diverges: $got")
+    } finally {
+      FrameCache.evictMatching(spark, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
