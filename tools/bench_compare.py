@@ -21,7 +21,9 @@ import re
 import sys
 
 
-RECORD_RE = r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")\}'
+# records end "sf":N} through round 10 and "sf":N,"load":N} since
+# Bench started publishing the sampled loadavg in round 11
+RECORD_RE = r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")(?:,"load":[0-9.]+)?\}'
 
 
 def load(path: str) -> dict:
@@ -62,6 +64,12 @@ def main(argv: list) -> int:
     print(f"shared subset: {len(shared)} queries")
     print(f"old total {to:.1f}s -> new total {tn:.1f}s  ({tn / to:.2f}x)")
     print(f"old _stage {qo.get('_stage')}  new _stage {qn.get('_stage')}")
+    # box-contention fingerprint (VERDICT r12 ask #6): Bench publishes
+    # the max 1-min loadavg sampled across the run since round 11 —
+    # carrying both sides here makes a contended box self-evident in
+    # the compare artifact itself (r12's load 12.4 vs gated 6.9 was
+    # the whole regression story)
+    print(f"old load {old.get('load')}  new load {new.get('load')}")
     only_new = sorted((set(qn) - set(qo)) - skip)
     if only_new:
         added = sum(qn[q] for q in only_new)
@@ -95,6 +103,10 @@ def main(argv: list) -> int:
             "old_total_sec": round(to, 1), "new_total_sec": round(tn, 1),
             "old_stage_sec": stage(old),
             "new_stage_sec": stage(new),
+            # max 1-min loadavg each run sampled (null for pre-round-11
+            # records) — read a lopsided flagged list against these
+            "old_load": old.get("load"),
+            "new_load": new.get("load"),
             "flagged_over_2x": sorted(flagged, key=lambda r: -r["ratio"]),
             "note": "flagged = shared queries (both >=0.5s) whose "
                     "ratio (symmetric, see 'slower') exceeds 2x; a "
