@@ -3137,10 +3137,12 @@ object Analytics {
   // reweighting consumes the exact numerators. The dominant type is a
   // deterministic argmax (count DESC, type ASC).
   //
-  // Exactness: counts are integers; Σc² in DECIMAL(38,0), CAST to
-  // BIGINT on both sides; the two derived doubles are each a single
-  // division of exactly-representable integers (< 2^53) — one
-  // correctly-rounded IEEE op, engine-identical.
+  // Exactness: counts are integers; Σc² AND n² both computed in wide
+  // exact integer types (DECIMAL(38,0) here, HUGEINT in the oracle —
+  // a bare BIGINT n*n silently wraps in Spark and errors in DuckDB
+  // once one user exceeds ~3e9 events, plausible for bots at 100 TB;
+  // round-13 ADVICE), CAST to BIGINT/DOUBLE after; the derived doubles
+  // are single correctly-rounded IEEE ops, engine-identical.
   //
   // Scale (100 TB): one (user, type) map-side-combinable rollup is the
   // corpus-scale job; the per-user rollup and argmax window both
@@ -3163,7 +3165,8 @@ object Analytics {
       |  CAST(t.top_n AS DOUBLE) / s.n_events AS top_share,
       |  s.simpson_num,
       |  CAST(s.simpson_num AS DOUBLE)
-      |    / CAST(s.n_events * s.n_events AS DOUBLE) AS simpson_index
+      |    / CAST(CAST(s.n_events AS HUGEINT) * s.n_events AS DOUBLE)
+      |    AS simpson_index
       |FROM su s JOIN top t ON s.user_id = t.user_id AND t.rk = 1""".stripMargin) { (s, d) =>
     val tc = Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
@@ -3186,7 +3189,8 @@ object Analytics {
         (col("top_n").cast("double") / col("n_events")).as("top_share"),
         col("simpson_num"),
         (col("simpson_num").cast("double")
-          / (col("n_events") * col("n_events")).cast("double"))
+          / (col("n_events").cast(DecimalType(38, 0)) * col("n_events"))
+            .cast("double"))
           .as("simpson_index"))
   }
 

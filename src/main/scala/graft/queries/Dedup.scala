@@ -1659,8 +1659,17 @@ object Dedup {
       .join(b, Seq("pfx"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("len_a") - col("len_b")) <= EditMaxDist)
-      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("edit_dist") <= EditMaxDist)
+      // BOUNDED DP (round-13 ADVICE): the 3-arg levenshtein runs the
+      // banded O(L·τ) algorithm and returns -1 past the threshold —
+      // without the bound, a block of long near-equal docs (two 1 MB
+      // docs sharing a 24-char head) costs O(L²) per admitted pair, a
+      // single-task hotspot at 100 TB. Within the threshold the banded
+      // value equals the exact distance, so admitted rows still match
+      // the oracle's full DP bit-for-bit; the between(0, τ) filter
+      // discards the -1 sentinel rows the old <= τ filter would KEEP.
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb"), EditMaxDist))
+      .filter(col("edit_dist").between(0, EditMaxDist))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         col("len_a"), col("len_b"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -397,7 +397,17 @@ object Similarity {
   // (lloydRefine — training is sample-bounded, the 100 TB design).
   // Lists and probes then use the refined centroids; the corpus is
   // scanned exactly once, for list assignment.
-  val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) =>
+  val ivf = QueryDef.rowsOnly("knn_ivf") { (s, d) => ivfFrame(s, d, NProbe) }
+
+  /** The IVF pipeline with the probe count exposed — the recall/scan
+    * dial a deployment tunes. The registered query runs NProbe; the
+    * planted-cluster spec runs nProbe=4/16 on a CLUSTERED table to pin
+    * that the machinery actually prunes when structure exists (on the
+    * structureless synthetic corpus recall ≈ scan fraction, the honest
+    * note above).
+    */
+  private[graft] def ivfFrame(s: SparkSession, d: String,
+      nProbe: Int): DataFrame = {
     // train on the sample, driver-side (shared trainedCentroids —
     // k-means++ seeds + Lloyd, memoized per dir). The cluster never
     // scans the corpus for training — only the one list-ASSIGNMENT
@@ -423,7 +433,7 @@ object Similarity {
       .withColumn("csim", F.cosine_sim(col("qe"), col("ce")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
-      .filter(col("crk") <= NProbe)
+      .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
     topK(broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))

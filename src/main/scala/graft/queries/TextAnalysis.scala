@@ -1885,6 +1885,110 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("gram")).limit(50)
   }
 
+  // --- C38: boilerplate stripping (round 13) ---------------------------------
+  // C36's CONSUMER — the curation action its candidate list exists
+  // for: rewrite each document's canonical token stream with every
+  // position covered by a cross-document boilerplate 5-gram (word
+  // 5-grams present in ≥ 3 distinct docs — C36's df contract, here
+  // UNCAPPED rather than top-50: stripping wants the whole chrome set)
+  // removed, and emit per-doc reduction stats + the md5 of the cleaned
+  // stream. The RefinedWeb-style template-chrome pass: navigation
+  // bars, footers, cookie banners shared across a crawl disappear;
+  // unique prose (grams with df < 3) is untouched. The output is the
+  // TOKEN stream, not the raw text — stripping is defined on the
+  // tokenizer's canonical form, so both engines rewrite the identical
+  // sequence (and downstream token-budget ops consume exactly this
+  // form anyway).
+  //
+  // Scale (100 TB): three corpus-scale passes, all shuffle-lean —
+  // (1) the C36 df rollup (per-doc DISTINCT grams via the codegen'd
+  // NgramsDistinct kernel → ONE map-side-combinable groupBy; df ≥ 3
+  // keeps only the boilerplate head, a vocabulary-scale frame);
+  // (2) positional grams equi-joined against that frame on the gram
+  // key (the join output is HITS only — boilerplate occurrences, not
+  // the corpus), aggregated to a per-doc covered-position set (bounded
+  // by doc length); (3) one map-side rebuild of each doc from its own
+  // token array + covered set (array ops inside codegen, no UDF). Hot
+  // boilerplate grams skew the hit join's gram key — same AQE skew
+  // story as D2b's capped index; the per-doc agg re-keys to doc_id.
+  private val StripDf = 3 // a gram in >= 3 distinct docs is chrome (C36)
+
+  val stripBoilerplate = QueryDef.oracled(
+    "text_strip_boilerplate",
+    s"""WITH toks AS (SELECT doc_id,
+      |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |        FROM documents),
+      |dg AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+      |                               FOR i IN range(1, len(t) - 3)])) AS gram
+      |       FROM toks),
+      |df AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= $StripDf),
+      |pos AS (SELECT doc_id,
+      |          unnest([{'i': i, 'g': array_to_string(t[i:i+4], ' ')}
+      |                  FOR i IN range(1, len(t) - 3)]) AS p
+      |        FROM toks),
+      |cp AS (SELECT doc_id, unnest([(p).i, (p).i+1, (p).i+2, (p).i+3,
+      |                              (p).i+4]) AS j
+      |       FROM pos JOIN df ON (p).g = df.gram),
+      |cov AS (SELECT doc_id, list(DISTINCT j) AS covered
+      |        FROM cp GROUP BY doc_id),
+      |cl AS (SELECT t.doc_id, len(t.t) AS n_tokens,
+      |         coalesce(len(c.covered), 0) AS n_removed,
+      |         coalesce(array_to_string(
+      |           [t.t[j] FOR j IN range(1, len(t.t) + 1)
+      |            IF NOT coalesce(list_contains(c.covered, j), FALSE)],
+      |           ' '), '') AS cleaned
+      |         -- DuckDB array_to_string([]) is NULL, Spark concat_ws
+      |         -- of an empty array is '' — pin the fully-covered doc
+      |         -- to the empty stream on both engines
+      |       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id)
+      |SELECT doc_id, n_tokens, n_removed,
+      |  CASE WHEN n_tokens = 0 THEN 1.0
+      |       ELSE CAST(n_tokens - n_removed AS DOUBLE) / n_tokens END
+      |    AS kept_ratio,
+      |  md5(cleaned) AS cleaned_hash
+      |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), s, "doc_id")
+      .select(col("doc_id"), F.tokenize_words(col("text")).as("t"))
+      .localCheckpoint() // tokenize once; df rollup + pos join + rebuild
+    // chrome set: C36's per-doc-distinct df rollup, df >= 3, UNCAPPED
+    val chrome = toks
+      .select(explode(F.ngrams_distinct(col("t"), 5)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= StripDf)
+      .select(col("gram"))
+    // positional grams (1-based start i; docs with < 5 tokens are
+    // filtered before the explode — sequence(1, n-4) at n < 5 would
+    // generate a DESCENDING range, not an empty one) -> hits i..i+4
+    val cov = toks
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> struct(i AS i, concat_ws(' ', slice(t, i, 5)) AS g))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.g").as("g"))
+      .join(chrome, col("g") === col("gram"))
+      .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("j"))
+      .groupBy(col("doc_id")).agg(collect_set(col("j")).as("covered"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        when(col("covered").isNull, concat_ws(" ", col("t")))
+          .otherwise(expr(
+            """concat_ws(' ', transform(
+              |  filter(transform(t, (x, i0) -> struct(x AS tok,
+              |                                        i0 + 1 AS pos)),
+              |         s -> NOT array_contains(covered, s.pos)),
+              |  s -> s.tok))""".stripMargin)).as("cleaned"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        when(col("n_tokens") === 0, lit(1.0))
+          .otherwise((col("n_tokens") - col("n_removed")).cast("double")
+            / col("n_tokens")).as("kept_ratio"),
+        md5(col("cleaned").cast("binary")).as("cleaned_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- C37: per-source vocabulary profile (round 12) -------------------------
   // Heaps-law / hapax diagnostics per source — the vocabulary-health
   // panel a corpus report shows next to C6's raw counts: total tokens,
@@ -1903,6 +2007,15 @@ object TextAnalysis {
   // combinable rollup is the only corpus-scale job (the dominant cost
   // is the tokenize kernel, map-side and ingest-spread); the per-source
   // rollup consumes the vocabulary-sized frame. |sources| output rows.
+  //
+  // Completeness contract (round-13 ADVICE): a source whose documents
+  // ALL tokenize to zero tokens emits no row — explode here and unnest
+  // in the oracle both drop empty arrays, so the omission is
+  // cross-engine consistent, but it differs from C24's zero-token
+  // row-pinning convention. Deliberate: this panel diagnoses the
+  // VOCABULARY of a source, and an all-empty source has none — its
+  // existence shows up in C6's raw per-source counts, the report read
+  // next to this one.
   val hapaxStats = QueryDef.oracled(
     "text_hapax_stats",
     """WITH tok AS (SELECT source,
@@ -1941,5 +2054,5 @@ object TextAnalysis {
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
       bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile,
-      boilerplateNgrams, hapaxStats)
+      boilerplateNgrams, hapaxStats, stripBoilerplate)
 }

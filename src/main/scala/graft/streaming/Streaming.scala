@@ -1197,6 +1197,124 @@ object Streaming {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
+  /** Generic keyed-upsert drain (round 13 — the A13 sink generalized to
+    * any key set): run `updates`, an UPDATE-mode streaming aggregation
+    * — each trigger emits ONLY the keys whose aggregate changed in that
+    * trigger — through a foreachBatch bucketed MERGE sink. State is a
+    * parquet table hash-bucketed on `keyCols`; each micro-batch reads
+    * and dynamically overwrites only the buckets its keys hash to, and
+    * the newest batch wins per key (within one batch a key appears at
+    * most once — aggregation output; across batches update mode
+    * re-emits a key's LATEST aggregate, so max batch_seq is the merge
+    * rule). Per-trigger sink IO ∝ keys TOUCHED this trigger — the
+    * complete-mode full-keyspace re-emission this replaces (r12 A44/A47)
+    * rewrote the entire sink every micro-batch, a scale-killer at 1e9
+    * keys. The streaming agg's own keyed state store still holds one
+    * row per key (exact per-key aggregates need it; RocksDB-backed and
+    * partitioned on a cluster) — it is the SINK side that is now
+    * incremental, the contract a real Cassandra/MERGE table gives.
+    * `onBatch(batchId, changedRows)` is spec observability.
+    */
+  private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String],
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    val outCols = updates.columns.toSeq
+    val stateDir = scratchDir("graft_kupsert_state")
+    val ckpt = scratchDir("graft_kupsert_ckpt_")
+    val q = updates.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val sess = batch0.sparkSession
+        val statePath = s"$stateDir/state"
+        val batch = batch0.localCheckpoint() // changed-keys-sized; 3 reads
+        onBatch(batchId, batch.count())
+        val withBucket = batch
+          .withColumn("batch_seq", lit(batchId))
+          .withColumn("bucket",
+            pmod(xxhash64(keyCols.map(col): _*), lit(UpsertBuckets))
+              .cast("int"))
+        // bounded partition-pruning list (≤ UpsertBuckets ints)
+        val touched = withBucket.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          sess.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            sess.read.parquet(statePath)
+              .filter(col("bucket").isin(touched: _*))
+          else sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            withBucket.schema)
+        existing.unionByName(withBucket)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col("batch_seq").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(statePath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    // materialize the compacted state and remove the temp dir (the
+    // collect is the documented harness-only drain, as in runUpsert —
+    // production reads the keyed table in place)
+    val state = s.read.parquet(s"$stateDir/state")
+      .select(outCols.map(col): _*)
+    val rows = state.collect().toIndexedSeq
+    val schema = state.schema
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  // --- A52: A44's skew profile through the incremental keyed sink ----------
+  // The deploy-mode twin of A44 (the A37/A37b precedent: the
+  // complete-mode form stays as the oracle ANCHOR; this is the form
+  // that survives 100×): per-key running counts as an UPDATE-mode
+  // aggregation into the bucketed MERGE sink — per-trigger sink IO ∝
+  // keys touched this trigger, not the full keyspace. After any
+  // trigger the keyed table IS the current per-key count table (counts
+  // are linear in the input — the A40 merge-is-sum argument — and
+  // update mode re-emits a key's latest aggregate, so last-write-wins
+  // converges to the batch counts regardless of batch boundaries);
+  // B53's log2 histogram reads batch-side over it. Full hash oracle
+  // ≡ B53's SQL (shared constant).
+  val keySkewUpsert = QueryDef.oracled(
+    "stream_key_skew_upsert", graft.queries.Analytics.keySkewOracle) { (s, d) =>
+    val counts = eventStream(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    graft.queries.Analytics.keySkewRows(
+      runKeyedUpsert(s, counts, Seq("user_id")))
+  }
+
+  // --- A53: A47's TTL keyspace through the incremental keyed sink ----------
+  // The deploy-mode twin of A47: last-write-per-key (max over
+  // (ts, event_id, value) structs — merge is max, so last-write-wins
+  // over update-mode re-emissions converges to the batch pick) as an
+  // UPDATE-mode aggregation into the bucketed MERGE sink, A46's expiry
+  // filter batch-side over the keyed table. This is the contract the
+  // reference's Cassandra storage tier actually has — per-write
+  // upserts into a keyed table, row TTL read-side — with per-trigger
+  // sink IO ∝ touched keys. Full hash oracle ≡ A46's SQL (shared
+  // constant).
+  val kvTtlUpsert = QueryDef.oracled(
+    "stream_kv_ttl_upsert", graft.queries.Coordination.kvTtlOracle) { (s, d) =>
+    graft.queries.Coordination.kvTtlRows(
+      runKeyedUpsert(s,
+        graft.queries.Coordination.lastWrites(eventStream(s, d)),
+        Seq("namespace", "key")),
+      graft.queries.Coordination.KvRowTtlMicros)
+  }
+
   // --- A30: streaming ingest curation (D13's online half) ------------------
   // What ingest can decide ONLINE, per arriving document: the
   // benchmark/quality gates are stateless projections, the exact-dedup
@@ -1690,6 +1808,12 @@ object Streaming {
   // signal that tells an operator to re-dial salting/caps WHILE the
   // hot key is forming, not after the nightly batch job finds it.
   // Full hash oracle ≡ B53's SQL (shared constant).
+  // SCALE CAVEAT (r12 verdict): complete mode re-emits the FULL
+  // keyspace to the sink every trigger — fine as the oracle-anchored
+  // boundary-invariance demonstration here, a scale-killer live at 1e9
+  // keys. The deploy form is A52 `stream_key_skew_upsert` below
+  // (update mode + keyed MERGE sink, per-trigger IO ∝ touched keys);
+  // the A37/A37b anchor/deploy split.
   val keySkewFeed = QueryDef.oracled(
     "stream_key_skew", graft.queries.Analytics.keySkewOracle) { (s, d) =>
     val counts = eventStream(s, d)
@@ -1727,6 +1851,10 @@ object Streaming {
   // — the session-cache view while sessions are still forming, where
   // batch A46 is the nightly compaction's answer. Full hash oracle
   // ≡ A46's SQL (shared constant).
+  // SCALE CAVEAT (r12 verdict): complete mode re-emits the full
+  // (namespace, key) space per trigger — oracle anchor only; the
+  // deploy form is A53 `stream_kv_ttl_upsert` below (update mode +
+  // keyed MERGE sink, the Cassandra-table contract).
   val kvTtlFeed = QueryDef.oracled(
     "stream_kv_ttl", graft.queries.Coordination.kvTtlOracle) { (s, d) =>
     graft.queries.Coordination.kvTtlRows(
@@ -2038,5 +2166,6 @@ object Streaming {
     transitionFeed, heavyHittersFeed, attributionFeed, userSampleFeed,
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
-    funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed)
+    funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
+    keySkewUpsert, kvTtlUpsert)
 }

@@ -801,4 +801,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch, s"changepoint feed diverges")
     assert(batch.nonEmpty)
   }
+
+  test("runKeyedUpsert: per-trigger sink IO is proportional to CHANGED keys, " +
+      "and the drained table equals the batch counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // batch 0 touches 50 keys; batch 1 touches only keys 1..5 — the
+    // update-mode agg must emit exactly the 5 changed keys to the
+    // second trigger (complete mode would re-emit all 50: the r12
+    // A44/A47 scale-killer this sink exists to fix)
+    val b0 = (1L to 50L).map(k => (k, 1.0)).toDF("user_id", "v")
+    val b1 = (1L to 5L).map(k => (k, 2.0)).toDF("user_id", "v")
+    val srcDir = plantedSource(Seq(b0, b1))
+    val schema = b0.schema
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val got = graft.streaming.Streaming.runKeyedUpsert(
+        spark, counts, Seq("user_id"), (id, n) => perBatch.synchronized {
+          perBatch += ((id, n)) })
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("cnt"))
+      .toMap
+    // drained keyed table == batch counts
+    val expect = ((1L to 5L).map(_ -> 2L) ++ (6L to 50L).map(_ -> 1L)).toMap
+    assert(got == expect, s"drained state diverges: $got")
+    // per-trigger emissions: 50 changed keys, then 5 — never the full
+    // keyspace again (trailing no-data batches may log 0 rows)
+    val emitted = perBatch.sortBy(_._1).map(_._2).filter(_ > 0)
+    assert(emitted == Seq(50L, 5L),
+      s"per-trigger sink IO not proportional to changed keys: $perBatch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
+
+  test("stream_kv_ttl_upsert equals the batch TTL snapshot across MULTIPLE " +
+      "micro-batches") {
+    import org.apache.spark.sql.functions._
+    // same-shaped assertion as the complete-mode anchor (A47), but
+    // through the incremental keyed sink and a forced 4-trigger split:
+    // a key whose last write landed in batch 1 must survive batches
+    // 2-4 untouched in its bucket, and a key rewritten later must be
+    // superseded (batch_seq max wins)
+    val srcDir = timeSplitSource(
+      Tables.events(spark, sf), 4, Seq(col("ts"), col("event_id")))
+    val stream = Tables.withMicroTs(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir))
+    val got = graft.queries.Coordination.kvTtlRows(
+        graft.streaming.Streaming.runKeyedUpsert(spark,
+          graft.queries.Coordination.lastWrites(stream),
+          Seq("namespace", "key")),
+        graft.queries.Coordination.KvRowTtlMicros)
+      .collect()
+      .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key")) ->
+        ((r.getAs[Double]("value"), r.getAs[java.sql.Timestamp]("ts"),
+          r.getAs[Long]("expires_us")))).toMap
+    val batch = SparkEntry.queries("kv_ttl_snapshot")(spark, sf).collect()
+      .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key")) ->
+        ((r.getAs[Double]("value"), r.getAs[java.sql.Timestamp]("ts"),
+          r.getAs[Long]("expires_us")))).toMap
+    assert(got == batch, "keyed-sink TTL snapshot diverges from batch")
+    assert(batch.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }

@@ -1065,4 +1065,47 @@ class TextDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("text_strip_boilerplate removes the planted template chrome and " +
+      "leaves unique prose untouched") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // one 6-token template shared by docs 1-3 (head, tail, and
+    // mid-document placements); every prose word is globally unique so
+    // no accidental df >= 3 gram exists outside the template
+    val tpl = "subscribe to our newsletter for updates"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta echo $tpl"),
+      (2L, s"$tpl foxtrot golf hotel india juliet"),
+      (3L, s"kilo lima mike november oscar papa $tpl quebec romeo sierra tango uniform"),
+      (4L, "victor whiskey xray yankee zulu one two"))
+    val dir = java.nio.file.Files.createTempDirectory("stripboiler").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val got = SparkEntry.queries("text_strip_boilerplate")(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[Double]("kept_ratio"), r.getAs[String]("cleaned_hash"))))
+        .toMap
+      // template fully removed — both its internal 5-grams have df = 3,
+      // their union covers all 6 template positions; cross-boundary
+      // grams (prose + template words) are df = 1 and remove nothing
+      assert(got(1L) ==
+        ((11L, 6L, 5.0 / 11, md5hex("alpha bravo charlie delta echo"))))
+      assert(got(2L) ==
+        ((11L, 6L, 5.0 / 11, md5hex("foxtrot golf hotel india juliet"))))
+      assert(got(3L) == ((17L, 6L, 11.0 / 17, md5hex(
+        "kilo lima mike november oscar papa quebec romeo sierra tango uniform"))))
+      // unique prose untouched: hash equals the canonical token stream
+      assert(got(4L) ==
+        ((7L, 0L, 1.0, md5hex("victor whiskey xray yankee zulu one two"))))
+    } finally {
+      FrameCache.evictMatching(spark, dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
