@@ -7,7 +7,11 @@ import org.apache.spark.storage.StorageLevel
 /** Session-scoped persisted-frame cache: the staging-table role a
   * warehouse plays for shared intermediates (shingle sets, capped
   * inverted indexes) — one persisted copy per (session, key), reused
-  * by every consumer, LRU-evictable (MEMORY_AND_DISK).
+  * by every consumer, LRU-evictable (MEMORY_AND_DISK). With
+  * `spark.graft.index.dir` set, additionally a PERSISTENT artifact
+  * store: each key is materialized to parquet once and loaded —
+  * never rebuilt — by later sessions (see the index-artifact section
+  * below).
   *
   * Entries are unpersisted and dropped when the owning CONTEXT ends
   * (SparkListener on application end) or when a caller evicts a
@@ -24,6 +28,72 @@ private[graft] object FrameCache {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val hooked =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkListener]()
+
+  // ---- persistent index-artifact layer (round 13) -------------------------
+  // FrameCache alone is session-scoped: every new session (every bench
+  // run, every job) pays the full staged-artifact build — PQ codebooks,
+  // capped inverted indexes, cluster maps. Production builds an index
+  // ONCE and ships the artifact (the FAISS index-file model, already
+  // the §2 framing for E10/E11). Setting the session conf
+  // `spark.graft.index.dir` turns every getOrPersist key into a parquet
+  // artifact under that dir: first build writes it, later sessions (or
+  // JVMs) READ it instead of rebuilding — the loaded frame's plan scans
+  // the artifact, never the corpus. Single-writer contract per dir (the
+  // warehouse staging-table assumption); the _SUCCESS marker guards
+  // against consuming a torn write. Keys embed the corpus dir, so
+  // artifacts from different SFs/corpora never collide.
+  private[graft] val IndexDirConf = "spark.graft.index.dir"
+
+  // spec/bench observability: how many builds ran vs artifacts loaded
+  private val diskBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  private val diskLoads = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def diskStats: (Long, Long) =
+    (diskBuilds.get(), diskLoads.get())
+
+  private def indexDir(s: SparkSession): Option[String] =
+    Option(s.conf.get(IndexDirConf, null)).map(_.trim).filter(_.nonEmpty)
+
+  /** Deterministic artifact path for a cache key: a readable sanitized
+    * tail plus an md5 of the FULL key (keys embed filesystem paths and
+    * parameters — two keys may sanitize identically, the hash cannot).
+    */
+  private[graft] def artifactPath(dir: String, key: String): String = {
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tail = if (safe.length > 64) safe.substring(safe.length - 64) else safe
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$dir/$tail-$h.parquet"
+  }
+
+  /** Disk layer: load the artifact if present, else run `build`, write
+    * the artifact, and return a frame READING it (so every downstream
+    * plan — this session included — hangs off the artifact scan, the
+    * same plan later sessions get; no corpus lineage survives).
+    */
+  private def materialize(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = indexDir(s) match {
+    case None => build
+    case Some(dir) =>
+      val path = artifactPath(dir, key)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
+        diskLoads.incrementAndGet()
+      else {
+        diskBuilds.incrementAndGet()
+        build.write.mode("overwrite").parquet(path)
+      }
+      // A small artifact reads back as a handful of file-split
+      // partitions — far below the executor width the build's
+      // Tables.spread gave it — and consumers doing map-heavy work
+      // before their first exchange would serialize. Re-spread
+      // (round-robin; one artifact-sized shuffle per session, then the
+      // MEMORY_AND_DISK persist holds it), mirroring spread's 2x guard.
+      val loaded = s.read.parquet(path)
+      val target = s.sparkContext.defaultParallelism
+      if (loaded.rdd.getNumPartitions * 2 >= target) loaded
+      else loaded.repartition(target)
+  }
 
   def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     hooked.computeIfAbsent(s, { _ =>
@@ -46,7 +116,8 @@ private[graft] object FrameCache {
     val hit = cache.get(k)
     if (hit ne null) hit
     else {
-      val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+      val built = materialize(s, key)(build)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val prev = cache.putIfAbsent(k, built)
       if (prev eq null) built
       else {

@@ -22,6 +22,15 @@ object GraftSession {
   def get(cpus: String): SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // opt-in persistent staged-artifact store (FrameCache disk layer):
+    // point SPARK_GRAFT_INDEX_DIR at a directory and every staged
+    // index artifact (PQ codebooks/codes, capped inverted indexes,
+    // cluster maps, kNN candidate pairs) is written there once and
+    // LOADED — not rebuilt — by every later session/JVM. The
+    // build-once / ship-the-artifact production model; unset = the
+    // session-scoped behavior of rounds 1-12.
+    sys.env.get("SPARK_GRAFT_INDEX_DIR").filter(_.nonEmpty)
+      .foreach(d => s.conf.set(FrameCache.IndexDirConf, d))
     s
   }
 }

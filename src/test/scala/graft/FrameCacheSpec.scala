@@ -70,4 +70,78 @@ class FrameCacheSpec extends AnyFunSuite {
       assert(!rebuilt)
     } finally pool.shutdownNow()
   }
+
+  test("index dir: second SESSION loads the staged artifact instead of " +
+      "rebuilding, and its plan scans the artifact, not the source") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val key = "spec.indexdir.artifact"
+    // two sessions sharing the context — the per-job-session deployment
+    // shape the FrameCache scaladoc describes
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      var builds = 0
+      def build(s: org.apache.spark.sql.SparkSession) =
+        FrameCache.getOrPersist(s, key) {
+          builds += 1
+          s.range(100).toDF("id")
+            .withColumn("sq", col("id") * col("id"))
+        }
+      val (b0, l0) = FrameCache.diskStats
+      val first = build(s1)
+      assert(first.count() === 100 && builds === 1)
+      assert(new java.io.File(
+        s"${FrameCache.artifactPath(dir, key)}/_SUCCESS").exists(),
+        "artifact not written")
+      // session 2: the build closure must NOT run — the artifact loads
+      val second = build(s2)
+      assert(second.count() === 100 && builds === 1,
+        "second session rebuilt instead of loading the artifact")
+      val (b1, l1) = FrameCache.diskStats
+      assert(b1 - b0 === 1 && l1 - l0 === 1,
+        s"disk stats: builds ${b1 - b0}, loads ${l1 - l0}")
+      // the loaded plan hangs off the artifact scan — no source lineage
+      val plan = second.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_idx"),
+        s"loaded plan does not scan the index dir:\n$plan")
+      assert(!plan.toLowerCase.contains("range"),
+        s"loaded plan still carries the build lineage:\n$plan")
+      // values round-trip exactly
+      assert(second.agg(sum(col("sq"))).head.getLong(0) ===
+        first.agg(sum(col("sq"))).head.getLong(0))
+    } finally {
+      FrameCache.evict(s1); FrameCache.evict(s2)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index dir: a query family produces identical results with and " +
+      "without the persistent artifact store (knn_pq end-to-end)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_pq").toString
+    val sIdx = spark.newSession()
+    sIdx.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      def rows(s: org.apache.spark.sql.SparkSession) =
+        SparkEntry.queries("knn_pq")(s, sf).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+            ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+      val base = rows(spark)       // session-scoped path (default)
+      val viaBuild = rows(sIdx)    // builds + writes codebook/codes
+      assert(viaBuild == base, "artifact-backed run diverges from default")
+      // a FRESH session loads the artifacts: zero new disk builds
+      val sLoad = spark.newSession()
+      sLoad.conf.set(FrameCache.IndexDirConf, dir)
+      val (b0, _) = FrameCache.diskStats
+      val viaLoad = rows(sLoad)
+      val (b1, _) = FrameCache.diskStats
+      assert(viaLoad == base, "loaded-artifact run diverges from default")
+      assert(b1 === b0, "fresh session rebuilt staged artifacts " +
+        "instead of loading them")
+      FrameCache.evict(sLoad)
+    } finally {
+      FrameCache.evict(sIdx)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
