@@ -3194,6 +3194,62 @@ object Analytics {
           .as("simpson_index"))
   }
 
+  // --- B71: per-type activity concentration (Gini) (round 13) ----------------
+  // The single-scalar inequality companion to B53's log2 skew histogram
+  // and B70's per-user diversity: per event type, the Gini coefficient
+  // of its per-user activity distribution — the "is this event type
+  // driven by everyone or by three bots?" number a capacity planner or
+  // abuse triage reads first. Computed from the sorted-counts identity
+  // G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc), counts ascending, i = 1..n.
+  // Tied counts may take any rank order within their block without
+  // changing Σᵢ i·cᵢ (equal c multiplies the same rank sum), so the
+  // statistic needs no tiebreak for correctness — user_id still pins
+  // the per-row rank frame so both engines build identical
+  // intermediates.
+  //
+  // Exactness: Σᵢ i·cᵢ accumulates i·c products up to |users|·|events|
+  // — far past 2^63 at 100 TB — so it runs in DECIMAL(38,0) here and
+  // HUGEINT in the oracle (the B70 lesson applied at design time);
+  // numerator and denominator CAST to DOUBLE once each, one division.
+  //
+  // Scale (100 TB): one (type, user) map-side-combinable rollup is the
+  // corpus job; the rank window and rollup run per type on the
+  // ≤ |types|·|users| frame sharing one (type) clustering; |types| rows.
+  val eventsGini = QueryDef.oracled(
+    "events_gini",
+    """WITH tc AS (SELECT event_type, user_id, count(*) AS c
+      |            FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, c,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY c, user_id) AS i
+      |      FROM tc),
+      |a AS (SELECT event_type, count(*) AS n_users,
+      |        CAST(sum(c) AS BIGINT) AS n_events,
+      |        sum(CAST(i AS HUGEINT) * c) AS w
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n_users, n_events,
+      |  CAST(2*w - (n_users + 1) * CAST(n_events AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(n_users AS HUGEINT) * n_events AS DOUBLE) AS gini
+      |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val tc = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val r = tc.withColumn("i", row_number().over(
+      Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("user_id"))))
+    r.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(col("i").cast(DecimalType(38, 0)) * col("c")).as("w"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((lit(2) * col("w")
+            - (col("n_users") + 1).cast(DecimalType(38, 0)) * col("n_events"))
+          .cast("double")
+          / (col("n_users").cast(DecimalType(38, 0)) * col("n_events"))
+            .cast("double")).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q1, q3, q4, q5, q6, q9, q10, q14, topkCustomers, priorityRollup,
     eventsHourly, eventsSessionize, eventsSessionWindow, eventsFunnel,
@@ -3207,5 +3263,6 @@ object Analytics {
     eventsKeySkew, eventsTrigrams, eventsCooccurrence, eventsMadAnomalies,
     eventsBounce, eventsMixDrift, ordersBacklog, cohortLtv, orderGaps,
     funnelLatency, seasonalAnomalies, eventsAutocorr, supplierLeadTime,
-    marketBasket, interarrivalProfile, eventsChangepoint, userDiversity)
+    marketBasket, interarrivalProfile, eventsChangepoint, userDiversity,
+    eventsGini)
 }

@@ -529,6 +529,7 @@ object TextAnalysis {
     lexDf(s, d).queryExecution.toRdd.count()
     winnowSel(s, d).queryExecution.toRdd.count()
     bpeMergesFrame(s, d).queryExecution.toRdd.count()
+    chromeGrams(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
@@ -1913,8 +1914,25 @@ object TextAnalysis {
   // story as D2b's capped index; the per-doc agg re-keys to doc_id.
   private val StripDf = 3 // a gram in >= 3 distinct docs is chrome (C36)
 
-  val stripBoilerplate = QueryDef.oracled(
-    "text_strip_boilerplate",
+  /** The chrome-gram dictionary (df ≥ 3 word 5-grams), STAGED: built
+    * once per corpus (FrameCache; parquet artifact under
+    * `graft.index.dir`) and shared by batch C38 and the streaming A54
+    * twin — the v1-dictionary model A32's vocab uses: the stripping
+    * rule a live ingest applies is frozen from the last corpus build.
+    */
+  private[graft] def chromeGrams(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.chrome:$d:$StripDf") {
+      Tables.spread(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")), s, "doc_id")
+        .select(explode(
+          F.ngrams_distinct(F.tokenize_words(col("text")), 5)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= StripDf)
+        .select(col("gram"))
+    }
+
+  /** C38's oracle — shared verbatim by the A54 streaming twin. */
+  private[graft] val stripOracle: String =
     s"""WITH toks AS (SELECT doc_id,
       |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
       |        FROM documents),
@@ -1947,17 +1965,17 @@ object TextAnalysis {
       |       ELSE CAST(n_tokens - n_removed AS DOUBLE) / n_tokens END
       |    AS kept_ratio,
       |  md5(cleaned) AS cleaned_hash
-      |FROM cl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  val stripBoilerplate = QueryDef.oracled(
+    "text_strip_boilerplate", stripOracle) { (s, d) =>
     val toks = Tables.spread(Tables.documents(s, d)
         .select(col("doc_id"), col("text")), s, "doc_id")
       .select(col("doc_id"), F.tokenize_words(col("text")).as("t"))
-      .localCheckpoint() // tokenize once; df rollup + pos join + rebuild
-    // chrome set: C36's per-doc-distinct df rollup, df >= 3, UNCAPPED
-    val chrome = toks
-      .select(explode(F.ngrams_distinct(col("t"), 5)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= StripDf)
-      .select(col("gram"))
+      .localCheckpoint() // tokenize once; pos join + rebuild consumers
+    // chrome set: C36's per-doc-distinct df rollup, df >= 3, UNCAPPED —
+    // staged (shared with the A54 streaming twin)
+    val chrome = chromeGrams(s, d)
     // positional grams (1-based start i; docs with < 5 tokens are
     // filtered before the explode — sequence(1, n-4) at n < 5 would
     // generate a DESCENDING range, not an empty one) -> hits i..i+4

@@ -73,6 +73,10 @@ case class AttribEvent(
 case class AttribRow(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long,
     touch_type: String, value: Double)
+case class StripMsg(doc_id: Long, kind: Int, j: Option[Int],
+    toks: Option[Seq[String]])
+case class StripRow(doc_id: Long, n_tokens: Long, n_removed: Long,
+    kept_ratio: Double, cleaned_hash: String)
 
 object Streaming {
 
@@ -1315,6 +1319,87 @@ object Streaming {
       graft.queries.Coordination.KvRowTtlMicros)
   }
 
+  // --- A54: streaming boilerplate stripping, online twin of C38 ------------
+  // Arriving documents get their chrome stripped AT INGEST against the
+  // staged df ≥ 3 gram dictionary (chromeGrams — the frozen-v1-
+  // dictionary model A32's vocab uses: a live pipeline strips with the
+  // rule the last corpus build mined; newly-emerging chrome waits for
+  // the next dictionary refresh, exactly like OOV scoring).
+  //
+  // Shape (the 100 TB story): the hit detection is a STREAM-STATIC
+  // equi-join of the doc's positional grams against the staged chrome
+  // frame — never a per-row linear scan of the dictionary (an O(L·|chrome|)
+  // map would serialize on big dictionaries). The rebuild needs the
+  // doc's token array NEXT TO its hit positions, so the stream forks:
+  // a CARRIER row per doc (the token array, bytes ∝ doc) unions with
+  // the hit rows (doc_id + covered position, bytes ∝ hits — the token
+  // array is NOT dragged through the gram explode, which would be
+  // O(L²) bytes/doc), and one doc_id-keyed flatMapGroupsWithState
+  // reassembles. Both legs derive from the SAME source row, so they
+  // land in the same micro-batch and the group sees carrier + all hits
+  // together — no cross-batch state (NoTimeout, state unused; the
+  // contract a whole-doc-per-row source gives). Oracle ≡ C38's SQL
+  // (shared constant).
+  val stripFeed = QueryDef.oracled(
+    "stream_strip_boilerplate", graft.queries.TextAnalysis.stripOracle) { (s, d) =>
+    import s.implicits._
+    val chrome = graft.queries.TextAnalysis.chromeGrams(s, d)
+    val path = s"$d/documents.parquet"
+    val toks = s.readStream.schema(parquetSchema(s, path))
+      .parquet(symlinkedDir(path, "documents.parquet"))
+      // ingest-spread: the tokenize kernel is ∝ corpus bytes
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.expressions.tokenize_words(col("text")).as("t"))
+    runStripFeed(s, toks, chrome)
+  }
+
+  /** The A54 pipeline over an arbitrary (doc_id, t) token stream — seam
+    * for the multi-batch spec (per-doc processing must be independent
+    * of the file/batch split).
+    */
+  private[graft] def runStripFeed(s: SparkSession, toks: DataFrame,
+      chrome: DataFrame): DataFrame = {
+    import s.implicits._
+    val carrier = toks.select(col("doc_id"), lit(0).as("kind"),
+      lit(null).cast("int").as("j"), col("t").as("toks"))
+    val hits = toks.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> struct(i AS i, concat_ws(' ', slice(t, i, 5)) AS g))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.g").as("g"))
+      .join(chrome, col("g") === col("gram")) // stream-static equi-join
+      .select(col("doc_id"), lit(1).as("kind"),
+        explode(expr("sequence(i, i + 4)")).as("j"),
+        lit(null).cast("array<string>").as("toks"))
+    val reassembled = carrier.unionByName(hits).as[StripMsg]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, it: Iterator[StripMsg], _: GroupState[Boolean]) => {
+          var t: Seq[String] = null
+          val cov = scala.collection.mutable.BitSet.empty
+          it.foreach { m =>
+            if (m.kind == 0) t = m.toks.orNull else m.j.foreach(cov += _)
+          }
+          if (t == null) Iterator.empty // unreachable: carrier is same-batch
+          else {
+            val kept = t.zipWithIndex.collect {
+              case (tok, i0) if !cov.contains(i0 + 1) => tok }
+            val cleaned = kept.mkString(" ")
+            val hash = java.security.MessageDigest.getInstance("MD5")
+              .digest(cleaned.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val n = t.length.toLong
+            Iterator.single(StripRow(id, n, cov.size.toLong,
+              if (n == 0) 1.0 else (n - cov.size).toDouble / n, hash))
+          }
+        })
+    runToMemory(s, reassembled.toDF(), OutputMode.Append,
+        needsNoDataBatch = false)
+      .orderBy(col("doc_id"))
+  }
+
   // --- A30: streaming ingest curation (D13's online half) ------------------
   // What ingest can decide ONLINE, per arriving document: the
   // benchmark/quality gates are stateless projections, the exact-dedup
@@ -2167,5 +2252,5 @@ object Streaming {
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
-    keySkewUpsert, kvTtlUpsert)
+    keySkewUpsert, kvTtlUpsert, stripFeed)
 }

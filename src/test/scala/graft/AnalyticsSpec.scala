@@ -911,4 +911,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("simpson_index") == sn.toDouble / (n * n).toDouble)
     }
   }
+
+  test("events_gini equals a driver-side sorted-counts fold, and is " +
+      "0 on uniform / -> 1 on degenerate distributions") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val byType = evs.groupBy(_._1)
+    def gini(counts: Seq[Long]): Double = {
+      val c = counts.sorted
+      val n = c.length.toLong
+      val s = c.sum
+      val w = c.zipWithIndex.map { case (ci, i0) =>
+        BigInt(i0 + 1) * BigInt(ci) }.sum
+      (BigInt(2) * w - BigInt(n + 1) * BigInt(s)).toDouble /
+        (BigInt(n) * BigInt(s)).toDouble
+    }
+    val got = SparkEntry.queries("events_gini")(spark, sf).collect()
+    assert(got.length == byType.size && got.nonEmpty)
+    got.foreach { r =>
+      val cnts = byType(r.getAs[String]("event_type")).groupBy(_._2)
+        .values.map(_.length.toLong).toSeq
+      assert(r.getAs[Long]("n_users") == cnts.length.toLong)
+      assert(r.getAs[Long]("n_events") == cnts.sum)
+      val g = r.getAs[Double]("gini")
+      assert(g == gini(cnts), s"gini diverges for ${r.getString(0)}")
+      assert(g >= 0.0 && g < 1.0)
+    }
+    // identity sanity on planted shapes: perfectly uniform -> 0;
+    // one user owning ~everything -> -> 1
+    assert(gini(Seq.fill(10)(7L)) == 0.0)
+    assert(gini(Seq.fill(99)(1L) :+ 100000L) > 0.97)
+  }
 }

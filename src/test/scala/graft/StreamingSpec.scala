@@ -864,4 +864,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_strip_boilerplate equals batch stripping across MULTIPLE " +
+      "micro-batches") {
+    import org.apache.spark.sql.functions._
+    // per-doc stripping against the frozen chrome dictionary is
+    // independent of the file/batch split — force 3 triggers and
+    // compare the drained feed to batch C38 row-for-row
+    val srcDir = timeSplitSource(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      3, Seq(col("doc_id")))
+    val toks = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .select(col("doc_id"),
+        graft.functions.expressions.tokenize_words(col("text")).as("t"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[Double]("kept_ratio"), r.getAs[String]("cleaned_hash"))))
+      .toMap
+    val got = asMap(graft.streaming.Streaming.runStripFeed(spark, toks,
+      graft.queries.TextAnalysis.chromeGrams(spark, sf)).collect())
+    val batch = asMap(
+      SparkEntry.queries("text_strip_boilerplate")(spark, sf).collect())
+    assert(got == batch, "multi-batch stripped feed diverges from batch")
+    assert(batch.nonEmpty && batch.values.exists(_._2 > 0),
+      "corpus exhibits no boilerplate — the spec is vacuous")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }
