@@ -171,6 +171,86 @@ object Coordination {
         col("ts"), col("event_id"), col("value"))
   }
 
+  // --- A55: pull-period COALESCED value watch (round 13) --------------------
+  // A4 replays every write; the reference watcher doesn't see every
+  // write — it POLLS: ValueWatcher runs at ListenerRegistryPullPeriod
+  // (CacheListenerRegistry.scala:44-61, Config.scala:65), fetches the
+  // CURRENT value and notifies only when it differs from the last
+  // fetch. Writes inside one poll period COALESCE (a value that
+  // changes and changes back between polls is never seen), and a
+  // write of the already-current value never notifies. Replay: poll
+  // tick = floor(epoch_us / P); the poll at tick end sees the tick's
+  // LAST write (ties on event_id, the A-family tiebreak); emit when it
+  // differs from the previous tick-with-writes' last value (ticks
+  // without writes fetch an unchanged value — never notify — so the
+  // lag over tick-with-writes rows is exact). notify_ts = the poll
+  // time (tick + 1)·P, when the watcher actually fires.
+  //
+  // Scale: one (namespace, key, tick) map-side-combinable struct-max
+  // rollup is the corpus job; the lag window re-clusters the tick-
+  // count-sized frame on (namespace, key). Same shape at any P.
+  val WatchPullPeriodMicros: Long = 900L * 1000000L // 15 min poll
+
+  /** Shared watcher-compare tail over an `lt(namespace, key, tick,
+    * value)` last-write-per-tick CTE — single SQL source for A55 and
+    * the streaming twin (A56), so the compare/emit/notify-ts details
+    * cannot drift.
+    */
+  private[graft] def watchTailSqlFor(periodUs: Long): String =
+    s"""w AS (SELECT *, lag(value) OVER (PARTITION BY namespace, key
+      |                                  ORDER BY tick) AS prev
+      |      FROM lt)
+      |SELECT namespace, key,
+      |       make_timestamp((tick + 1) * CAST($periodUs AS BIGINT))
+      |         AS notify_ts,
+      |       value, prev AS prev_value
+      |FROM w WHERE prev IS NULL OR value <> prev
+      |ORDER BY namespace, key, notify_ts""".stripMargin
+
+  /** The Spark twin of [[watchTailSqlFor]] over an
+    * `(namespace, key, tick, value)` frame.
+    */
+  private[graft] def watchCompareStage(lt: DataFrame,
+      periodUs: Long): DataFrame =
+    lt.withColumn("prev", lag(col("value"), 1).over(
+        Window.partitionBy(col("namespace"), col("key"))
+          .orderBy(col("tick"))))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .select(col("namespace"), col("key"),
+        timestamp_micros((col("tick") + 1) * lit(periodUs)).as("notify_ts"),
+        col("value"), col("prev").as("prev_value"))
+      .orderBy(col("namespace"), col("key"), col("notify_ts"))
+
+  /** A55 factory with the pull period threaded through both engines,
+    * the `*Ttl`-factory convention.
+    */
+  def valueWatchCoalescedWith(periodUs: Long): QueryDef = QueryDef.oracled(
+    "value_watch_coalesced",
+    s"""WITH r AS (
+      |  SELECT event_type AS namespace, user_id AS key, value,
+      |         epoch_us(ts) // CAST($periodUs AS BIGINT) AS tick,
+      |         row_number() OVER (
+      |           PARTITION BY event_type, user_id,
+      |                        epoch_us(ts) // CAST($periodUs AS BIGINT)
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |lt AS (SELECT namespace, key, tick, value FROM r WHERE rn = 1),
+      |${watchTailSqlFor(periodUs)}""".stripMargin) { (s, d) =>
+    val lt = ev(s, d)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        // integer FLOOR division (micros are post-epoch positive; the
+        // `/` operator would be double division)
+        expr(s"unix_micros(ts) DIV ${periodUs}L").as("tick"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("namespace"), col("key"), col("tick"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("lw"))
+      .select(col("namespace"), col("key"), col("tick"),
+        col("lw.value").as("value"))
+    watchCompareStage(lt, periodUs)
+  }
+
+  val valueWatchCoalesced = valueWatchCoalescedWith(WatchPullPeriodMicros)
+
   /** Shared digest/lag/compare tail over a `ks(event_type, tick, k)`
     * CTE — the single SQL source of the keyset-feed semantics, used by
     * A5 and the streaming twin (A22) so the digest details (separator,
@@ -976,5 +1056,6 @@ object Coordination {
     kvSnapshot, kvFirstWrite, kvKeyset, valueChangeFeed, keysetChangeFeed,
     leaderElectionReplay, leaderTenures, groupMembership, etlUpsertCompact,
     kvStorageReplay, groupMembershipLeave, leaderElectionResign,
-    leaderChangeFeed, kvStorageFeed, groupChangeFeed, kvScd2, kvTtlSnapshot)
+    leaderChangeFeed, kvStorageFeed, groupChangeFeed, kvScd2, kvTtlSnapshot,
+    valueWatchCoalesced)
 }

@@ -1319,6 +1319,55 @@ object Streaming {
       graft.queries.Coordination.KvRowTtlMicros)
   }
 
+  // --- A56: streaming coalesced value watch, online twin of A55 ------------
+  // The reference's ValueWatcher poll loop as a stream, by the A21/A42
+  // split: the stream emits each (namespace, key, tick)'s LAST write
+  // once the tick window is watermark-closed (append mode — the poll
+  // at tick end can fire only when no earlier write can still arrive),
+  // and the watcher compare (lag vs previous tick-with-writes, emit on
+  // difference) runs as the downstream stage over the closed feed —
+  // Coordination.watchCompareStage verbatim. Oracle = A55's SQL
+  // restricted to closed ticks; the compare looks only BACKWARD, so
+  // dropping the still-open tail tick changes no surviving row (A21's
+  // restriction argument).
+  val valueWatchFeed = QueryDef.oracled(
+    "stream_value_watch", {
+      val p = graft.queries.Coordination.WatchPullPeriodMicros
+      s"""WITH r AS (
+        |  SELECT event_type AS namespace, user_id AS key, value,
+        |         epoch_us(ts) // CAST($p AS BIGINT) AS tick,
+        |         row_number() OVER (
+        |           PARTITION BY event_type, user_id,
+        |                        epoch_us(ts) // CAST($p AS BIGINT)
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |logend AS (SELECT max(epoch_us(ts)) AS e FROM events),
+        |lt AS (SELECT namespace, key, tick, value FROM r, logend
+        |       WHERE rn = 1 AND (tick + 1) * CAST($p AS BIGINT) <= e),
+        |${graft.queries.Coordination.watchTailSqlFor(p)}""".stripMargin
+    }) { (s, d) => runValueWatch(s, eventStream(s, d)) }
+
+  /** The A56 pipeline over an arbitrary events-shaped stream — seam for
+    * the multi-batch spec (closed-tick emission must be independent of
+    * the file/batch split).
+    */
+  private[graft] def runValueWatch(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    val p = graft.queries.Coordination.WatchPullPeriodMicros
+    val closedTicks = runToMemory(s,
+      events.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), s"${p / 1000000L} seconds"),
+          col("event_type"), col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("lw"))
+        .select(col("event_type").as("namespace"),
+          col("user_id").as("key"),
+          // epoch-aligned tumbling window: start is exactly tick·P
+          expr(s"unix_micros(window.start) DIV ${p}L").as("tick"),
+          col("lw.value").as("value")),
+      OutputMode.Append)
+    graft.queries.Coordination.watchCompareStage(closedTicks, p)
+  }
+
   // --- A54: streaming boilerplate stripping, online twin of C38 ------------
   // Arriving documents get their chrome stripped AT INGEST against the
   // staged df ≥ 3 gram dictionary (chromeGrams — the frozen-v1-
@@ -2252,5 +2301,5 @@ object Streaming {
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
-    keySkewUpsert, kvTtlUpsert, stripFeed)
+    keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed)
 }

@@ -109,4 +109,32 @@ class CoordinationEdgeSpec extends AnyFunSuite {
     assert(t1.nonEmpty && t1.subsetOf(t4), "longer TTL must keep a superset")
     assert(t4.size > t1.size, "4x TTL should revive some expired keys here")
   }
+
+  test("value_watch_coalesced: intra-tick change-and-revert and same-value " +
+      "re-writes never notify; cross-tick change does") {
+    val P = graft.queries.Coordination.WatchPullPeriodMicros
+    val B = (T0 / P) * P // tick-aligned base
+    val dir = changelog(Seq(
+      // tick 0: 1.0 -> 2.0 -> 1.0 — the poll sees only the final 1.0
+      (1L, B, 1L, "kv", 1.0),
+      (2L, B + 10_000_000L, 1L, "kv", 2.0),
+      (3L, B + 20_000_000L, 1L, "kv", 1.0),
+      // tick 1: re-write of the already-current value — never notifies
+      (4L, B + P + 5_000_000L, 1L, "kv", 1.0),
+      // tick 2: real change — notifies with prev = 1.0
+      (5L, B + 2 * P + 5_000_000L, 1L, "kv", 3.0)))
+    try {
+      val rows = SparkEntry.queries("value_watch_coalesced")(spark, dir)
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("notify_ts").getTime * 1000L,
+          r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("prev_value")).map(_.toDouble)))
+      assert(rows.toSeq == Seq(
+        ((B + P), 1.0, None), // first poll: coalesced final value, not 2.0
+        ((B + 3 * P), 3.0, Some(1.0))),
+        s"coalesced watch feed wrong: ${rows.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

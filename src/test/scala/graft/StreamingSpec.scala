@@ -893,4 +893,29 @@ class StreamingSpec extends AnyFunSuite {
       "corpus exhibits no boilerplate — the spec is vacuous")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
+
+  test("stream_value_watch emits identical notifications across MULTIPLE " +
+      "micro-batches") {
+    import org.apache.spark.sql.functions._
+    // closed-tick emission is watermark-driven, so the feed must not
+    // depend on where the file/batch boundaries fall — time-ordered
+    // split (watermark only moves forward)
+    val srcDir = timeSplitSource(
+      Tables.events(spark, sf), 4, Seq(col("ts"), col("event_id")))
+    val stream = Tables.withMicroTs(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+        r.getAs[java.sql.Timestamp]("notify_ts")) ->
+        ((r.getAs[Double]("value"),
+          Option(r.getAs[java.lang.Double]("prev_value"))))).toMap
+    val got = asMap(
+      graft.streaming.Streaming.runValueWatch(spark, stream).collect())
+    val single = asMap(
+      SparkEntry.queries("stream_value_watch")(spark, sf).collect())
+    assert(got == single, "multi-batch watch feed diverges from single-batch")
+    assert(single.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+  }
 }
