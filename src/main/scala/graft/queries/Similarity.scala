@@ -1796,8 +1796,43 @@ object Similarity {
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
+  // --- E23: ANN recall report — the eval layer as an operator ---------------
+  // What an embedding-infrastructure team runs after every index
+  // rebuild: recall@K of each approximate method against the exact
+  // answer, as ONE table (method, n_queries, k, n_exact, n_hits,
+  // recall). The E2/E3/E10/E11/E16 recall contracts live in specs;
+  // this surfaces the same measurement as a query so a production
+  // pipeline can gate an index swap on it (FAISS-bench style) instead
+  // of reading test logs. Methods share the staged index artifacts
+  // (SRP signatures, PQ codes, codebooks — FrameCache / index-dir), so
+  // the report costs the probe/scan work, not index rebuilds.
+  //
+  // Scale: each method's result is |queries|·K rows; the exact side is
+  // broadcast into every hit join; the per-method aggregates union into
+  // a |methods|-row report. No collect — the report composes the same
+  // distributed plans the individual queries run.
+  val recallReport = QueryDef.rowsOnly("knn_recall_report") { (s, d) =>
+    val exact = bruteForce.fn(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val methods = Seq(
+      "knn_lsh" -> lsh, "knn_ivf" -> ivf, "knn_pq" -> pq,
+      "knn_ivfpq" -> ivfPq, "knn_quantized" -> quantized,
+      "knn_binary" -> binary)
+    methods.map { case (name, q) =>
+      val hits = q.fn(s, d).select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(exact), Seq("query_id", "neighbor_id"))
+      exact.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("method"), col("n_queries"), lit(K).as("k"),
+          col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("method"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
-    binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal)
+    binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal,
+    recallReport)
 }

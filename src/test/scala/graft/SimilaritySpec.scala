@@ -561,6 +561,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"reciprocal pairs diverge: got ${got.size}, expected ${expect.size}")
   }
 
+  test("knn_recall_report reproduces the per-method recalls the suite " +
+      "computes independently") {
+    val report = SparkEntry.queries("knn_recall_report")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
+    assert(report.keySet == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
+      "knn_quantized", "knn_binary"))
+    val nExact = exact.values.map(_.size).sum.toLong
+    report.foreach { case (m, (nq, ne, nh, rec)) =>
+      val hits = exact.map { case (q, n) =>
+        (neighbors(m).getOrElse(q, Set.empty) & n).size }.sum.toLong
+      assert(nq == exact.size.toLong && ne == nExact,
+        s"$m denominator wrong: $nq/$ne")
+      assert(nh == hits && rec == hits.toDouble / nExact,
+        s"$m recall diverges from the suite's: $nh vs $hits")
+    }
+  }
+
   test("knn_ivf prunes on a planted CLUSTERED corpus: recall >= 0.9 at " +
       "nProbe = 4 of 16 lists") {
     // the positive twin of the standing honest note on the registered
