@@ -1149,6 +1149,14 @@ object Similarity {
     }
 
   val ivfPq = QueryDef.rowsOnly("knn_ivfpq") { (s, d) =>
+    ivfPqFrame(s, d, NProbe)
+  }
+
+  /** The IVFADC pipeline with the probe count exposed — same dial as
+    * [[ivfFrame]]; the planted-cluster spec runs both at nProbe = 4/16.
+    */
+  private[graft] def ivfPqFrame(s: SparkSession, d: String,
+      nProbe: Int): DataFrame = {
     val book = ivfPqBook(s, d)
     val codes = ivfPqCodes(s, d)
     val qn = queriesDf(s, d)
@@ -1162,7 +1170,7 @@ object Similarity {
       .withColumn("dist2", l2d(col("qn"), col("le")))
       .withColumn("lrk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("list"))))
-      .filter(col("lrk") <= NProbe)
+      .filter(col("lrk") <= nProbe)
       .select(col("query_id"), col("list"),
         F.dot_product(col("qn"), col("le")).as("coarse")))
     // residual ADC lookup table: list-independent, (query, m, cid)

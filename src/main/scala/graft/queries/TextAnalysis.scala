@@ -1967,8 +1967,10 @@ object TextAnalysis {
       |  md5(cleaned) AS cleaned_hash
       |FROM cl ORDER BY doc_id""".stripMargin
 
-  val stripBoilerplate = QueryDef.oracled(
-    "text_strip_boilerplate", stripOracle) { (s, d) =>
+  /** C38's per-doc strip frame — (doc_id, n_tokens, n_removed,
+    * cleaned) — shared with the C39 per-source rollup.
+    */
+  private def stripStats(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, d)
         .select(col("doc_id"), col("text")), s, "doc_id")
       .select(col("doc_id"), F.tokenize_words(col("text")).as("t"))
@@ -1999,12 +2001,77 @@ object TextAnalysis {
               |                                        i0 + 1 AS pos)),
               |         s -> NOT array_contains(covered, s.pos)),
               |  s -> s.tok))""".stripMargin)).as("cleaned"))
+  }
+
+  val stripBoilerplate = QueryDef.oracled(
+    "text_strip_boilerplate", stripOracle) { (s, d) =>
+    stripStats(s, d)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         when(col("n_tokens") === 0, lit(1.0))
           .otherwise((col("n_tokens") - col("n_removed")).cast("double")
             / col("n_tokens")).as("kept_ratio"),
         md5(col("cleaned").cast("binary")).as("cleaned_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  // --- C39: corpus-level stripping effect (round 13) -------------------------
+  // The report a curation run publishes after C38: per source, how
+  // much of the token budget was template chrome — docs touched,
+  // tokens removed, removed share, and the post-strip token budget
+  // (the number C10's packing math consumes next). Closes the loop:
+  // C36 mines the chrome, C38 strips it, C39 prices what stripping
+  // bought per source.
+  //
+  // Scale (100 TB): the per-doc strip frame (C38's three shuffle-lean
+  // passes) joined to the doc→source map (both doc-keyed — the join
+  // reuses the doc_id clustering), then ONE map-side-combinable
+  // per-source rollup. |sources| rows out.
+  val stripEffect = QueryDef.oracled(
+    "corpus_strip_effect",
+    s"""WITH toks AS (SELECT doc_id, source,
+      |          regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |        FROM documents),
+      |dg AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+      |                               FOR i IN range(1, len(t) - 3)])) AS gram
+      |       FROM toks),
+      |df AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= $StripDf),
+      |pos AS (SELECT doc_id,
+      |          unnest([{'i': i, 'g': array_to_string(t[i:i+4], ' ')}
+      |                  FOR i IN range(1, len(t) - 3)]) AS p
+      |        FROM toks),
+      |cp AS (SELECT doc_id, unnest([(p).i, (p).i+1, (p).i+2, (p).i+3,
+      |                              (p).i+4]) AS j
+      |       FROM pos JOIN df ON (p).g = df.gram),
+      |cov AS (SELECT doc_id, count(DISTINCT j) AS n_removed
+      |        FROM cp GROUP BY doc_id),
+      |cl AS (SELECT t.doc_id, t.source, len(t.t) AS n_tokens,
+      |         coalesce(c.n_removed, 0) AS n_removed
+      |       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE n_removed > 0) AS docs_touched,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+      |  CAST(sum(n_tokens) - sum(n_removed) AS BIGINT) AS budget_after,
+      |  CASE WHEN sum(n_tokens) = 0 THEN 0.0
+      |       ELSE CAST(sum(n_removed) AS DOUBLE)
+      |              / CAST(sum(n_tokens) AS BIGINT) END AS removed_share
+      |FROM cl GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    stripStats(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_removed") > 0, lit(1))).as("docs_touched"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_removed")).cast("long").as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("docs_touched"),
+        col("total_tokens"), col("tokens_removed"),
+        (col("total_tokens") - col("tokens_removed")).as("budget_after"),
+        when(col("total_tokens") === 0, lit(0.0))
+          .otherwise(col("tokens_removed").cast("double")
+            / col("total_tokens")).as("removed_share"))
+      .orderBy(col("source"))
   }
 
   // --- C37: per-source vocabulary profile (round 12) -------------------------
@@ -2072,5 +2139,5 @@ object TextAnalysis {
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
       bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile,
-      boilerplateNgrams, hapaxStats, stripBoilerplate)
+      boilerplateNgrams, hapaxStats, stripBoilerplate, stripEffect)
 }

@@ -580,17 +580,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("knn_ivf prunes on a planted CLUSTERED corpus: recall >= 0.9 at " +
-      "nProbe = 4 of 16 lists") {
+  test("knn_ivf and knn_ivfpq prune on a planted CLUSTERED corpus: " +
+      "recall >= 0.9 at nProbe = 4 of 16 lists") {
     // the positive twin of the standing honest note on the registered
-    // query (structureless synthetic embeddings -> recall ~ scan
+    // queries (structureless synthetic embeddings -> recall ~ scan
     // fraction, so NProbe=12/16 there): plant 8 well-separated Gaussian
-    // clusters and pin that the same k-means++/Lloyd machinery reaches
-    // the recall contract while scanning only ~4/16 of the corpus —
-    // probe-count pruning works exactly when structure exists
+    // clusters (64 dims = PqM x PqSub, so the IVFADC subspace slicing
+    // applies unchanged) and pin that the same k-means++/Lloyd
+    // machinery reaches the recall contract while scanning only ~4/16
+    // of the corpus — probe-count pruning works exactly when structure
+    // exists
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
     val vecs = (0L until 512L).map { v =>
       val c = centers((v % 8).toInt)
       val rv = new scala.util.Random(1000 + v) // per-vector, deterministic
@@ -604,15 +606,19 @@ class SimilaritySpec extends AnyFunSuite {
       val exact = SparkEntry.queries("knn_bruteforce")(spark, dir).collect()
         .groupBy(_.getAs[Long]("query_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-      val got = queries.Similarity.ivfFrame(spark, dir, nProbe = 4).collect()
-        .groupBy(_.getAs[Long]("query_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
-      val hits = exact.map { case (q, n) =>
-        (got.getOrElse(q, Set.empty) & n).size }.sum
-      val recall = hits.toDouble / exact.values.map(_.size).sum
-      info(s"planted-cluster IVF recall@5 at nProbe=4/16 = $recall")
-      assert(exact.size == 10 && recall >= 0.9,
-        s"IVF failed to prune a clustered corpus: recall $recall")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+        exact.map { case (q, n) => (got.getOrElse(q, Set.empty) & n).size }
+          .sum.toDouble / exact.values.map(_.size).sum
+      }
+      val rIvf = recallOf(queries.Similarity.ivfFrame(spark, dir, nProbe = 4))
+      val rIvfPq = recallOf(queries.Similarity.ivfPqFrame(spark, dir, nProbe = 4))
+      info(s"planted-cluster recall@5 at nProbe=4/16: IVF $rIvf, IVFADC $rIvfPq")
+      assert(exact.size == 10 && rIvf >= 0.9,
+        s"IVF failed to prune a clustered corpus: recall $rIvf")
+      assert(rIvfPq >= 0.9,
+        s"IVFADC failed to prune a clustered corpus: recall $rIvfPq")
     } finally {
       FrameCache.evictMatching(spark, dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

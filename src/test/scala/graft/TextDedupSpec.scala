@@ -1108,4 +1108,30 @@ class TextDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("corpus_strip_effect is exactly the per-source rollup of the " +
+      "per-doc strip frame") {
+    import org.apache.spark.sql.functions._
+    val perDoc = SparkEntry.queries("text_strip_boilerplate")(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    val got = SparkEntry.queries("corpus_strip_effect")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == perDoc.keySet && got.nonEmpty)
+    perDoc.foreach { case (src, rows) =>
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("docs_touched") ==
+        rows.count(_.getAs[Long]("n_removed") > 0).toLong)
+      val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+      val rem = rows.map(_.getAs[Long]("n_removed")).sum
+      assert(r.getAs[Long]("total_tokens") == tot)
+      assert(r.getAs[Long]("tokens_removed") == rem)
+      assert(r.getAs[Long]("budget_after") == tot - rem)
+      assert(r.getAs[Double]("removed_share") ==
+        (if (tot == 0) 0.0 else rem.toDouble / tot))
+    }
+  }
 }
