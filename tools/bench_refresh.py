@@ -183,6 +183,7 @@ def main() -> int:
                 return 1
 
     total = sum(v for v in merged.values() if v >= 0) + stage
+    min_run_load = min((l for l in run_loads if l is not None), default=None)
     rec = {
         "metric": "total",
         "value": round(total, 2),
@@ -191,6 +192,11 @@ def main() -> int:
                     **{k: round(v, 2) for k, v in merged.items()}},
         "sf": runs[0].get("sf"),
     }
+    # carry the quietest contributing run's sampled load so the merged
+    # artifact is self-describing in bench_compare (r13: the committed
+    # BENCH_local previously dropped it and compares printed None)
+    if min_run_load is not None:
+        rec["load"] = round(min_run_load, 1)
     with open(out, "w") as f:
         json.dump(rec, f, separators=(",", ":"))
         f.write("\n")
