@@ -38,10 +38,11 @@ private[graft] object FrameCache {
   // `spark.graft.index.dir` turns every getOrPersist key into a parquet
   // artifact under that dir: first build writes it, later sessions (or
   // JVMs) READ it instead of rebuilding — the loaded frame's plan scans
-  // the artifact, never the corpus. Single-writer contract per dir (the
-  // warehouse staging-table assumption); the _SUCCESS marker guards
-  // against consuming a torn write. Keys embed the corpus dir, so
-  // artifacts from different SFs/corpora never collide.
+  // the artifact, never the corpus. The _SUCCESS marker guards against
+  // consuming a torn write; concurrent writers publish via atomic
+  // rename (materialize). Keys embed the corpus dir AND the artifact
+  // path embeds a corpus-content fingerprint, so different SFs/corpora
+  // — and different VERSIONS of one regenerated corpus — never collide.
   private[graft] val IndexDirConf = "spark.graft.index.dir"
 
   // spec/bench observability: how many builds ran vs artifacts loaded
@@ -65,23 +66,89 @@ private[graft] object FrameCache {
     s"$dir/$tail-$h.parquet"
   }
 
+  /** Fingerprint of every filesystem path a key embeds (the ':'-
+    * separated segments starting with '/': the corpus dir, parameter
+    * dirs). Without it, regenerating a corpus IN PLACE would keep
+    * serving the OLD corpus's artifacts — "never rebuilt" turning into
+    * "silently wrong". Files contribute (name, length, mtime); table
+    * DIRECTORIES contribute their children one level down (a parquet
+    * table dir's part files). A changed corpus therefore changes the
+    * artifact path; superseded artifacts are orphaned, not overwritten
+    * (GC of the index dir is the deployment's retention job).
+    */
+  private def corpusFingerprint(s: SparkSession, key: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dirs = key.split(':').filter(_.startsWith("/")).sorted
+    if (dirs.isEmpty) return ""
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      def stat(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
+        if (st.isDirectory && depth < 2)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+            .foreach(stat(_, depth + 1))
+        else lines += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      if (fs.exists(p)) stat(fs.getFileStatus(p), 0) else lines += s"$d:absent"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+  }
+
+  /** The artifact path [[materialize]] actually uses: the key plus the
+    * corpus fingerprint (exposed for the specs).
+    */
+  private[graft] def artifactPathFor(s: SparkSession, dir: String,
+      key: String): String = {
+    val fp = corpusFingerprint(s, key)
+    artifactPath(dir, if (fp.isEmpty) key else s"$key@$fp")
+  }
+
+  // one build per artifact path per JVM; cross-JVM the temp+rename
+  // publish below keeps concurrent writers from corrupting each other
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Disk layer: load the artifact if present, else run `build`, write
     * the artifact, and return a frame READING it (so every downstream
     * plan — this session included — hangs off the artifact scan, the
     * same plan later sessions get; no corpus lineage survives).
+    *
+    * Concurrency: two racers on one missing artifact must not aim two
+    * overwrite jobs at the same path (interleaved _temporary commits
+    * could publish a MIXED directory under a valid _SUCCESS — and the
+    * store would then serve it forever). In-JVM a per-path lock
+    * serializes builds; cross-JVM each writer builds into its own temp
+    * dir and PUBLISHES with an atomic rename — the rename loser's
+    * output is discarded and the winner's (builds are deterministic)
+    * is loaded.
     */
   private def materialize(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = indexDir(s) match {
     case None => build
     case Some(dir) =>
-      val path = artifactPath(dir, key)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")))
-        diskLoads.incrementAndGet()
-      else {
-        diskBuilds.incrementAndGet()
-        build.write.mode("overwrite").parquet(path)
+      val path = artifactPathFor(s, dir, key)
+      val p = new org.apache.hadoop.fs.Path(path)
+      // the path's OWN filesystem — FileSystem.get(conf) resolves the
+      // DEFAULT fs and either crashes ("Wrong FS") or probes the wrong
+      // store when the index dir lives elsewhere (hdfs://, s3a://)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          diskLoads.incrementAndGet()
+        else {
+          diskBuilds.incrementAndGet()
+          val tmp = new org.apache.hadoop.fs.Path(
+            path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+          build.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, p)) {
+            // a concurrent writer in another JVM published first —
+            // keep theirs, drop ours
+            fs.delete(tmp, true)
+            ()
+          }
+        }
       }
       // A small artifact reads back as a handful of file-split
       // partitions — far below the executor width the build's

@@ -1820,18 +1820,22 @@ object Similarity {
   // a |methods|-row report. No collect — the report composes the same
   // distributed plans the individual queries run.
   val recallReport = QueryDef.rowsOnly("knn_recall_report") { (s, d) =>
-    val exact = bruteForce.fn(s, d)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val exact = broadcast(bruteForce.fn(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    // method-independent denominators: one aggregate, reused by every
+    // method row (not re-aggregated per method)
+    val denom = exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .localCheckpoint()
     val methods = Seq(
       "knn_lsh" -> lsh, "knn_ivf" -> ivf, "knn_pq" -> pq,
       "knn_ivfpq" -> ivfPq, "knn_quantized" -> quantized,
       "knn_binary" -> binary)
     methods.map { case (name, q) =>
       val hits = q.fn(s, d).select(col("query_id"), col("neighbor_id"))
-        .join(broadcast(exact), Seq("query_id", "neighbor_id"))
-      exact.agg(countDistinct(col("query_id")).as("n_queries"),
-          count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .join(exact, Seq("query_id", "neighbor_id"))
+      denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(lit(name).as("method"), col("n_queries"), lit(K).as("k"),
           col("n_exact"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))

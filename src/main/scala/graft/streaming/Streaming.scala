@@ -1157,8 +1157,10 @@ object Streaming {
           .collect().map(_.getInt(0)).toSeq
         // only path-absence means "first batch" — any other read failure
         // must propagate, or the merge would silently discard all
-        // previously upserted state
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // previously upserted state. Resolve the path's OWN filesystem
+        // (FileSystem.get gives the default fs — wrong store or "Wrong
+        // FS" crash when the scratch dir lives elsewhere).
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           sess.sparkContext.hadoopConfiguration)
         val existing =
           if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
@@ -1221,9 +1223,26 @@ object Streaming {
     */
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = try {
+    runKeyedUpsertInner(s, updates, keyCols, onBatch)
+  } catch { case t: Throwable =>
+    // scratch dirs prefer /dev/shm (RAM): a failed run must not leave
+    // its state parquet resident in shared memory until reboot
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(lastStateDir.get()))
+    throw t
+  }
+
+  private val lastStateDir = new ThreadLocal[String]
+
+  private def runKeyedUpsertInner(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String],
+      onBatch: (Long, Long) => Unit): DataFrame = {
     val outCols = updates.columns.toSeq
+    val outSchema = org.apache.spark.sql.types.StructType(
+      updates.schema.filter(f => outCols.contains(f.name)))
     val stateDir = scratchDir("graft_kupsert_state")
+    lastStateDir.set(stateDir)
     val ckpt = scratchDir("graft_kupsert_ckpt_")
     val q = updates.writeStream
       .option("checkpointLocation", ckpt)
@@ -1241,10 +1260,12 @@ object Streaming {
         // bounded partition-pruning list (≤ UpsertBuckets ints)
         val touched = withBucket.select(col("bucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        val statePathH = new org.apache.hadoop.fs.Path(statePath)
+        // the path's own filesystem, not the default one
+        val fs = statePathH.getFileSystem(
           sess.sparkContext.hadoopConfiguration)
         val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+          if (fs.exists(statePathH))
             sess.read.parquet(statePath)
               .filter(col("bucket").isin(touched: _*))
           else sess.createDataFrame(
@@ -1269,11 +1290,15 @@ object Streaming {
     }
     // materialize the compacted state and remove the temp dir (the
     // collect is the documented harness-only drain, as in runUpsert —
-    // production reads the keyed table in place)
-    val state = s.read.parquet(s"$stateDir/state")
-      .select(outCols.map(col): _*)
-    val rows = state.collect().toIndexedSeq
-    val schema = state.schema
+    // production reads the keyed table in place). A source that never
+    // produced a data batch wrote no state — that is an empty table,
+    // not a crash.
+    val (rows, schema) =
+      if (new java.io.File(s"$stateDir/state").exists()) {
+        val state = s.read.parquet(s"$stateDir/state")
+          .select(outCols.map(col): _*)
+        (state.collect().toIndexedSeq, state.schema)
+      } else (IndexedSeq.empty[org.apache.spark.sql.Row], outSchema)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](

@@ -92,7 +92,7 @@ class FrameCacheSpec extends AnyFunSuite {
       val first = build(s1)
       assert(first.count() === 100 && builds === 1)
       assert(new java.io.File(
-        s"${FrameCache.artifactPath(dir, key)}/_SUCCESS").exists(),
+        s"${FrameCache.artifactPathFor(s1, dir, key)}/_SUCCESS").exists(),
         "artifact not written")
       // session 2: the build closure must NOT run — the artifact loads
       val second = build(s2)
