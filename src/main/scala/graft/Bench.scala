@@ -101,11 +101,27 @@ object Bench {
     // text first: the winnowing kernel (text.winnowsel) is owned by the
     // text family but consumed by dedup's winnowIdx — warming text first
     // keeps each family line attributable to its own kernels
+    val (diskB0, diskL0) = FrameCache.diskStats
     warmTimed("text")(queries.TextAnalysis.warmStages(spark, sfDir))
     warmTimed("dedup")(queries.Dedup.warmStages(spark, sfDir))
     warmTimed("similarity")(queries.Similarity.warmStages(spark, sfDir))
     warmTimed("multimodal")(queries.Multimodal.warmStages(spark, sfDir))
     val stageSec = (System.nanoTime() - stage0) / 1e9
+    // stage-mode marker (round 14 — r13 advice): with the artifact
+    // store on, run 1 of a gate pays cold build+write (~4x the warm
+    // load) — without a mode flag in the record, cross-round _stage
+    // comparisons attribute cache warmth to code changes (or a warm
+    // cache masks a real staging regression). "session" = no store,
+    // "cold-build" = any artifact built this run, "warm-load" = all
+    // artifacts loaded.
+    val (diskB1, diskL1) = FrameCache.diskStats
+    val stageMode =
+      if (spark.conf.get(FrameCache.IndexDirConf, "").isEmpty) "session"
+      else if (diskB1 - diskB0 > 0) "cold-build"
+      else if (diskL1 - diskL0 > 0) "warm-load"
+      else "session"
+    System.err.println(s"[bench] _stage mode $stageMode " +
+      s"(artifacts built ${diskB1 - diskB0}, loaded ${diskL1 - diskL0})")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     def pass(sel: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
@@ -147,7 +163,7 @@ object Bench {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, if (dp == 0 && math.abs(v) >= 10) 0 else math.max(dp, 1)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson,"load":${fmt(loadMax, 1)}}"""
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))},"unit":"sec","queries":$qs,"sf":$sfJson,"load":${fmt(loadMax, 1)},"stage_mode":"$stageMode"}"""
     }
     val withStage = ("_stage" -> stageSec) +: results
     // final rung: fold the cheapest queries into one aggregate `_rest`

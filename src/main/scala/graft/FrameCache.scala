@@ -45,6 +45,17 @@ private[graft] object FrameCache {
   // — and different VERSIONS of one regenerated corpus — never collide.
   private[graft] val IndexDirConf = "spark.graft.index.dir"
 
+  /** Artifact FORMAT VERSION, embedded in every artifact path. The
+    * corpus fingerprint catches a changed corpus; this catches changed
+    * CODE — bump it whenever any staged-build logic or constant changes
+    * (PqM, k-means seeding, band counts, cap values, tokenizer), else
+    * "never rebuilt" silently serves artifacts produced by the OLD
+    * algorithm — the same silently-wrong failure the fingerprint closes,
+    * on the code axis. Superseded artifacts are orphaned, not
+    * overwritten (index-dir GC is the deployment's retention job).
+    */
+  private[graft] val ArtifactFormatVersion = 2
+
   // spec/bench observability: how many builds ran vs artifacts loaded
   private val diskBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   private val diskLoads = new java.util.concurrent.atomic.AtomicLong(0)
@@ -97,12 +108,13 @@ private[graft] object FrameCache {
   }
 
   /** The artifact path [[materialize]] actually uses: the key plus the
-    * corpus fingerprint (exposed for the specs).
+    * corpus fingerprint plus the format version (exposed for the specs).
     */
   private[graft] def artifactPathFor(s: SparkSession, dir: String,
       key: String): String = {
     val fp = corpusFingerprint(s, key)
-    artifactPath(dir, if (fp.isEmpty) key else s"$key@$fp")
+    val versioned = s"$key#v$ArtifactFormatVersion"
+    artifactPath(dir, if (fp.isEmpty) versioned else s"$versioned@$fp")
   }
 
   // one build per artifact path per JVM; cross-JVM the temp+rename
@@ -120,9 +132,14 @@ private[graft] object FrameCache {
     * could publish a MIXED directory under a valid _SUCCESS — and the
     * store would then serve it forever). In-JVM a per-path lock
     * serializes builds; cross-JVM each writer builds into its own temp
-    * dir and PUBLISHES with an atomic rename — the rename loser's
-    * output is discarded and the winner's (builds are deterministic)
-    * is loaded.
+    * dir and PUBLISHES with a rename — the rename loser's output is
+    * discarded and the winner's (builds are deterministic) is loaded.
+    * On object stores (s3a://) rename is a non-atomic per-file copy, so
+    * the _SUCCESS gate readers poll is NOT written by the job into the
+    * temp dir (it is deleted before the rename) — it is created as a
+    * separate final fs.create AFTER the rename completes, so a reader
+    * can never observe the marker before every data file exists,
+    * whatever the store's rename semantics.
     */
   private def materialize(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = indexDir(s) match {
@@ -142,7 +159,13 @@ private[graft] object FrameCache {
           val tmp = new org.apache.hadoop.fs.Path(
             path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
           build.write.mode("overwrite").parquet(tmp.toString)
-          if (!fs.rename(tmp, p)) {
+          // strip the committer's marker so the marker a reader trusts
+          // is only ever the post-rename one below
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+          if (fs.rename(tmp, p)) {
+            // publish the read gate strictly AFTER all data files exist
+            fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS")).close()
+          } else {
             // a concurrent writer in another JVM published first —
             // keep theirs, drop ours
             fs.delete(tmp, true)

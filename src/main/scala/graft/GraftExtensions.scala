@@ -42,6 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SrpSig(es.head, evalInt(es(1)))),
     ("srp_sig_seeded", "seeded SRP signature for multi-table LSH (literal nBits, seed)",
       es => SrpSigSeeded(es.head, evalInt(es(1)), evalLong(es(2)))),
+    ("top_cos_ids", "k cosine-nearest codebook indexes (literal k)",
+      es => TopCosIds(es.head, es(1), evalInt(es(2)))),
     ("misra_gries", "Misra-Gries heavy-hitters summary of a string column (literal k)",
       es => graft.functions.MisraGriesAgg(es.head, evalInt(es(1)))),
     ("bottom_k", "k smallest (string key, bigint tag) pairs per group (literal k)",

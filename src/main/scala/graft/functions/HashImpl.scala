@@ -186,6 +186,30 @@ object HashImpl {
     best
   }
 
+  /** The k cosine-nearest centroid indexes (0-based), ordered by
+    * (cosine DESC, index ASC) — the IVF PROBE-selection kernel, the
+    * multi-list generalization of [[argmaxCos]]. Ordering matches the
+    * E3 window form exactly: java.lang.Double.compare treats NaN as
+    * greater than every value, the same total order Spark's
+    * `desc` sort uses, so a degenerate (zero-norm) input selects the
+    * same lists the batch pipeline would.
+    */
+  def topCosIds(v: ArrayData, centroids: ArrayData, k: Int): ArrayData = {
+    val n = centroids.numElements()
+    val sims = new Array[Double](n)
+    var c = 0
+    while (c < n) { sims(c) = cosineFF(v, centroids.getArray(c)); c += 1 }
+    val idx = Array.range(0, n)
+    val sorted = idx.sorted(new Ordering[Int] {
+      def compare(a: Int, b: Int): Int = {
+        val d = java.lang.Double.compare(sims(b), sims(a))
+        if (d != 0) d else Integer.compare(a, b)
+      }
+    })
+    new GenericArrayData(
+      sorted.take(math.min(math.max(k, 0), n)).map(x => Int.box(x): Any))
+  }
+
   /** L2 norm of a float vector, double accumulation. */
   def l2normF(a: ArrayData): Double = {
     var s = 0.0

@@ -156,6 +156,23 @@ object expressions {
       copy(l, r)
   }
 
+  /** The k cosine-nearest centroid indexes (0-based, cosine desc then
+    * index asc) — the IVF probe-selection kernel: a map-side top-k
+    * against a literal codebook, replacing the crossJoin + window
+    * probe-ranking shape where no batch window is available (streaming
+    * arrivals) or wanted (per-row probe selection at ingest).
+    */
+  case class TopCosIds(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(v: Any, cs: Any): Any =
+      HashImpl.topCosIds(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, cs) => s"graft.functions.HashImpl.topCosIds($v, $cs, $k)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCosIds =
+      copy(l, r)
+  }
+
   /** Cosine over int8-quantized vectors (integer accumulation). */
   case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -270,4 +287,6 @@ object expressions {
   def cosine_sim_i8(a: Column, b: Column): Column = toCol(CosineSimI8(ex(a), ex(b)))
   def argmin_l2(v: Column, centroids: Column): Column = toCol(ArgminL2(ex(v), ex(centroids)))
   def argmax_cos(v: Column, centroids: Column): Column = toCol(ArgmaxCos(ex(v), ex(centroids)))
+  def top_cos_ids(v: Column, centroids: Column, k: Int): Column =
+    toCol(TopCosIds(ex(v), ex(centroids), k))
 }

@@ -3213,8 +3213,37 @@ object Analytics {
   // numerator and denominator CAST to DOUBLE once each, one division.
   //
   // Scale (100 TB): one (type, user) map-side-combinable rollup is the
-  // corpus job; the rank window and rollup run per type on the
-  // ≤ |types|·|users| frame sharing one (type) clustering; |types| rows.
+  // corpus job. The rank sum then runs in B32's range-partitioned
+  // two-pass exact-rank shape (round 14 — the r13 verdict's one weak
+  // row: a PARTITION BY event_type window makes ONE task sort every
+  // active user of a type, the exact per-type spill sort B32 evicted
+  // in round 9). Σᵢ i·cᵢ decomposes over contiguous range slices:
+  // with off = #rows of the type in earlier slices and j the LOCAL
+  // rank inside a slice, Σᵢ i·cᵢ = Σ_slices (off·Σcⱼ + Σⱼ j·cⱼ). So:
+  //   1. repartitionByRange(P, type, c, user_id) — each task owns a
+  //      contiguous slice of every type's sort order; pid names it.
+  //   2. local rank j per (pid, type) — a window whose groups are
+  //      ~n/P rows, never a whole type — folded into per-(pid, type)
+  //      (count, Σc, Σ j·cⱼ) partials (P × |types| rows).
+  //   3. off = preceding-slice cumsum on that tiny census; one
+  //      per-type rollup assembles w = Σ (off·Σc + Σ j·c).
+  // Unlike B32 only ONE pass reads the range exchange (the offsets
+  // come from the census, not a second scan), so no checkpoint pin is
+  // needed — pid consistency is within a single materialization.
+  /** Pass 1 of the B71 two-pass rank sum: the range-partitioned
+    * (event_type, c, user_id) per-user count frame with its slice id
+    * stamped. Exposed so AnalyticsSpec can assert the
+    * RangePartitioning plan shape (the B32/B43 scale contract).
+    */
+  private[graft] def giniParted(s: SparkSession, d: String): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .repartitionByRange(p, col("event_type"), col("c"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+  }
+
   val eventsGini = QueryDef.oracled(
     "events_gini",
     """WITH tc AS (SELECT event_type, user_id, count(*) AS c
@@ -3231,16 +3260,27 @@ object Analytics {
       |  CAST(2*w - (n_users + 1) * CAST(n_events AS HUGEINT) AS DOUBLE)
       |    / CAST(CAST(n_users AS HUGEINT) * n_events AS DOUBLE) AS gini
       |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
-    val tc = Tables.events(s, d)
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("c"))
-    val r = tc.withColumn("i", row_number().over(
-      Window.partitionBy(col("event_type"))
-        .orderBy(col("c"), col("user_id"))))
-    r.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("c")).cast("long").as("n_events"),
-        sum(col("i").cast(DecimalType(38, 0)) * col("c")).as("w"))
+    // slice-local ranks j folded straight into per-(pid, type) partials;
+    // the window's (pid, type) groups hold ~|users·types|/P rows each
+    val census = giniParted(s, d)
+      .withColumn("j", row_number().over(
+        Window.partitionBy(col("pid"), col("event_type"))
+          .orderBy(col("c"), col("user_id"))))
+      .groupBy(col("pid"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c")).cast("long").as("sumc"),
+        sum(col("j").cast(DecimalType(38, 0)) * col("c")).as("wl"))
+    // preceding-slice cumsum on the P × |types|-row census converts
+    // local ranks to global: w = Σ_slices (off·sumc + wl)
+    val offs = census.withColumn("off",
+      coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    offs.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_users"),
+        sum(col("sumc")).as("n_events"),
+        sum(col("off").cast(DecimalType(38, 0)) * col("sumc") + col("wl"))
+          .as("w"))
       .select(col("event_type"), col("n_users"), col("n_events"),
         ((lit(2) * col("w")
             - (col("n_users") + 1).cast(DecimalType(38, 0)) * col("n_events"))

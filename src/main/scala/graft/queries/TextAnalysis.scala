@@ -1968,9 +1968,21 @@ object TextAnalysis {
       |FROM cl ORDER BY doc_id""".stripMargin
 
   /** C38's per-doc strip frame — (doc_id, n_tokens, n_removed,
-    * cleaned) — shared with the C39 per-source rollup.
+    * cleaned) — shared with the C39 per-source rollup. STAGED (round
+    * 14, the §7k debt): FrameCache + index-dir artifact, so a session
+    * (or a later JVM, via the artifact store) running C38+C39
+    * tokenizes and position-joins the corpus ONCE — previously each
+    * consumer re-ran both corpus passes. At 100 TB the staged frame IS
+    * the curation product: the cleaned token streams downstream
+    * packing/training jobs consume, exactly what a pipeline would
+    * materialize between the strip and pack stages.
     */
-  private def stripStats(s: SparkSession, d: String): DataFrame = {
+  private def stripStats(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"text.stripStats:$d:$StripDf") {
+      stripStatsBuild(s, d)
+    }
+
+  private def stripStatsBuild(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.spread(Tables.documents(s, d)
         .select(col("doc_id"), col("text")), s, "doc_id")
       .select(col("doc_id"), F.tokenize_words(col("text")).as("t"))

@@ -73,6 +73,9 @@ case class AttribEvent(
 case class AttribRow(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long,
     touch_type: String, value: Double)
+case class AnnCand(query_id: Long, vec_id: Long, cosine: Double)
+case class AnnProbeRow(query_id: Long, rank: Int, neighbor_id: Long,
+    cosine: Double)
 case class StripMsg(doc_id: Long, kind: Int, j: Option[Int],
     toks: Option[Seq[String]])
 case class StripRow(doc_id: Long, n_tokens: Long, n_removed: Long,
@@ -1223,26 +1226,29 @@ object Streaming {
     */
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = try {
-    runKeyedUpsertInner(s, updates, keyCols, onBatch)
-  } catch { case t: Throwable =>
-    // scratch dirs prefer /dev/shm (RAM): a failed run must not leave
-    // its state parquet resident in shared memory until reboot
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(lastStateDir.get()))
-    throw t
-  }
-
-  private val lastStateDir = new ThreadLocal[String]
-
-  private def runKeyedUpsertInner(s: SparkSession, updates: DataFrame,
-      keyCols: Seq[String],
-      onBatch: (Long, Long) => Unit): DataFrame = {
+      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     val outCols = updates.columns.toSeq
     val outSchema = org.apache.spark.sql.types.StructType(
       updates.schema.filter(f => outCols.contains(f.name)))
     val stateDir = scratchDir("graft_kupsert_state")
-    lastStateDir.set(stateDir)
+    // scratch dirs prefer /dev/shm (RAM): a failed run must not leave
+    // its state parquet resident in shared memory until reboot. The
+    // guard lives where stateDir is in scope (round 14 — the r13
+    // advisor's ThreadLocal relay could NPE before set / fire on a
+    // stale value from an earlier run on the same thread).
+    try runKeyedUpsertInner(s, updates, keyCols, onBatch, stateDir,
+      outCols, outSchema)
+    catch { case t: Throwable =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(stateDir))
+      throw t
+    }
+  }
+
+  private def runKeyedUpsertInner(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String], onBatch: (Long, Long) => Unit,
+      stateDir: String, outCols: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val ckpt = scratchDir("graft_kupsert_ckpt_")
     val q = updates.writeStream
       .option("checkpointLocation", ckpt)
@@ -2318,6 +2324,73 @@ object Streaming {
     runToMemory(s, rows.toDF(), OutputMode.Append, needsNoDataBatch = false)
   }
 
+  // --- A57: streaming ANN probe — the online half of the index story -------
+  // Arriving query vectors probe the PERSISTED IVF index artifacts
+  // (trainedCentroids + the staged ivfLists frame — with the index dir
+  // set, the same parquet artifact a previous build session published)
+  // and emit their exact-cosine top-K at arrival: the (streaming ×
+  // similarity) composition — a live retrieval/dedup-gate endpoint
+  // querying last night's index build, the serving twin of the E23
+  // report that gates that build. Per arrival: probe selection is the
+  // map-side top_cos_ids kernel against the literal codebook (the E3
+  // crossJoin+window probe ranking needs a batch window a stream can't
+  // have; the kernel reproduces its exact (cosine desc, cid asc) order
+  // incl. NaN placement), candidates come from ONE stream-static
+  // equi-join against the staged lists on cid, and the per-query top-K
+  // reassembles in a NoTimeout keyed pass (A54's precedent: every
+  // candidate of a query derives from that query's single arrival row
+  // → same micro-batch, no cross-batch state).
+  //
+  // Scale: per-trigger work ∝ arrivals × probed-list mass — never the
+  // corpus; at 100 TB the lists table is partitioned/bucketed by cid so
+  // the equi-join reads only probed lists (partition pruning), and the
+  // codebook is a literal (NCentroids × dim floats) riding the closure.
+  // Drained feed ≡ batch knn_ivf on the same queries by spec.
+  val annProbe = QueryDef.rowsOnly("stream_ann_probe") { (s, d) =>
+    val path = s"$d/embeddings.parquet"
+    val Sim = graft.queries.Similarity
+    runAnnProbe(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "embeddings.parquet"))
+        .filter(col("vec_id") < Sim.NQueries), d)
+  }
+
+  /** The A57 pipeline over an arbitrary streaming (vec_id, embedding)
+    * query frame — seam for the multi-batch spec.
+    */
+  private[graft] def runAnnProbe(s: SparkSession, raw: DataFrame,
+      d: String): DataFrame = {
+    import s.implicits._
+    val Sim = graft.queries.Similarity
+    val F = graft.functions.expressions
+    val refined = trainedCentroidsLit(s, d)
+    val cand = raw
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cid0", explode(
+        F.top_cos_ids(col("qe"), refined, Sim.NProbe)))
+      .withColumn("cid", col("cid0").cast("long")).drop("cid0")
+      .join(Sim.ivfLists(s, d), Seq("cid")) // stream-static, staged lists
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[AnnCand]
+    val k = Sim.K // primitive copy — the closure must not capture the module
+    val ranked = cand.groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (q: Long, it: Iterator[AnnCand], _: GroupState[Boolean]) => {
+          // exact re-rank of the probed candidates, the topK contract:
+          // (cosine desc, vec_id asc), K rows
+          it.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k)
+            .iterator.zipWithIndex
+            .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) }
+        })
+    runToMemory(s, ranked.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
+  private def trainedCentroidsLit(s: SparkSession, d: String) =
+    typedlit(graft.queries.Similarity.trainedCentroids(s, d).map(_.toSeq))
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
@@ -2326,5 +2399,5 @@ object Streaming {
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
-    keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed)
+    keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe)
 }

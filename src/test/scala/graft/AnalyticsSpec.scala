@@ -927,7 +927,23 @@ class AnalyticsSpec extends AnyFunSuite {
       (BigInt(2) * w - BigInt(n + 1) * BigInt(s)).toDouble /
         (BigInt(n) * BigInt(s)).toDouble
     }
-    val got = SparkEntry.queries("events_gini")(spark, sf).collect()
+    val df = SparkEntry.queries("events_gini")(spark, sf)
+    // plan shape (round 14): the scale contract is B32's — a RANGE
+    // partition of the (type, c, user) count frame so each rank-sort
+    // task owns 1/P of a type; the rank window must be slice-local
+    // (pid leads its partition key), never one partition per type.
+    val partedPlan = graft.queries.Analytics.giniParted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(partedPlan.toLowerCase.contains("rangepartitioning"),
+      "expected a range-partition exchange in the gini pass-1 plan")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("row_number() windowspecdefinition(pid"),
+      "expected the rank window keyed by (pid, event_type)")
+    // (the census-offset cumsum window IS keyed by type — fine, it
+    // runs on the P × |types|-row slice census, not user-scale data)
+    assert(!plan.contains("row_number() windowspecdefinition(event_type"),
+      "the rank window must not partition by event_type alone")
+    val got = df.collect()
     assert(got.length == byType.size && got.nonEmpty)
     got.foreach { r =>
       val cnts = byType(r.getAs[String]("event_type")).groupBy(_._2)

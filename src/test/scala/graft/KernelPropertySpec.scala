@@ -193,6 +193,44 @@ class KernelPropertySpec extends AnyFunSuite {
       farr2(List(List(1.0f, 0.0f), List(0.0f, 1.0f)))) == 0)
   }
 
+  test("topCosIds = (cosine desc, index asc) reference sort prefix, " +
+      "NaN greatest — Spark's desc total order, so it selects exactly " +
+      "the lists the E3 window form would") {
+    val book: Gen[List[List[Float]]] = Gen.listOfN(16, fvec)
+    forAll2(fvec, book) { (v, cs) =>
+      whenever(cs.nonEmpty) {
+        val sims = cs.map(c => HashImpl.cosineFF(farr(v), farr(c)))
+        val ref = cs.indices.sortWith { (a, b) =>
+          val d = java.lang.Double.compare(sims(b), sims(a))
+          if (d != 0) d < 0 else a < b
+        }
+        for (k <- Seq(1, 3, cs.size, cs.size + 5)) {
+          val got = HashImpl.topCosIds(farr(v), farr2(cs), k)
+            .toIntArray().toSeq
+          assert(got == ref.take(math.min(k, cs.size)), s"k=$k")
+        }
+        // top-1 coincides with argmaxCos on NaN-free codebooks (the
+        // two kernels diverge BY DESIGN when NaN appears: argmaxCos
+        // is the ASSIGNMENT kernel and never assigns to a degenerate
+        // NaN centroid; topCosIds is the PROBE kernel and reproduces
+        // the window's NaN-first desc order — both documented)
+        if (!sims.exists(_.isNaN))
+          assert(HashImpl.topCosIds(farr(v), farr2(cs), 1).getInt(0) ==
+            HashImpl.argmaxCos(farr(v), farr2(cs)))
+      }
+    }
+    // explicit tie + NaN placement: equal cosines keep index order;
+    // the zero-norm centroid's NaN cosine sorts FIRST, exactly where
+    // Spark's `csim.desc` window rank would put it
+    assert(HashImpl.topCosIds(farr(List(1.0f, 0.0f)),
+      farr2(List(List(0.0f, 0.0f), List(2.0f, 0.0f), List(1.0f, 0.0f),
+        List(0.0f, 1.0f))), 4).toIntArray().toSeq == Seq(0, 1, 2, 3))
+    // zero-norm query: every cosine NaN -> ties on NaN keep index order
+    assert(HashImpl.topCosIds(farr(List(0.0f, 0.0f)),
+      farr2(List(List(1.0f, 0.0f), List(0.0f, 1.0f))), 2)
+      .toIntArray().toSeq == Seq(0, 1))
+  }
+
   test("simhash hamming distance grows with token divergence") {
     val base = (0 until 50).map(i => s"tok$i")
     val s0 = HashImpl.simhash64(arr(base))

@@ -568,16 +568,34 @@ class SimilaritySpec extends AnyFunSuite {
         ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_exact"),
           r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
     assert(report.keySet == Set("knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
-      "knn_quantized", "knn_binary"))
+      "knn_quantized", "knn_binary", "knn_graph", "knn_maxip_lsh"))
     val nExact = exact.values.map(_.size).sum.toLong
+    // each method scores against ITS anchor: the cosine six (and the
+    // graph's query-node rows) vs knn_bruteforce, maxip_lsh vs the
+    // exact-MIPS top-K — the same pairings the standalone specs pin
+    val exactMip = neighbors("knn_maxip")
     report.foreach { case (m, (nq, ne, nh, rec)) =>
-      val hits = exact.map { case (q, n) =>
-        (neighbors(m).getOrElse(q, Set.empty) & n).size }.sum.toLong
-      assert(nq == exact.size.toLong && ne == nExact,
+      val (anchor, got) = m match {
+        case "knn_maxip_lsh" => (exactMip, neighbors(m))
+        case "knn_graph" =>
+          (exact, neighbors(m).filter { case (q, _) => exact.contains(q) })
+        case _ => (exact, neighbors(m))
+      }
+      val anchorN = anchor.values.map(_.size).sum.toLong
+      val hits = anchor.map { case (q, n) =>
+        (got.getOrElse(q, Set.empty) & n).size }.sum.toLong
+      assert(nq == anchor.size.toLong && ne == anchorN,
         s"$m denominator wrong: $nq/$ne")
-      assert(nh == hits && rec == hits.toDouble / nExact,
+      assert(nh == hits && rec == hits.toDouble / anchorN,
         s"$m recall diverges from the suite's: $nh vs $hits")
     }
+    // the report is the index-swap gate: every method must clear its
+    // standalone recall contract here too (quantized/binary have
+    // looser standalone contracts; see their specs)
+    assert(report("knn_lsh")._4 >= 0.9 && report("knn_ivf")._4 >= 0.9 &&
+      report("knn_pq")._4 >= 0.95 && report("knn_ivfpq")._4 >= 0.9 &&
+      report("knn_graph")._4 >= 0.9 && report("knn_maxip_lsh")._4 >= 0.9)
+    assert(nExact > 0)
   }
 
   test("knn_ivf and knn_ivfpq prune on a planted CLUSTERED corpus: " +

@@ -344,6 +344,31 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("stream_ann_probe: drained feed equals batch knn_ivf, and a forced " +
+      "4-trigger replay (queries split across micro-batches) is identical") {
+    import org.apache.spark.sql.functions._
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivf")(spark, sf).collect())
+    // registered single-source form
+    val got = keyed(SparkEntry.queries("stream_ann_probe")(spark, sf).collect())
+    assert(got == batch, "drained probe feed diverges from batch knn_ivf")
+    // forced multi-batch: the 10 query vectors arrive across 4 triggers;
+    // each arrival probes the SAME staged index, so batch boundaries
+    // must not change any row (stateless per arrival)
+    val qdf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < graft.queries.Similarity.NQueries)
+    val srcDir = timeSplitSource(qdf, 4, Seq(col("vec_id")))
+    try {
+      val multi = keyed(graft.streaming.Streaming.runAnnProbe(spark,
+        spark.readStream.schema(qdf.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf).collect())
+      assert(multi == batch, "multi-batch probe feed diverges from batch")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir))
+  }
+
   test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
     import spark.implicits._
     // static vocab side: three in-vocab tokens; the stream arrives in

@@ -1134,4 +1134,39 @@ class TextDedupSpec extends AnyFunSuite {
         (if (tot == 0) 0.0 else rem.toDouble / tot))
     }
   }
+
+  test("C38/C39 share ONE staged strip frame: a fresh session running " +
+      "corpus_strip_effect loads the artifact, zero rebuilds") {
+    // the round-13 §7k debt: stripStats was shared as CODE but not
+    // STAGED — a session running C38+C39 tokenized the corpus twice.
+    // Now it is a FrameCache key (+ index-dir artifact), so the second
+    // consumer — same session via the memory layer, later JVM via the
+    // artifact store — plans off the staged frame.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_strip").toString
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      // session 1 runs C38: builds + publishes the artifacts
+      val viaBuild = SparkEntry.queries("text_strip_boilerplate")(s1, sf)
+        .collect().map(_.toSeq).toSet
+      // fresh session runs C39: the strip frame must LOAD, not rebuild
+      val (b0, _) = FrameCache.diskStats
+      val c39 = SparkEntry.queries("corpus_strip_effect")(s2, sf)
+      val plan = c39.queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_idx_strip"),
+        s"C39 plan does not scan the staged strip artifact:\n$plan")
+      c39.collect()
+      val (b1, _) = FrameCache.diskStats
+      assert(b1 === b0,
+        "fresh session rebuilt the strip frame instead of loading it")
+      // and the artifact-backed C38 result matches the default path
+      val base = SparkEntry.queries("text_strip_boilerplate")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(viaBuild == base)
+    } finally {
+      FrameCache.evict(s1); FrameCache.evict(s2)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -21,9 +21,11 @@ import re
 import sys
 
 
-# records end "sf":N} through round 10 and "sf":N,"load":N} since
-# Bench started publishing the sampled loadavg in round 11
-RECORD_RE = r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")(?:,"load":[0-9.]+)?\}'
+# records end "sf":N} through round 10, "sf":N,"load":N} since Bench
+# started publishing the sampled loadavg in round 11, and optionally
+# carry a ,"stage_mode":"..." marker since round 14
+RECORD_RE = (r'\{"metric".*?"sf":(?:[0-9.]+|"[^"]*")(?:,"load":[0-9.]+)?'
+             r'(?:,"stage_mode":"[a-z-]+")?\}')
 
 
 def load(path: str) -> dict:
@@ -70,6 +72,12 @@ def main(argv: list) -> int:
     # the compare artifact itself (r12's load 12.4 vs gated 6.9 was
     # the whole regression story)
     print(f"old load {old.get('load')}  new load {new.get('load')}")
+    # stage mode (round 14): cold-build vs warm-load vs session — a
+    # _stage delta between records of DIFFERENT modes is cache warmth,
+    # not a staging regression (and vice versa: a warm cache can mask
+    # one). Records before round 14 carry no marker (None).
+    print(f"old stage_mode {old.get('stage_mode')}  "
+          f"new stage_mode {new.get('stage_mode')}")
     only_new = sorted((set(qn) - set(qo)) - skip)
     if only_new:
         added = sum(qn[q] for q in only_new)
@@ -107,6 +115,10 @@ def main(argv: list) -> int:
             # records) — read a lopsided flagged list against these
             "old_load": old.get("load"),
             "new_load": new.get("load"),
+            # cold-build / warm-load / session (None pre-round-14) —
+            # compare _stage only across LIKE modes
+            "old_stage_mode": old.get("stage_mode"),
+            "new_stage_mode": new.get("stage_mode"),
             "flagged_over_2x": sorted(flagged, key=lambda r: -r["ratio"]),
             "note": "flagged = shared queries (both >=0.5s) whose "
                     "ratio (symmetric, see 'slower') exceeds 2x; a "
