@@ -286,6 +286,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // --- D24: MinHash estimator quality — the eval layer for the dedup
+  // index (round 14). E23/E24 grade the ANN index; this grades the
+  // MinHash sketch the same way: per banded candidate pair, the
+  // signature-agreement estimate ĵ = matches/128 next to the exact
+  // Jaccard and the absolute error — the table a dedup operator reads
+  // before trusting ĵ as a pre-filter (or tuning bands/rows), instead
+  // of taking the 1/√128 textbook bound on faith. Candidates come from
+  // the SAME banded self-join D3 verifies (the population the verify
+  // stage actually sees), so the report prices the estimator exactly
+  // where it is used.
+  //
+  // Scale: banded candidates (never all-pairs), two doc-keyed
+  // signature joins (128×8 B per doc), one candidate-bounded set-pair
+  // join for the exact side — the D3 verify cost, plus nothing.
+  // rows+spec (the estimate needs the native MinHash kernel — no
+  // DuckDB replica; the spec replays both columns driver-side from the
+  // raw shingle sets and pins the estimator's error bounds).
+  val minhashQuality = QueryDef.rowsOnly("dedup_minhash_quality") { (s, d) =>
+    val sets = shingled(s, d)
+    val sh = sets.filter(col("n") > 0)
+      .withColumn("sig", F.minhash_sigs(col("shingles")))
+    val sigs = sh.select(col("doc_id"), col("sig"))
+    val cand = bandCandidates(sh.select(col("doc_id"),
+      explode(expr(bandListExpr)).as("bucket")))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+        Seq("doc_b"))
+      .withColumn("n_agree", expr(
+        "size(filter(zip_with(siga, sigb, (x, y) -> x = y), b -> b))"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .withColumn("est", col("n_agree").cast("double") / 128)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est"),
+        col("jaccard"), abs(col("est") - col("jaccard")).as("abs_err"))
+  }
+
   // --- D2b: the warehouse-scale exact-Jaccard path ------------------------
   // Same answer as D2, different cost model: shingles occurring in more
   // than MaxDf documents (boilerplate) are dropped from the *index*
@@ -1680,5 +1723,6 @@ object Dedup {
     topShingles, clusters, keepers, decontaminate, substringDedup,
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
-    winnowClusters, dupSources, incremental, thresholdSweep, editDistance)
+    winnowClusters, dupSources, incremental, thresholdSweep, editDistance,
+    minhashQuality)
 }

@@ -1027,7 +1027,7 @@ object Similarity {
     * the same sample (lloydRefine). Training never scans the corpus —
     * only the ENCODE pass (pqCodes) does, once.
     */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.pq.codebook:$d") {
       // normalize the sample exactly like pqSubvectors (x/nrm as float)
       // and slice per subspace, then train each subspace independently
@@ -1057,7 +1057,7 @@ object Similarity {
     * float rounding (Σ(x−c)² vs the expanded ‖x‖²−2x·c+‖c‖²), same
     * lowest-cid tiebreak.
     */
-  private def pqCodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.pq.codes:$d") {
       val books = typedlit(bookAsArrays(pqCodebook(s, d)))
       pqSubvectors(s, d)
@@ -1222,12 +1222,18 @@ object Similarity {
     // the lexical index is warmed by TextAnalysis.warmStages (its owner)
   }
 
-  val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val codebook = pqCodebook(s, d)
-    val codes = pqCodes(s, d)
-    // ADC lookup table: 10 queries × 16 subspaces × 16 centroids
-    val lut = broadcast(queriesDf(s, d)
+  /** The E10 ADC probe pipeline over an ARBITRARY (query_id, qe) frame,
+    * with the staged artifacts passed in — shared verbatim by batch
+    * knn_pq and the A58 streaming twin (whose foreachBatch feeds each
+    * arrival batch through this exact plan against the build session's
+    * artifacts: the serving model, where the index is immutable for
+    * the life of the server). `queries` is consumed twice (LUT build +
+    * exact re-rank); callers whose frame is expensive checkpoint it.
+    */
+  private[graft] def pqProbeWith(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame, emb: DataFrame): DataFrame = {
+    // ADC lookup table: |queries| × 16 subspaces × 16 centroids
+    val lut = broadcast(queries
       .select(col("query_id"), explode(expr(
         s"""transform(sequence(0, ${PqM - 1}),
            |  m -> struct(m AS m, slice(qe, m * $PqSub + 1, $PqSub) AS qsv))"""
@@ -1246,8 +1252,13 @@ object Similarity {
       .filter(col("crk") <= PqRerank)
       .select(col("query_id"), col("vec_id"))
     topK(cand
-      .join(queriesDf(s, d), Seq("query_id"))
+      .join(queries, Seq("query_id"))
       .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+  }
+
+  val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
+    pqProbeWith(queriesDf(s, d), pqCodebook(s, d), pqCodes(s, d),
+      Tables.embeddings(s, d))
   }
 
   // --- E12: k-NN graph construction ---------------------------------------
@@ -1876,9 +1887,40 @@ object Similarity {
       .reduce(_ unionAll _).orderBy(col("method"))
   }
 
+  // --- E24: IVF probe sweep — the nProbe tuning curve -----------------------
+  // The dial E3's standing honest note says a deployment tunes, swept
+  // as ONE table: recall@K and scanned-candidate mass at every probe
+  // count — what an index operator reads to pick nProbe for a recall
+  // SLO before committing a config (the FAISS "nprobe sweep" bench,
+  // as an operator). Complements E23 (one row per METHOD at the
+  // configured operating point) with the full curve for the IVF dial.
+  //
+  // Scale: all sweep points share the staged ivfLists artifact and
+  // trained centroids; per point the cost is the probe join + top-K on
+  // probed lists (≤ the knn_ivf cost), and the per-point aggregates
+  // union into a |points|-row report. The exact anchor broadcasts once.
+  private val SweepProbes = Seq(1, 2, 4, 8, 12, 16)
+  val probeSweep = QueryDef.rowsOnly("knn_probe_sweep") { (s, d) =>
+    val exact = broadcast(bruteForce.fn(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val denom = exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    SweepProbes.map { p =>
+      val hits = ivfFrame(s, d, p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+      denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(p).as("n_probe"), lit(NCentroids).as("n_lists"),
+          col("n_queries"), lit(K).as("k"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("n_probe"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
     binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal,
-    recallReport)
+    recallReport, probeSweep)
 }

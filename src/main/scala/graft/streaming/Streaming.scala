@@ -73,7 +73,8 @@ case class AttribEvent(
 case class AttribRow(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long,
     touch_type: String, value: Double)
-case class AnnCand(query_id: Long, vec_id: Long, cosine: Double)
+case class AnnListCand(query_id: Long, cid: Long, vec_id: Long,
+    cosine: Double)
 case class AnnProbeRow(query_id: Long, rank: Int, neighbor_id: Long,
     cosine: Double)
 case class StripMsg(doc_id: Long, kind: Int, j: Option[Int],
@@ -2373,14 +2374,28 @@ object Streaming {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
       .filter(!isnan(col("cosine")))
-      .select(col("query_id"), col("vec_id"), col("cosine"))
-      .as[AnnCand]
+      .select(col("query_id"), col("cid"), col("vec_id"), col("cosine"))
+      .as[AnnListCand]
     val k = Sim.K // primitive copy — the closure must not capture the module
-    val ranked = cand.groupByKey(_.query_id)
+    // Two-stage reassembly (the B32 lesson applied to group sizing): a
+    // single query_id-keyed pass would hold a query's ENTIRE probed
+    // candidate mass (nProbe/nLists of the corpus) in one task. The
+    // global top-K equals the top-K of the per-list top-Ks — every true
+    // neighbor lives in some probed list and survives that list's
+    // top-K — so stage 1 keys by (query, list) (no task ever holds more
+    // than ONE inverted list, the IVF scan granule, exactly the batch
+    // plan's per-list parallelism) and stage 2 merges nProbe·K rows per
+    // query. Both stages are NoTimeout same-micro-batch reassembly
+    // (every candidate derives from its query's single arrival row).
+    val perList = cand.groupByKey(c => (c.query_id, c.cid))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (q: Long, it: Iterator[AnnCand], _: GroupState[Boolean]) => {
-          // exact re-rank of the probed candidates, the topK contract:
-          // (cosine desc, vec_id asc), K rows
+        (_: (Long, Long), it: Iterator[AnnListCand], _: GroupState[Boolean]) =>
+          it.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k).iterator)
+    val ranked = perList.groupByKey(_.query_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (q: Long, it: Iterator[AnnListCand], _: GroupState[Boolean]) => {
+          // exact re-rank of the per-list winners, the topK contract:
+          // (cosine desc, vec_id asc), K rows from nProbe·K inputs
           it.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k)
             .iterator.zipWithIndex
             .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) }
@@ -2391,6 +2406,90 @@ object Streaming {
   private def trainedCentroidsLit(s: SparkSession, d: String) =
     typedlit(graft.queries.Similarity.trainedCentroids(s, d).map(_.toSeq))
 
+  // --- A58: streaming ADC probe — knn_pq served per arrival batch ----------
+  // A57's sibling for the PQ index: arriving query vectors are scored
+  // against the persisted PQ artifacts (codebook + 16 B/vector codes)
+  // and emit their ADC-candidates' exact-cosine top-5. Unlike A57's
+  // per-row list probe, ADC is a BATCH-SCORED scan (a LUT join + a
+  // partial-aggregated sum over the encoded corpus, then two rank
+  // windows) — semantics append-mode streaming operators cannot
+  // express, so each micro-batch runs through foreachBatch, feeding
+  // the arrival batch into the EXACT batch plan (pqProbeWith — the
+  // same code path knn_pq runs) against artifacts staged ONCE on the
+  // build session. This is the production serving shape: a scoring
+  // service that runs the full distributed batch plan per request
+  // batch, with the index immutable for the life of the server.
+  //
+  // Scale: per trigger, ADC cost ∝ arrivals × encoded-corpus mass
+  // (16 B/vector — the point of PQ), with map-side partial aggregation
+  // doing the fold (no single task ever holds a query's full candidate
+  // set, unlike a keyed-reassembly formulation would); rerank fetches
+  // full vectors for PqRerank candidates only. The result parquet
+  // append is |arrivals|·K rows per trigger; the final collect is the
+  // documented harness drain (production reads the result table or
+  // answers RPCs from the sink).
+  val annAdc = QueryDef.rowsOnly("stream_ann_adc") { (s, d) =>
+    val path = s"$d/embeddings.parquet"
+    runAnnAdc(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "embeddings.parquet"))
+        .filter(col("vec_id") < graft.queries.Similarity.NQueries), d)
+  }
+
+  /** The A58 pipeline over an arbitrary streaming (vec_id, embedding)
+    * query frame — seam for the multi-batch spec.
+    */
+  private[graft] def runAnnAdc(s: SparkSession, raw: DataFrame,
+      d: String): DataFrame = {
+    val Sim = graft.queries.Similarity
+    // stage the index artifacts ONCE on the build session; every
+    // micro-batch plan below hangs off these resolved frames
+    val codebook = Sim.pqCodebook(s, d)
+    val codes = Sim.pqCodes(s, d)
+    val emb = Tables.embeddings(s, d)
+    val outDir = scratchDir("graft_annadc_out")
+    try {
+      val ckpt = scratchDir("graft_annadc_ckpt_")
+      val q = raw.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val queries = batch
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+            .localCheckpoint() // consumed twice (LUT + rerank join)
+          Sim.pqProbeWith(queries, codebook, codes, emb)
+            .write.mode("append").parquet(s"$outDir/res")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+      // harness drain, as in runKeyedUpsert; a source that never
+      // produced a data batch wrote no results — empty table, not a
+      // crash
+      val (rows, schema) =
+        if (new java.io.File(s"$outDir/res").exists()) {
+          val res = s.read.parquet(s"$outDir/res")
+          (res.collect().toIndexedSeq, res.schema)
+        } else (IndexedSeq.empty[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cosine",
+              org.apache.spark.sql.types.DoubleType))))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(outDir))
+  }
+
   def all: Seq[QueryDef] = Seq(
     changeFeed, hourlyRollup, leaderElection, etlUpsert, dedupExact, funnel,
     dedupMinhash, sessionWindows, hourlyAnomalies, keysetFeed, storageFeed,
@@ -2399,5 +2498,6 @@ object Streaming {
     slidingRollup, slidingRollupAppend, scd2Feed, countMinFeed, packFeed,
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
-    keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe)
+    keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe,
+    annAdc)
 }

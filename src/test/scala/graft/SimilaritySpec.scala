@@ -598,6 +598,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nExact > 0)
   }
 
+  test("knn_probe_sweep: recall is monotone in nProbe, the full-probe " +
+      "point is exact, and the operating point matches knn_ivf") {
+    val rows = SparkEntry.queries("knn_probe_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_probe") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(1, 2, 4, 8, 12, 16))
+    val byProbe = rows.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nProbe: $byProbe")
+    // nProbe = nLists probes every list: the candidate set IS the
+    // corpus (minus self), so the sweep endpoint must be exact
+    assert(rows(16)._2 == 1.0, s"full-probe recall ${rows(16)._2} != 1.0")
+    // the configured operating point reproduces the suite's knn_ivf
+    // recall (the same number E23 reports)
+    val ivfHits = exact.map { case (q, n) =>
+      (neighbors("knn_ivf").getOrElse(q, Set.empty) & n).size }.sum.toLong
+    assert(rows(12)._1 == ivfHits,
+      s"sweep@12 hits ${rows(12)._1} != knn_ivf's $ivfHits")
+  }
+
   test("knn_ivf and knn_ivfpq prune on a planted CLUSTERED corpus: " +
       "recall >= 0.9 at nProbe = 4 of 16 lists") {
     // the positive twin of the standing honest note on the registered

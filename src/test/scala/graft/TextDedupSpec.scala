@@ -1109,6 +1109,38 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_quality: est and jaccard replay driver-side from " +
+      "the raw shingle sets; estimator error within the 128-perm bounds") {
+    val rows = SparkEntry.queries("dedup_minhash_quality")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        HashImpl.shingles3(HashImpl.tokenize(utf8(r.getAs[String]("text")))))
+      .toMap
+    def strs(a: org.apache.spark.sql.catalyst.util.ArrayData): Set[String] =
+      a.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+    rows.foreach { r =>
+      val (sa, sb) = (docs(r.getAs[Long]("doc_a")), docs(r.getAs[Long]("doc_b")))
+      val (ssa, ssb) = (strs(sa), strs(sb))
+      val inter = (ssa & ssb).size
+      val j = inter.toDouble / (ssa.size + ssb.size - inter)
+      val na = HashImpl.minhash(sa).toLongArray()
+        .zip(HashImpl.minhash(sb).toLongArray())
+        .count { case (x, y) => x == y }
+      assert(r.getAs[Double]("jaccard") == j, s"jaccard for $r")
+      assert(r.getAs[Int]("n_agree") == na, s"n_agree for $r")
+      assert(r.getAs[Double]("est") == na / 128.0)
+      assert(r.getAs[Double]("abs_err") == math.abs(na / 128.0 - j))
+      // per-pair bound: ~5.5 sigma at 128 permutations — deterministic
+      // headroom on this data, red only if the estimator breaks
+      assert(math.abs(na / 128.0 - j) < 0.25, s"estimator off for $r")
+    }
+    val mae = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(mae < 0.1, s"MAE $mae exceeds the 128-perm expectation")
+  }
+
   test("corpus_strip_effect is exactly the per-source rollup of the " +
       "per-doc strip frame") {
     import org.apache.spark.sql.functions._
