@@ -33,10 +33,18 @@ final class GraftPluginLocator(spark: SparkSession) {
     * `graft.lr.pull.period.ms` (keyset-watcher poll period, default
     * 1 day, analog of `plugin.cassandra.lr.pull.period.ms`).
     */
-  def startup(configFile: String): Unit = {
+  def startup(configFile: String): Unit = startup(configFile, Map.empty)
+
+  /** Reference signature with overrides (util/Config.scala:27-37):
+    * entries in `overrides` replace the file's values key-by-key —
+    * the bootstrap shape the reference uses to thread broker-level
+    * settings over a shared properties file.
+    */
+  def startup(configFile: String, overrides: Map[String, String]): Unit = {
     val props = new Properties()
     val in = new FileInputStream(new File(configFile))
     try props.load(in) finally in.close()
+    overrides.foreach { case (k, v) => props.setProperty(k, v) }
     val dir = Option(props.getProperty("graft.data.dir")).getOrElse(
       throw new IllegalArgumentException(
         s"$configFile does not set graft.data.dir"))

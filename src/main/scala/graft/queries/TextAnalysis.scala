@@ -530,6 +530,7 @@ object TextAnalysis {
     winnowSel(s, d).queryExecution.toRdd.count()
     bpeMergesFrame(s, d).queryExecution.toRdd.count()
     chromeGrams(s, d).queryExecution.toRdd.count()
+    stripStats(s, d).queryExecution.toRdd.count()
   }
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------

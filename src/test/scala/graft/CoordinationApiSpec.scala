@@ -222,6 +222,16 @@ class CoordinationApiSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       new GraftPluginLocator(spark).startup(bad.toString))
     assert(e2.getMessage.contains("graft.data.dir"))
+    // reference Config(file, overrides) signature: overrides replace
+    // the file's values key-by-key — here the override SUPPLIES the
+    // dir the file lacks, and a TTL override beats the file's value
+    java.nio.file.Files.writeString(bad,
+      "unrelated=1\ngraft.le.ttl.ms=1000\n")
+    val loc3 = new GraftPluginLocator(spark)
+    loc3.startup(bad.toString,
+      Map("graft.data.dir" -> sf, "graft.le.ttl.ms" -> "7200000"))
+    assert(loc3.getLeaderElection.ttl == 7200L * 1000000L,
+      "override did not beat the file value")
     java.nio.file.Files.deleteIfExists(f)
     java.nio.file.Files.deleteIfExists(bad)
   }
