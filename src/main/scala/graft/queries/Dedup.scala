@@ -329,6 +329,39 @@ object Dedup {
         col("jaccard"), abs(col("est") - col("jaccard")).as("abs_err"))
   }
 
+  // --- D25: shingle document-frequency profile (round 14) --------------------
+  // The tuning input for EVERY capped/banded dial in this family: a
+  // log2 histogram of shingle document frequencies (per bucket:
+  // distinct shingles, total postings, min/max df, postings share) —
+  // what an operator reads to pick D2b/D16b's MaxDf, to size
+  // LSH band buckets, and to predict the O(df²) pair mass a hot
+  // shingle would generate, BEFORE running any pair join. B53's
+  // key-skew histogram pointed at the shingle index instead of the
+  // event keyspace (shared keySkewRows body + oracle shape).
+  //
+  // Scale: the df rollup is ONE map-side-combinable groupBy on the
+  // shingle (the aggregate any engine pays to know its index), the
+  // histogram collapses to ≤ 64 rows with map-side partials — the
+  // profile you run before choosing the dials cannot itself blow up
+  // on the skew it measures.
+  val dfProfile = QueryDef.oracled(
+    "dedup_df_profile",
+    s"""WITH $shingleSql,
+      |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |c AS (SELECT shingle, count(*) AS cnt FROM ex GROUP BY 1),
+      |h AS (SELECT CAST(length(bin(cnt)) AS INTEGER) AS bucket,
+      |             count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |             min(cnt) AS min_cnt, max(cnt) AS max_cnt
+      |      FROM c GROUP BY 1)
+      |SELECT bucket, n_keys, n_rows, min_cnt, max_cnt,
+      |       CAST(n_rows AS DOUBLE) / CAST(sum(n_rows) OVER () AS BIGINT)
+      |         AS share
+      |FROM h ORDER BY bucket""".stripMargin) { (s, d) =>
+    graft.queries.Analytics.keySkewRows(
+      shingled(s, d).select(explode(col("shingles")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("cnt")))
+  }
+
   // --- D2b: the warehouse-scale exact-Jaccard path ------------------------
   // Same answer as D2, different cost model: shingles occurring in more
   // than MaxDf documents (boilerplate) are dropped from the *index*
@@ -1724,5 +1757,5 @@ object Dedup {
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
     winnowClusters, dupSources, incremental, thresholdSweep, editDistance,
-    minhashQuality)
+    minhashQuality, dfProfile)
 }

@@ -416,6 +416,77 @@ object TextAnalysis {
             s" - start_off DIV $PackBudget + 1")).as("n_pieces"))
   }
 
+  // --- C40: packing efficiency report (round 14) ----------------------------
+  // The number a training-infra team reads after C14 runs: per stream,
+  // how much of the context-window budget is real tokens vs padding,
+  // and how many documents straddle a window boundary (attention-mask
+  // resets / cross-doc contamination candidates). n_bins counts the
+  // windows the stream actually fills (ceil(total/budget)); padding is
+  // the dead tail of the last window; straddle_share is the fraction
+  // of docs split across windows. Pure rollup of C14's per-doc frame —
+  // one corpus pass + an 8-key map-side-combinable aggregate; all
+  // integer arithmetic except the two final ratios (single divisions,
+  // bit-identical cross-engine).
+  val packStats = QueryDef.oracled(
+    "corpus_pack_stats",
+    s"""WITH t AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text),
+      |        '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS toks,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(regexp_extract_all(text, '[\\s\\S]'),
+      |                       c -> CAST(ord(c) AS HUGEINT))),
+      |      (a, c) -> (a*31 + c) % CAST('18446744073709551616' AS HUGEINT))
+      |      % $PackStreams AS INTEGER) AS stream
+      |  FROM documents),
+      |w AS (SELECT *, CAST(coalesce(sum(toks) OVER (PARTITION BY stream
+      |        ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |        AS BIGINT) AS start_off
+      |      FROM t),
+      |p AS (SELECT stream, toks,
+      |        CASE WHEN toks = 0 THEN 0
+      |             ELSE (start_off + toks - 1) // $PackBudget
+      |                  - start_off // $PackBudget + 1 END AS n_pieces
+      |      FROM w),
+      |g AS (SELECT stream, count(*) AS n_docs,
+      |        CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |        count(*) FILTER (WHERE n_pieces >= 2) AS n_straddlers
+      |      FROM p GROUP BY stream)
+      |SELECT stream, n_docs, total_tokens,
+      |  (total_tokens + ${PackBudget - 1}) // $PackBudget AS n_bins,
+      |  CASE WHEN total_tokens % $PackBudget = 0 THEN 0
+      |       ELSE $PackBudget - total_tokens % $PackBudget
+      |       END AS padding_tokens,
+      |  n_straddlers,
+      |  CAST(n_straddlers AS DOUBLE) / n_docs AS straddle_share,
+      |  CASE WHEN total_tokens = 0 THEN 0.0
+      |       ELSE CAST(total_tokens AS DOUBLE)
+      |            / (((total_tokens + ${PackBudget - 1}) // $PackBudget)
+      |               * $PackBudget) END AS fill_ratio
+      |FROM g ORDER BY stream""".stripMargin) { (s, d) =>
+    corpusPack.fn(s, d)
+      .groupBy(col("stream"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        count(when(col("n_pieces") >= 2, lit(1))).as("n_straddlers"))
+      .select(col("stream"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${PackBudget - 1}) DIV $PackBudget")
+          .as("n_bins"),
+        when(expr(s"total_tokens % $PackBudget") === 0, lit(0L))
+          .otherwise(expr(s"$PackBudget - total_tokens % $PackBudget"))
+          .as("padding_tokens"),
+        col("n_straddlers"),
+        (col("n_straddlers").cast("double") / col("n_docs"))
+          .as("straddle_share"),
+        when(col("total_tokens") === 0, lit(0.0))
+          .otherwise(col("total_tokens").cast("double") /
+            (expr(s"(total_tokens + ${PackBudget - 1}) DIV $PackBudget")
+              * PackBudget).cast("double"))
+          .as("fill_ratio"))
+      .orderBy(col("stream"))
+  }
+
   // --- C12: intra-document repetition scoring -----------------------------
   // The Gopher-family repetition filters (Rae et al. 2021, "Scaling
   // Language Models", Table A1) at this corpus's granularity: the
@@ -2152,5 +2223,6 @@ object TextAnalysis {
       vocabCoverage, corpusChunk, unigramLm, bigramLm, importance, piiScrub,
       qualityBuckets, mixture, diversity, delta, winnowing, bpeMerges,
       bpeTokens, bpeVocab, sentenceStats, coverageCurve, syllableProfile,
-      boilerplateNgrams, hapaxStats, stripBoilerplate, stripEffect)
+      boilerplateNgrams, hapaxStats, stripBoilerplate, stripEffect,
+      packStats)
 }

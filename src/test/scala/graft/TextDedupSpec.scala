@@ -1109,6 +1109,56 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_df_profile: buckets are df bit-lengths, postings conserve, " +
+      "shares sum to one") {
+    val rows = SparkEntry.queries("dedup_df_profile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val (mn, mx) = (r.getAs[Long]("min_cnt"), r.getAs[Long]("max_cnt"))
+      assert(mn >= (1L << (b - 1)) && mx < (1L << b) && mn <= mx,
+        s"bucket $b bounds violated: [$mn, $mx]")
+    }
+    // postings conservation: Σ n_rows == total (doc, distinct-shingle)
+    // postings, replayed driver-side through the same kernels
+    val totalPostings = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(r => HashImpl.shingles3(
+        HashImpl.tokenize(utf8(r.getAs[String]("text")))).numElements().toLong)
+      .sum
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == totalPostings)
+  }
+
+  test("corpus_pack_stats is exactly the per-stream rollup of the pack " +
+      "frame, with bin/padding invariants") {
+    val perDoc = SparkEntry.queries("corpus_pack")(spark, sf).collect()
+      .groupBy(_.getAs[Int]("stream"))
+    val got = SparkEntry.queries("corpus_pack_stats")(spark, sf).collect()
+      .map(r => r.getAs[Int]("stream") -> r).toMap
+    assert(got.keySet == perDoc.keySet && got.nonEmpty)
+    val budget = graft.queries.TextAnalysis.PackBudget
+    perDoc.foreach { case (stream, rows) =>
+      val r = got(stream)
+      val total = rows.map(_.getAs[Long]("n_tokens")).sum
+      val straddlers = rows.count(_.getAs[Long]("n_pieces") >= 2).toLong
+      val bins = (total + budget - 1) / budget
+      assert(r.getAs[Long]("n_docs") == rows.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("n_bins") == bins)
+      val pad = if (total % budget == 0) 0L else budget - total % budget
+      assert(r.getAs[Long]("padding_tokens") == pad)
+      assert(pad >= 0 && pad < budget)
+      assert(r.getAs[Long]("n_straddlers") == straddlers)
+      assert(r.getAs[Double]("straddle_share") ==
+        straddlers.toDouble / rows.length)
+      val fill = if (total == 0) 0.0 else total.toDouble / (bins * budget)
+      assert(r.getAs[Double]("fill_ratio") == fill)
+      // packing conservation: real tokens + padding exactly tile the bins
+      assert(total + pad == bins * budget || total == 0)
+    }
+  }
+
   test("dedup_minhash_quality: est and jaccard replay driver-side from " +
       "the raw shingle sets; estimator error within the 128-perm bounds") {
     val rows = SparkEntry.queries("dedup_minhash_quality")(spark, sf).collect()
