@@ -116,6 +116,25 @@ class FrameCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact paths embed the format version and the corpus " +
+      "fingerprint — bumping either re-keys the artifact") {
+    val dir = "/idx"
+    // the readable tail carries key + '#vN' + '@fp' (sanitized to _):
+    // a format-version bump orphans every old artifact instead of
+    // serving the OLD algorithm's output as 'never rebuilt'
+    val p = FrameCache.artifactPathFor(spark, dir, s"spec.version:$sf")
+    assert(p.contains(s"_v${FrameCache.ArtifactFormatVersion}_"),
+      s"format version missing from artifact path: $p")
+    // corpus fingerprint present for dir-embedding keys (the '@fp'
+    // section between version and hash), absent for pathless keys
+    val pathless = FrameCache.artifactPathFor(spark, dir, "spec.version")
+    assert(pathless.endsWith(".parquet") &&
+      pathless.contains(s"_v${FrameCache.ArtifactFormatVersion}-"),
+      s"pathless key should carry version but no fingerprint: $pathless")
+    // different keys can never collide (md5 of the FULL key in the name)
+    assert(p != FrameCache.artifactPathFor(spark, dir, s"spec.version2:$sf"))
+  }
+
   test("index dir: a query family produces identical results with and " +
       "without the persistent artifact store (knn_pq end-to-end)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_pq").toString
