@@ -115,13 +115,18 @@ object Bench {
     // "cold-build" = any artifact built this run, "warm-load" = all
     // artifacts loaded.
     val (diskB1, diskL1) = FrameCache.diskStats
-    val stageMode =
+    // provisional mode from the warm-up window alone; finalized after
+    // the passes (see below) so an artifact built LAZILY during a query
+    // pass — outside the warmStages window — still flips the label to
+    // cold-build instead of silently reading as "session"/"warm-load",
+    // the cross-round misattribution this marker exists to prevent
+    def modeFrom(b: Long, l: Long): String =
       if (spark.conf.get(FrameCache.IndexDirConf, "").isEmpty) "session"
-      else if (diskB1 - diskB0 > 0) "cold-build"
-      else if (diskL1 - diskL0 > 0) "warm-load"
+      else if (b > 0) "cold-build"
+      else if (l > 0) "warm-load"
       else "session"
-    System.err.println(s"[bench] _stage mode $stageMode " +
-      s"(artifacts built ${diskB1 - diskB0}, loaded ${diskL1 - diskL0})")
+    System.err.println(s"[bench] _stage mode ${modeFrom(diskB1 - diskB0, diskL1 - diskL0)} " +
+      s"(warm-up: artifacts built ${diskB1 - diskB0}, loaded ${diskL1 - diskL0})")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     def pass(sel: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
@@ -148,6 +153,11 @@ object Bench {
           .map(x => String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))).mkString(","))
       name -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
+    // finalize stage_mode over the WHOLE run — warm-up plus every pass
+    val (diskB2, diskL2) = FrameCache.diskStats
+    val stageMode = modeFrom(diskB2 - diskB0, diskL2 - diskL0)
+    System.err.println(s"[bench] _stage mode $stageMode " +
+      s"(whole run: artifacts built ${diskB2 - diskB0}, loaded ${diskL2 - diskL0})")
     val total = results.map(_._2).filter(_ >= 0).sum + stageSec
     // numeric sf from the directory basename ("sf0.1" -> 0.1)
     val sfName = new java.io.File(sfDir).getName

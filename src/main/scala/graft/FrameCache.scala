@@ -152,10 +152,20 @@ private[graft] object FrameCache {
       // store when the index dir lives elsewhere (hdfs://, s3a://)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
-        if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        if (fs.exists(marker))
           diskLoads.incrementAndGet()
         else {
           diskBuilds.incrementAndGet()
+          // CRASH WINDOW: a prior writer may have died between its
+          // rename(tmp,p) and its _SUCCESS create, leaving p complete
+          // but UNMARKED. Renaming onto an existing directory is "move
+          // INTO dest" on HDFS/local — tmp would nest inside p and the
+          // post-rename marker would then bless a directory holding the
+          // stale top level plus a duplicate nested copy, forever. So:
+          // an unmarked p is by definition an abandoned publish (the
+          // marker is the ONLY commit point) — delete it before building.
+          if (fs.exists(p)) fs.delete(p, true)
           val tmp = new org.apache.hadoop.fs.Path(
             path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
           build.write.mode("overwrite").parquet(tmp.toString)
@@ -164,12 +174,22 @@ private[graft] object FrameCache {
           fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
           if (fs.rename(tmp, p)) {
             // publish the read gate strictly AFTER all data files exist
-            fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS")).close()
+            fs.create(marker).close()
           } else {
-            // a concurrent writer in another JVM published first —
-            // keep theirs, drop ours
+            // a concurrent writer in another JVM published (or is mid-
+            // publish) — drop ours and WAIT for their _SUCCESS before
+            // reading. On object stores their rename is a non-atomic
+            // per-file copy that may still be running when our rename
+            // fails; loading immediately would read a torn directory.
             fs.delete(tmp, true)
-            ()
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (!fs.exists(marker) && System.nanoTime() < deadline)
+              Thread.sleep(200)
+            if (!fs.exists(marker))
+              throw new IllegalStateException(
+                s"FrameCache: lost publish race for $path but winner's " +
+                "_SUCCESS never appeared within 120s — torn or abandoned " +
+                "concurrent publish; refusing to read an ungated artifact")
           }
         }
       }

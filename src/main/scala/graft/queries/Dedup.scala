@@ -212,15 +212,30 @@ object Dedup {
         col("containment"))
   }
 
+  /** Single source of truth for the MinHash signature geometry: the
+    * kernel's permutation count (asserted against [[HashImpl.NumPerms]]
+    * so a kernel retune can't silently skew D24's ĵ = agree/NumHashes)
+    * and the 32-band × 4-row LSH banding derived from it. Changing
+    * NumBands re-derives [[bandListExpr]] AND D24's estimator divisor
+    * together — the drift the r14 advice flagged.
+    */
+  private[graft] val NumHashes: Int = graft.functions.HashImpl.NumPerms
+  private[graft] val NumBands = 32
+  private[graft] val BandRows: Int = NumHashes / NumBands
+  require(NumBands * BandRows == NumHashes,
+    s"LSH banding $NumBands x $BandRows must tile the $NumHashes-perm signature")
+
   /** 32-band × 4-row bucket-id list over a `sig` MinHash column —
     * shared by D3 and the streaming ingest twin
-    * ([[graft.streaming.Streaming]] A19).
+    * ([[graft.streaming.Streaming]] A19). Derived from the geometry
+    * constants above.
     */
-  private[graft] val bandListExpr: String =
-    """transform(sequence(0, 31), b -> concat_ws(':',
-      |  cast(b AS STRING), cast(sig[4*b] AS STRING),
-      |  cast(sig[4*b+1] AS STRING), cast(sig[4*b+2] AS STRING),
-      |  cast(sig[4*b+3] AS STRING)))""".stripMargin
+  private[graft] val bandListExpr: String = {
+    val cells = (0 until BandRows)
+      .map(r => s"cast(sig[$BandRows*b+$r] AS STRING)").mkString(", ")
+    s"""transform(sequence(0, ${NumBands - 1}), b -> concat_ws(':',
+       |  cast(b AS STRING), $cells))""".stripMargin
+  }
 
   /** Exact-Jaccard ≥ τ verification of candidate (doc_a, doc_b) pairs
     * against the full shingle sets — the post-LSH verify stage, shared
@@ -324,7 +339,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .withColumn("est", col("n_agree").cast("double") / 128)
+      .withColumn("est", col("n_agree").cast("double") / NumHashes)
       .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est"),
         col("jaccard"), abs(col("est") - col("jaccard")).as("abs_err"))
   }

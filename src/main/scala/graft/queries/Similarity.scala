@@ -1899,7 +1899,13 @@ object Similarity {
   // trained centroids; per point the cost is the probe join + top-K on
   // probed lists (≤ the knn_ivf cost), and the per-point aggregates
   // union into a |points|-row report. The exact anchor broadcasts once.
-  private val SweepProbes = Seq(1, 2, 4, 8, 12, 16)
+  // Derived, not hardcoded: the sweep must ALWAYS include the configured
+  // operating point (NProbe — so the report prices what knn_ivf actually
+  // runs) and the full-probe endpoint (NCentroids — the point the spec
+  // pins EXACTLY 1.0 recall); retuning either constant keeps both
+  // properties by construction instead of silently breaking them.
+  private val SweepProbes =
+    (Seq(1, 2, 4, 8) :+ NProbe :+ NCentroids).distinct.sorted.filter(_ <= NCentroids)
   val probeSweep = QueryDef.rowsOnly("knn_probe_sweep") { (s, d) =>
     val exact = broadcast(bruteForce.fn(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint())

@@ -2387,20 +2387,60 @@ object Streaming {
     // plan's per-list parallelism) and stage 2 merges nProbe·K rows per
     // query. Both stages are NoTimeout same-micro-batch reassembly
     // (every candidate derives from its query's single arrival row).
+    // Each stage selects through [[annTopK]], the O(k) bounded insertion
+    // buffer (the A33/A36 sketch-buffer discipline): the batch plan's
+    // window sort can spill, a `toSeq` inside a state function cannot —
+    // a task heap must never hold a whole inverted list's candidates.
     val perList = cand.groupByKey(c => (c.query_id, c.cid))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Long, Long), it: Iterator[AnnListCand], _: GroupState[Boolean]) =>
-          it.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k).iterator)
+          annTopK(it, k))
     val ranked = perList.groupByKey(_.query_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (q: Long, it: Iterator[AnnListCand], _: GroupState[Boolean]) => {
+        (q: Long, it: Iterator[AnnListCand], _: GroupState[Boolean]) =>
           // exact re-rank of the per-list winners, the topK contract:
           // (cosine desc, vec_id asc), K rows from nProbe·K inputs
-          it.toSeq.sortBy(c => (-c.cosine, c.vec_id)).take(k)
-            .iterator.zipWithIndex
-            .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) }
-        })
+          annTopK(it, k).zipWithIndex
+            .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) })
     runToMemory(s, ranked.toDF(), OutputMode.Append, needsNoDataBatch = false)
+  }
+
+  /** Exact top-k selection in O(k) task memory: a sorted k-slot
+    * insertion buffer over the candidate iterator, streaming the input
+    * once — output ≡ `it.toSeq.sortBy(c => (-c.cosine, c.vec_id))
+    * .take(k)` (same total order incl. ±0.0: java.lang.Double.compare,
+    * the comparator 2.13's default Ordering[Double] uses; NaNs are
+    * filtered upstream), without ever materializing the group. Work is
+    * O(L·(log k + k)) shifts for a k=5 result; memory is k slots flat —
+    * a task can process an inverted list of ANY length in constant
+    * heap, where `toSeq.sortBy` held the whole list with no spill path.
+    */
+  private[graft] def annTopK(it: Iterator[AnnListCand],
+      k: Int): Iterator[AnnListCand] = {
+    // rank order: cosine desc, then vec_id asc; negative = a before b
+    def cmp(a: AnnListCand, b: AnnListCand): Int = {
+      val c = java.lang.Double.compare(b.cosine, a.cosine)
+      if (c != 0) c else java.lang.Long.compare(a.vec_id, b.vec_id)
+    }
+    val buf = new Array[AnnListCand](k)
+    var n = 0
+    while (it.hasNext) {
+      val c = it.next()
+      if (n < k || cmp(c, buf(n - 1)) < 0) {
+        // binary search for the insertion point (first slot ranked after c)
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cmp(buf(mid), c) <= 0) lo = mid + 1 else hi = mid
+        }
+        var i = math.min(n, k - 1)
+        while (i > lo) { buf(i) = buf(i - 1); i -= 1 }
+        buf(lo) = c
+        if (n < k) n += 1
+      }
+    }
+    buf.iterator.take(n)
   }
 
   private def trainedCentroidsLit(s: SparkSession, d: String) =

@@ -358,4 +358,30 @@ class KernelPropertySpec extends AnyFunSuite {
         s"mean CMS excess ${excesses.sum / excesses.size} beyond 2n/w")
     }
   }
+
+  test("annTopK equals sortBy(-cosine, vec_id).take(k) — incl. ties, " +
+    "±0.0, k larger than the input") {
+    import graft.streaming.{AnnListCand, Streaming}
+    val rnd = new scala.util.Random(15)
+    // coarse cosine grid (0.1 steps, plus signed zeros) forces heavy
+    // tie traffic through the vec_id tiebreak and the ±0.0 total order
+    val cosGen = Gen.frequency(
+      8 -> Gen.chooseNum(-10, 10).map(_ / 10.0),
+      1 -> Gen.const(0.0), 1 -> Gen.const(-0.0))
+    val candGen = Gen.listOf(for {
+      v <- Gen.chooseNum(0L, 40L)
+      c <- cosGen
+    } yield AnnListCand(7L, 3L, v, c))
+    forAll(candGen, 200) { cands0 =>
+      // dedupe vec_id within the group (the IVF invariant: a vector
+      // lives in exactly one list) so the reference sort is unambiguous
+      val cands = cands0.groupBy(_.vec_id).values.map(_.head).toList
+      val k = 1 + rnd.nextInt(8)
+      val expect = cands.sortBy(c => (-c.cosine, c.vec_id)).take(k)
+      val got = Streaming.annTopK(
+        rnd.shuffle(cands).iterator, k).toList
+      assert(got == expect,
+        s"k=$k in=${cands.size}: bounded buffer diverged from sort")
+    }
+  }
 }
