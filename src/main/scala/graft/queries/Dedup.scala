@@ -1139,6 +1139,7 @@ object Dedup {
     clusterLabels(s, d).queryExecution.toRdd.count()
     semanticClusterLabels(s, d).queryExecution.toRdd.count()
     winnowIdx(s, d).queryExecution.toRdd.count()
+    winnowRarePairs(s, d).queryExecution.toRdd.count()
   }
 
   // --- D12: semantic decontamination --------------------------------------
@@ -1448,9 +1449,22 @@ object Dedup {
       |        WHERE shared * 2 >= least(ra.nr, rb.nr))""".stripMargin
 
   /** D17's admitted pair frame (doc_a, doc_b, shared, mn) — the Scala
-    * twin of the `dup` CTE, shared with D19's cluster build.
+    * twin of the `dup` CTE, shared with D19's cluster build. STAGED
+    * (round 15): the rare-fingerprint INDEX was already a FrameCache
+    * key, but both consumers re-ran the pair join over it —
+    * dedup_winnow_clusters was the most expensive dedup query in the
+    * r14 gated bench (3.61 s) largely re-paying dedup_winnow_pairs'
+    * work. One staged frame (stripStats' pattern), two readers; with
+    * the index dir set it is also a persisted artifact later sessions
+    * load instead of rejoining.
     */
-  private def winnowRarePairs(s: SparkSession, d: String): DataFrame = {
+  private def winnowRarePairs(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s,
+      s"dedup.winnowPairs:$d:$WinnowMaxDf:$WinnowMinRare") {
+      winnowRarePairsBuild(s, d)
+    }
+
+  private def winnowRarePairsBuild(s: SparkSession, d: String): DataFrame = {
     val idx = winnowIdx(s, d)
     // per-doc rare-fingerprint counts; the MinRare floor drops docs
     // whose rare signal is too thin to score (a short boilerplate doc

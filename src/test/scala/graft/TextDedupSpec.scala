@@ -1251,4 +1251,46 @@ class TextDedupSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("D17/D19 share ONE staged admitted-pair frame: a fresh session " +
+      "running dedup_winnow_clusters loads the artifact, zero rebuilds") {
+    // the round-14 §What's-wrong #2: the rare-fingerprint INDEX was
+    // staged but the admitted pair frame was rebuilt by both consumers
+    // — dedup_winnow_clusters re-paid dedup_winnow_pairs' pair join.
+    // Now the pair frame is its own FrameCache key (+ index-dir
+    // artifact): the second consumer plans off the staged frame.
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_winnow").toString
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      // session 1 runs D17: builds + publishes the pair-frame artifact
+      val viaBuild = SparkEntry.queries("dedup_winnow_pairs")(s1, sf)
+        .collect().map(_.toSeq).toSet
+      // fresh session runs D19: the pair frame must LOAD, not rebuild
+      val (b0, _) = FrameCache.diskStats
+      SparkEntry.queries("dedup_winnow_clusters")(s2, sf).collect()
+      val (b1, _) = FrameCache.diskStats
+      assert(b1 === b0,
+        "fresh session rebuilt the winnow pair frame instead of loading it")
+      // the D17 plan in the fresh session scans the artifact directly
+      val plan = SparkEntry.queries("dedup_winnow_pairs")(s2, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_idx_winnow"),
+        s"D17 plan does not scan the staged pair artifact:\n$plan")
+      // same-session reuse: re-running both consumers adds no frames
+      val frames1 = FrameCache.size(s2)
+      val viaLoad = SparkEntry.queries("dedup_winnow_pairs")(s2, sf)
+        .collect().map(_.toSeq).toSet
+      SparkEntry.queries("dedup_winnow_clusters")(s2, sf).collect()
+      assert(FrameCache.size(s2) == frames1,
+        "FrameCache entry count grew across invocations")
+      // and the artifact-backed result matches the default-path build
+      val base = SparkEntry.queries("dedup_winnow_pairs")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(viaBuild == base && viaLoad == base)
+    } finally {
+      FrameCache.evict(s1); FrameCache.evict(s2)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
