@@ -1088,7 +1088,7 @@ object Similarity {
     * on the sample's pooled residuals). One training run, one small
     * broadcastable frame (16 + 16×16 rows).
     */
-  private def ivfPqBook(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfPqBook(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.ivfpq.book:$d") {
       val sampleNorm = seedSample(s, d).map { v =>
         var n2 = 0.0; var i = 0
@@ -1124,7 +1124,7 @@ object Similarity {
     * 16 residual codes per vector. One corpus scan (the encode pass);
     * staged alongside the book.
     */
-  private def ivfPqCodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfPqCodes(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.ivfpq.codes:$d") {
       val book = ivfPqBook(s, d)
       // both quantizer levels as literal arrays: the whole encode pass
@@ -1165,10 +1165,19 @@ object Similarity {
     * [[ivfFrame]]; the planted-cluster spec runs both at nProbe = 4/16.
     */
   private[graft] def ivfPqFrame(s: SparkSession, d: String,
-      nProbe: Int): DataFrame = {
-    val book = ivfPqBook(s, d)
-    val codes = ivfPqCodes(s, d)
-    val qn = queriesDf(s, d)
+      nProbe: Int): DataFrame =
+    ivfPqProbeWith(queriesDf(s, d), ivfPqBook(s, d), ivfPqCodes(s, d),
+      Tables.embeddings(s, d), nProbe)
+
+  /** The E11 IVFADC probe pipeline over an ARBITRARY (query_id, qe)
+    * frame with the staged artifacts passed in — [[pqProbeWith]]'s
+    * shape for the coarse+residual index, shared verbatim by batch
+    * knn_ivfpq and the A59 streaming twin. `queries` is consumed twice
+    * (normalize/LUT + exact re-rank); expensive frames checkpoint.
+    */
+  private[graft] def ivfPqProbeWith(queries: DataFrame, book: DataFrame,
+      codes: DataFrame, emb: DataFrame, nProbe: Int = NProbe): DataFrame = {
+    val qn = queries
       .withColumn("nrm", F.l2norm(col("qe")))
       .filter(col("nrm") > 0)
       .withColumn("qn", expr("transform(qe, x -> CAST(x / nrm AS FLOAT))"))
@@ -1204,9 +1213,9 @@ object Similarity {
       .filter(col("crk") <= PqRerank)
       .select(col("query_id"), col("vec_id"))
     topK(cand
-      .join(queriesDf(s, d), Seq("query_id"))
-      .join(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+      .join(queries, Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")),
+        Seq("vec_id")))
   }
 
   /** Materialize the staged PQ + IVFADC indexes (bench warms these off
@@ -1219,6 +1228,7 @@ object Similarity {
     ivfPqCodes(s, d).queryExecution.toRdd.count()
     ivfLists(s, d).queryExecution.toRdd.count()
     graphPairs(s, d).queryExecution.toRdd.count()
+    exactAnchor(s, d).queryExecution.toRdd.count()
     // the lexical index is warmed by TextAnalysis.warmStages (its owner)
   }
 
@@ -1229,9 +1239,11 @@ object Similarity {
     * artifacts: the serving model, where the index is immutable for
     * the life of the server). `queries` is consumed twice (LUT build +
     * exact re-rank); callers whose frame is expensive checkpoint it.
+    * `rerank` is the ADC-candidate depth re-ranked exactly — the
+    * second recall dial (E25 sweeps it; knn_pq runs PqRerank).
     */
   private[graft] def pqProbeWith(queries: DataFrame, codebook: DataFrame,
-      codes: DataFrame, emb: DataFrame): DataFrame = {
+      codes: DataFrame, emb: DataFrame, rerank: Int = PqRerank): DataFrame = {
     // ADC lookup table: |queries| × 16 subspaces × 16 centroids
     val lut = broadcast(queries
       .select(col("query_id"), explode(expr(
@@ -1249,7 +1261,7 @@ object Similarity {
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("crk") <= PqRerank)
+      .filter(col("crk") <= rerank)
       .select(col("query_id"), col("vec_id"))
     topK(cand
       .join(queries, Seq("query_id"))
@@ -1850,9 +1862,21 @@ object Similarity {
   // against knn_bruteforce, exactly the per-node recall the E12 spec
   // pins (the graph's rows for those nodes have identical semantics:
   // top-K over the corpus, self excluded).
+  /** Staged exact top-K anchor (query_id, neighbor_id) — the
+    * ground-truth file of a FAISS-style eval setup (round 15). E23,
+    * E24, and E25 each scored against `bruteForce.fn` re-run per
+    * report; the anchor is ONE brute-force scan per session now (and a
+    * persisted artifact with the index dir set — ground truth is
+    * corpus-derived, so the corpus fingerprint in the artifact path
+    * keeps it honest across corpus regenerations).
+    */
+  private[graft] def exactAnchor(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"sim.exactAnchor:$d") {
+      bruteForce.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    }
+
   val recallReport = QueryDef.rowsOnly("knn_recall_report") { (s, d) =>
-    val exact = broadcast(bruteForce.fn(s, d)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val exact = broadcast(exactAnchor(s, d))
     // anchor-independent denominators: one aggregate per anchor, reused
     // by every method row scored against it (not re-aggregated per
     // method)
@@ -1907,8 +1931,7 @@ object Similarity {
   private val SweepProbes =
     (Seq(1, 2, 4, 8) :+ NProbe :+ NCentroids).distinct.sorted.filter(_ <= NCentroids)
   val probeSweep = QueryDef.rowsOnly("knn_probe_sweep") { (s, d) =>
-    val exact = broadcast(bruteForce.fn(s, d)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint())
+    val exact = broadcast(exactAnchor(s, d))
     val denom = exact
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
@@ -1924,9 +1947,50 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("n_probe"))
   }
 
+  // --- E25: PQ rerank sweep — the second recall dial (round 15) -------------
+  // E24's pattern on the OTHER tunable an index operator dials for a
+  // recall SLO: recall@K vs the ADC-candidate depth re-ranked exactly
+  // (FAISS's k_factor / rerank depth). One table over the staged PQ
+  // artifacts: per depth, the full pqProbeWith plan at that depth,
+  // scored against the staged exact anchor. Recall is monotone in
+  // depth BY CONSTRUCTION — deeper rerank re-ranks a superset of ADC
+  // candidates by exact cosine, and a true top-K hit can only be
+  // displaced by a higher-cosine vector, which is itself a true hit —
+  // so the spec pins monotonicity exactly, and the PqRerank point runs
+  // the LITERAL knn_pq plan (same code path, row-identical).
+  //
+  // Scale: all depths share the staged codebook/codes and the broadcast
+  // anchor; per depth the extra cost over knn_pq is only the rerank
+  // fetch width (depth × |queries| vectors). Depths are derived so the
+  // sweep always includes the configured operating point, whatever
+  // PqRerank is retuned to (the E24 endpoint lesson).
+  private val SweepReranks =
+    (Seq(8, 16, 32, 64) :+ PqRerank :+ 2 * PqRerank).distinct.sorted
+  val rerankSweep = QueryDef.rowsOnly("knn_rerank_sweep") { (s, d) =>
+    val exact = broadcast(exactAnchor(s, d))
+    val denom = exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    val qs = queriesDf(s, d)
+    val codebook = pqCodebook(s, d)
+    val codes = pqCodes(s, d)
+    val emb = Tables.embeddings(s, d)
+    SweepReranks.map { r =>
+      val hits = pqProbeWith(qs, codebook, codes, emb, r)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+      denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(r).as("rerank_depth"),
+          lit(PqRerank).as("operating_depth"),
+          col("n_queries"), lit(K).as("k"), col("n_exact"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+    }.reduce(_ unionAll _).orderBy(col("rerank_depth"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
     binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal,
-    recallReport, probeSweep)
+    recallReport, probeSweep, rerankSweep)
 }

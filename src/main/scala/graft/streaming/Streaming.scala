@@ -2487,9 +2487,56 @@ object Streaming {
     val codebook = Sim.pqCodebook(s, d)
     val codes = Sim.pqCodes(s, d)
     val emb = Tables.embeddings(s, d)
-    val outDir = scratchDir("graft_annadc_out")
+    runBatchPlanServing(s, raw, "annadc")(queries =>
+      Sim.pqProbeWith(queries, codebook, codes, emb))
+  }
+
+  // --- A59: streaming IVFADC probe — the last serving-matrix cell ----------
+  // A57 serves the IVF index per-row, A58 serves the flat-PQ index per
+  // arrival batch; A59 serves the IVFADC composition (E11 — the real
+  // 100 TB index: coarse lists pruning the scan, residual PQ shrinking
+  // what's scanned). Like A58, the score decomposition (coarse term +
+  // residual LUT + partial-aggregated ADC fold + two rank windows) is a
+  // batch-scored plan append-mode operators can't express, so each
+  // micro-batch runs the EXACT batch plan (ivfPqProbeWith — knn_ivfpq's
+  // code path) via foreachBatch against artifacts staged once on the
+  // build session. Per-trigger cost ∝ arrivals × probed-list encoded
+  // mass (nProbe/nLists of 16 B/vector codes) — both index dials
+  // (nProbe, PqRerank) apply unchanged at serve time.
+  val annIvfPq = QueryDef.rowsOnly("stream_ann_ivfpq") { (s, d) =>
+    val path = s"$d/embeddings.parquet"
+    runAnnIvfPq(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "embeddings.parquet"))
+        .filter(col("vec_id") < graft.queries.Similarity.NQueries), d)
+  }
+
+  /** The A59 pipeline over an arbitrary streaming (vec_id, embedding)
+    * query frame — seam for the multi-batch spec.
+    */
+  private[graft] def runAnnIvfPq(s: SparkSession, raw: DataFrame,
+      d: String): DataFrame = {
+    val Sim = graft.queries.Similarity
+    val book = Sim.ivfPqBook(s, d)
+    val codes = Sim.ivfPqCodes(s, d)
+    val emb = Tables.embeddings(s, d)
+    runBatchPlanServing(s, raw, "annivfpq")(queries =>
+      Sim.ivfPqProbeWith(queries, book, codes, emb))
+  }
+
+  /** Shared A58/A59 serving harness: run each arrival micro-batch of
+    * (vec_id, embedding) rows through a full BATCH probe plan via
+    * foreachBatch, appending (query_id, rank, neighbor_id, cosine)
+    * rows to a result table — the scoring-service shape, index
+    * immutable for the server's life. The final read-back is the
+    * documented harness drain (production reads the result table or
+    * answers RPCs from the sink).
+    */
+  private def runBatchPlanServing(s: SparkSession, raw: DataFrame,
+      tag: String)(probe: DataFrame => DataFrame): DataFrame = {
+    val outDir = scratchDir(s"graft_${tag}_out")
     try {
-      val ckpt = scratchDir("graft_annadc_ckpt_")
+      val ckpt = scratchDir(s"graft_${tag}_ckpt_")
       val q = raw.writeStream
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append)
@@ -2497,7 +2544,7 @@ object Streaming {
           val queries = batch
             .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
             .localCheckpoint() // consumed twice (LUT + rerank join)
-          Sim.pqProbeWith(queries, codebook, codes, emb)
+          probe(queries)
             .write.mode("append").parquet(s"$outDir/res")
           ()
         }
@@ -2539,5 +2586,5 @@ object Streaming {
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
     keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe,
-    annAdc)
+    annAdc, annIvfPq)
 }

@@ -618,6 +618,43 @@ class SimilaritySpec extends AnyFunSuite {
       s"sweep@12 hits ${rows(12)._1} != knn_ivf's $ivfHits")
   }
 
+  test("knn_rerank_sweep: recall is monotone in rerank depth and the " +
+      "operating point reproduces knn_pq exactly") {
+    val rows = SparkEntry.queries("knn_rerank_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Int]("rerank_depth") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(8, 16, 32, 64, 128, 256),
+      s"sweep depths ${rows.keySet}")
+    val byDepth = rows.toSeq.sortBy(_._1).map(_._2._2)
+    // monotone BY CONSTRUCTION (deeper rerank re-ranks a candidate
+    // superset; a true hit is only ever displaced by another true hit)
+    // — so pin equality-or-growth exactly, no tolerance
+    assert(byDepth.zip(byDepth.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in rerank depth: $byDepth")
+    // the configured operating point runs the literal knn_pq plan
+    val pqHits = exact.map { case (q, n) =>
+      (neighbors("knn_pq").getOrElse(q, Set.empty) & n).size }.sum.toLong
+    assert(rows(128)._1 == pqHits,
+      s"sweep@128 hits ${rows(128)._1} != knn_pq's $pqHits")
+  }
+
+  test("the eval layer shares ONE staged exact anchor: recall report, " +
+      "probe sweep, and rerank sweep add no FrameCache entries after " +
+      "the first run") {
+    SparkEntry.queries("knn_recall_report")(spark, sf).count()
+    SparkEntry.queries("knn_probe_sweep")(spark, sf).count()
+    SparkEntry.queries("knn_rerank_sweep")(spark, sf).count()
+    val frames1 = FrameCache.size(spark)
+    SparkEntry.queries("knn_probe_sweep")(spark, sf).count()
+    SparkEntry.queries("knn_rerank_sweep")(spark, sf).count()
+    SparkEntry.queries("knn_recall_report")(spark, sf).count()
+    // (no persisted-RDD census here: each eval invocation
+    // localCheckpoints its |queries|-sized denominators by design —
+    // the anchor itself is pinned by the stable FrameCache entry set)
+    assert(FrameCache.size(spark) == frames1,
+      "FrameCache entry count grew — an eval query re-staged the anchor")
+  }
+
   test("knn_ivf and knn_ivfpq prune on a planted CLUSTERED corpus: " +
       "recall >= 0.9 at nProbe = 4 of 16 lists") {
     // the positive twin of the standing honest note on the registered

@@ -393,6 +393,30 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(srcDir))
   }
 
+  test("stream_ann_ivfpq: drained feed equals batch knn_ivfpq, and a " +
+      "forced 4-trigger replay is identical") {
+    import org.apache.spark.sql.functions._
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivfpq")(spark, sf).collect())
+    val got = keyed(SparkEntry.queries("stream_ann_ivfpq")(spark, sf).collect())
+    assert(got == batch, "drained IVFADC feed diverges from batch knn_ivfpq")
+    // forced multi-batch: each trigger's arrivals run the batch IVFADC
+    // plan against the same staged artifacts — batch boundaries must
+    // not change any row (stateless per arrival batch)
+    val qdf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < graft.queries.Similarity.NQueries)
+    val srcDir = timeSplitSource(qdf, 4, Seq(col("vec_id")))
+    try {
+      val multi = keyed(graft.streaming.Streaming.runAnnIvfPq(spark,
+        spark.readStream.schema(qdf.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf).collect())
+      assert(multi == batch, "multi-batch IVFADC feed diverges from batch")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir))
+  }
+
   test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
     import spark.implicits._
     // static vocab side: three in-vocab tokens; the stream arrives in
