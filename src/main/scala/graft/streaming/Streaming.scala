@@ -1227,7 +1227,7 @@ object Streaming {
     */
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
-      onBatch: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onBatch: (Long, Long) => Unit = null): DataFrame = {
     val outCols = updates.columns.toSeq
     val outSchema = org.apache.spark.sql.types.StructType(
       updates.schema.filter(f => outCols.contains(f.name)))
@@ -1258,36 +1258,46 @@ object Streaming {
         val sess = batch0.sparkSession
         val statePath = s"$stateDir/state"
         val batch = batch0.localCheckpoint() // changed-keys-sized; 3 reads
-        onBatch(batchId, batch.count())
+        // the count is SPEC observability only — when no hook is
+        // attached (the registered queries), don't pay a whole extra
+        // job per trigger for a number nobody reads
+        if (onBatch != null) onBatch(batchId, batch.count())
         val withBucket = batch
           .withColumn("batch_seq", lit(batchId))
           .withColumn("bucket",
             pmod(xxhash64(keyCols.map(col): _*), lit(UpsertBuckets))
               .cast("int"))
-        // bounded partition-pruning list (≤ UpsertBuckets ints)
-        val touched = withBucket.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
         val statePathH = new org.apache.hadoop.fs.Path(statePath)
         // the path's own filesystem, not the default one
         val fs = statePathH.getFileSystem(
           sess.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(statePathH))
-            sess.read.parquet(statePath)
-              .filter(col("bucket").isin(touched: _*))
-          else sess.createDataFrame(
-            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            withBucket.schema)
-        existing.unionByName(withBucket)
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(keyCols.map(col): _*)
-              .orderBy(col("batch_seq").desc)))
-          .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(statePath)
+        if (!fs.exists(statePathH)) {
+          // first batch (and the whole bootstrap-load case): no state
+          // to merge against, and aggregation output carries each key
+          // at most once per batch — write the bucketed batch directly
+          // instead of paying a full-keyspace merge window against an
+          // empty frame (in the drain-and-stop harness this is ALSO
+          // the single data batch, so the window was pure overhead)
+          withBucket.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(statePath)
+        } else {
+          // bounded partition-pruning list (≤ UpsertBuckets ints)
+          val touched = withBucket.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val existing = sess.read.parquet(statePath)
+            .filter(col("bucket").isin(touched: _*))
+          existing.unionByName(withBucket)
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(keyCols.map(col): _*)
+                .orderBy(col("batch_seq").desc)))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(statePath)
+        }
         ()
       }
       .start()
