@@ -135,6 +135,51 @@ class FrameCacheSpec extends AnyFunSuite {
     assert(p != FrameCache.artifactPathFor(spark, dir, s"spec.version2:$sf"))
   }
 
+  test("index dir: an UNMARKED destination (writer died between rename " +
+      "and _SUCCESS) is treated as abandoned — deleted and rebuilt clean") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
+    val key = "spec.indexdir.crashwindow"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      // simulate the crash window: the artifact directory exists with
+      // data files but NO _SUCCESS (a writer died after rename(tmp,p),
+      // before the marker create). Pre-fix, the next build's rename
+      // onto the existing dir nested tmp INSIDE it ("move into dest"),
+      // then stamped _SUCCESS over a mixed directory — served forever.
+      val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
+      assert(p.mkdirs())
+      java.nio.file.Files.writeString(
+        p.toPath.resolve("part-stale.parquet"), "stale-not-parquet")
+      val (b0, _) = FrameCache.diskStats
+      val df = FrameCache.getOrPersist(s1, key) {
+        s1.range(25).toDF("id").withColumn("v", col("id") * 2)
+      }
+      assert(df.count() === 25, "rebuild over an abandoned publish failed")
+      val (b1, _) = FrameCache.diskStats
+      assert(b1 - b0 === 1, "unmarked destination was not rebuilt")
+      // the published directory is CLEAN: marker present, no stale
+      // file, no nested tmp copy
+      val names = p.listFiles().map(_.getName).toSet
+      assert(names.contains("_SUCCESS"), s"no marker after rebuild: $names")
+      assert(!names.contains("part-stale.parquet"),
+        s"stale pre-crash file survived the republish: $names")
+      assert(!names.exists(_.contains(".tmp-")),
+        s"temp dir nested inside the published artifact: $names")
+      // and a fresh session LOADS the republished artifact
+      val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+      val (b2, _) = FrameCache.diskStats
+      assert(FrameCache.getOrPersist(s2, key) {
+        fail("fresh session rebuilt a marked artifact")
+      }.count() === 25)
+      assert(FrameCache.diskStats._1 === b2)
+      FrameCache.evict(s2)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("index dir: a query family produces identical results with and " +
       "without the persistent artifact store (knn_pq end-to-end)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_pq").toString
