@@ -37,7 +37,7 @@ object Dedup {
     * block cache plays that role. One copy, session lifetime, LRU
     * evictable (MEMORY_AND_DISK).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"dedup.shingled:$d") {
       // ingest-spread before the tokenize+shingle kernel: the cached
       // partitions inherit the full executor width, so EVERY dedup-
@@ -112,10 +112,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Staged exact τ=0.8 pair frame — the dedup family's ground-truth
+    * anchor (round 15), the D-side twin of `sim.exactAnchor`: D2's
+    * result, built once per session (and a persisted artifact with the
+    * index dir set), read by D2 itself and by the D26 banding sweep's
+    * recall scoring.
+    */
+  private[graft] def exactPairs(s: SparkSession, d: String): DataFrame =
+    graft.FrameCache.getOrPersist(s, s"dedup.exactPairs:$d:0.8") {
+      jaccardPairs(s, d, 0.8)
+    }
+
   // --- D2: exact n-gram Jaccard at τ = 0.8 --------------------------------
   val ngramJaccard = QueryDef.oracled(
     "dedup_ngram_jaccard", jaccardPairsSql(0.8)) { (s, d) =>
-    jaccardPairs(s, d, 0.8)
+    exactPairs(s, d)
   }
 
   // --- D16: n-gram CONTAINMENT at τ = 0.9 (round 10) ------------------------
@@ -225,17 +236,26 @@ object Dedup {
   require(NumBands * BandRows == NumHashes,
     s"LSH banding $NumBands x $BandRows must tile the $NumHashes-perm signature")
 
+  /** Bucket-id list over a `sig` MinHash column for an arbitrary
+    * bands × rows banding (must tile the signature) — the geometry
+    * D26 sweeps; the operating banding's expression is derived from
+    * it below.
+    */
+  private[graft] def bandListExprFor(bands: Int, rows: Int): String = {
+    require(bands * rows == NumHashes,
+      s"banding $bands x $rows must tile the $NumHashes-perm signature")
+    val cells = (0 until rows)
+      .map(i => s"cast(sig[$rows*b+$i] AS STRING)").mkString(", ")
+    s"""transform(sequence(0, ${bands - 1}), b -> concat_ws(':',
+       |  cast(b AS STRING), $cells))""".stripMargin
+  }
+
   /** 32-band × 4-row bucket-id list over a `sig` MinHash column —
     * shared by D3 and the streaming ingest twin
     * ([[graft.streaming.Streaming]] A19). Derived from the geometry
     * constants above.
     */
-  private[graft] val bandListExpr: String = {
-    val cells = (0 until BandRows)
-      .map(r => s"cast(sig[$BandRows*b+$r] AS STRING)").mkString(", ")
-    s"""transform(sequence(0, ${NumBands - 1}), b -> concat_ws(':',
-       |  cast(b AS STRING), $cells))""".stripMargin
-  }
+  private[graft] val bandListExpr: String = bandListExprFor(NumBands, BandRows)
 
   /** Exact-Jaccard ≥ τ verification of candidate (doc_a, doc_b) pairs
     * against the full shingle sets — the post-LSH verify stage, shared
@@ -375,6 +395,60 @@ object Dedup {
     graft.queries.Analytics.keySkewRows(
       shingled(s, d).select(explode(col("shingles")).as("shingle"))
         .groupBy(col("shingle")).agg(count(lit(1)).as("cnt")))
+  }
+
+  // --- D26: LSH banding sweep — the dedup index's tuning curve (round 15) ---
+  // Completes the dial-sweep trilogy (E24 sweeps nProbe, E25 sweeps
+  // rerank depth): the bands × rows geometry is THE MinHash-LSH cost/
+  // recall dial, and this sweeps it as one table — per banding, the
+  // candidate-pair mass the band join would generate (the verify-stage
+  // cost an operator pays) next to how many true τ=0.8 pairs the
+  // banding catches (recall vs the staged exact-pair anchor) and the
+  // textbook catch probability 1−(1−τ^r)^b. What an operator reads,
+  // WITH D25's df profile, before committing a banding to a 100 TB
+  // dedup run.
+  //
+  // The swept bandings are NESTED (rows halving, all tiling the
+  // 128-perm signature): a pair agreeing on a 2r-row band agrees on
+  // both its r-row halves, so candidates(b×2r) ⊆ candidates(2b×r) —
+  // candidate mass AND caught-pair counts are monotone in the banding
+  // BY CONSTRUCTION, which the spec pins exactly (the E25 argument,
+  // geometry edition). The operating banding is always a sweep point
+  // (derived, the E24 endpoint lesson).
+  //
+  // Scale: signatures compute once off the staged shingle frame
+  // (localCheckpointed — |docs| × 128×8 B); per banding ONE bucket
+  // self-join (the D3 candidate cost at that geometry — the sweep
+  // prices exactly what it measures); the truth side is the staged
+  // exact-pair anchor; per-banding aggregates union into a |bandings|-
+  // row report. rows+spec (signatures need the native kernel — no
+  // DuckDB replica).
+  private[graft] val SweepBandings: Seq[(Int, Int)] =
+    (Seq((8, 16), (16, 8), (64, 2)) :+ (NumBands, BandRows))
+      .distinct.sortBy(-_._2)
+  val bandingSweep = QueryDef.rowsOnly("dedup_banding_sweep") { (s, d) =>
+    val sigs = shingled(s, d).filter(col("n") > 0)
+      .withColumn("sig", F.minhash_sigs(col("shingles")))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint() // |docs| rows × 1 KB; one read per banding
+    val truth = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val denom = truth.agg(count(lit(1)).as("n_true")).localCheckpoint()
+    SweepBandings.map { case (b, r) =>
+      val bands = sigs.select(col("doc_id"),
+        explode(expr(bandListExprFor(b, r))).as("bucket"))
+      val cand = bandCandidates(bands).localCheckpoint() // 2 aggregates
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val caught = truth.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_caught"))
+      denom.crossJoin(nCand).crossJoin(caught)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_caught"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(col("n_caught").cast("double") / col("n_true"))
+            .as("recall"),
+          lit(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
+            .as("p_catch_at_tau"))
+    }.reduce(_ unionAll _).orderBy(col("rows_per_band").desc)
   }
 
   // --- D2b: the warehouse-scale exact-Jaccard path ------------------------
@@ -1140,6 +1214,7 @@ object Dedup {
     semanticClusterLabels(s, d).queryExecution.toRdd.count()
     winnowIdx(s, d).queryExecution.toRdd.count()
     winnowRarePairs(s, d).queryExecution.toRdd.count()
+    exactPairs(s, d).queryExecution.toRdd.count()
   }
 
   // --- D12: semantic decontamination --------------------------------------
@@ -1786,5 +1861,5 @@ object Dedup {
     sourceOverlap, sourceDivergence, semanticDecontaminate, curation,
     semanticKeepers, clusterStats, containment, containmentCapped, winnowPairs,
     winnowClusters, dupSources, incremental, thresholdSweep, editDistance,
-    minhashQuality, dfProfile)
+    minhashQuality, dfProfile, bandingSweep)
 }

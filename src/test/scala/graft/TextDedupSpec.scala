@@ -1252,6 +1252,52 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_banding_sweep: nested bandings give monotone candidate/" +
+      "caught counts, the operating banding recalls every true pair, " +
+      "and the nesting claim holds on real candidate sets") {
+    val rows = SparkEntry.queries("dedup_banding_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")) ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"),
+          r.getAs[Long]("n_caught"), r.getAs[Double]("recall"),
+          r.getAs[Double]("p_catch_at_tau")))).toMap
+    assert(rows.keySet == Set((8, 16), (16, 8), (32, 4), (64, 2)),
+      s"sweep bandings ${rows.keySet}")
+    // truth side is D2's exact pair set
+    val nTrue = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(rows.values.forall(_._2 == nTrue), "n_true diverges from D2")
+    // nesting ⇒ exact monotonicity as rows-per-band halves
+    val ordered = Seq((8, 16), (16, 8), (32, 4), (64, 2)).map(rows)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) =>
+      a._1 <= b._1 && a._3 <= b._3 },
+      s"candidate/caught counts not monotone across nested bandings: $ordered")
+    // textbook catch probability strictly sharpens as bands widen
+    val pc = ordered.map(_._5)
+    assert(pc.zip(pc.tail).forall { case (a, b) => a < b || (a == 1.0 && b == 1.0) },
+      s"p_catch_at_tau not monotone: $pc")
+    // the operating banding stands on D3's oracle argument (miss ≈ 5e-8
+    // at τ = 0.8): it must recall every exact pair here, and 64×2
+    // inherits that by nesting
+    assert(rows((32, 4))._4 == 1.0 && rows((64, 2))._4 == 1.0,
+      s"operating banding missed true pairs: ${rows((32, 4))}")
+    // the nesting CLAIM itself, on real data (not just counts): every
+    // (32×4) candidate pair is also a (64×2) candidate pair
+    import org.apache.spark.sql.functions._
+    val sigs = queries.Dedup.shingled(spark, sf).filter(col("n") > 0)
+      .withColumn("sig",
+        graft.functions.expressions.minhash_sigs(col("shingles")))
+      .select(col("doc_id"), col("sig")).localCheckpoint()
+    def candSet(b: Int, r: Int) = queries.Dedup.bandCandidates(
+        sigs.select(col("doc_id"),
+          explode(expr(queries.Dedup.bandListExprFor(b, r))).as("bucket")))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val c32 = candSet(32, 4)
+    val c64 = candSet(64, 2)
+    assert(c32.subsetOf(c64),
+      s"banding nesting violated: ${(c32 -- c64).take(5)} in 32x4 only")
+    assert(c32.size == rows((32, 4))._1 && c64.size == rows((64, 2))._1,
+      "report candidate counts diverge from the recomputed sets")
+  }
+
   test("D17/D19 share ONE staged admitted-pair frame: a fresh session " +
       "running dedup_winnow_clusters loads the artifact, zero rebuilds") {
     // the round-14 §What's-wrong #2: the rare-fingerprint INDEX was
