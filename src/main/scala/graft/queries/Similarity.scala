@@ -1245,6 +1245,23 @@ object Similarity {
     */
   private[graft] def pqProbeWith(queries: DataFrame, codebook: DataFrame,
       codes: DataFrame, emb: DataFrame, rerank: Int = PqRerank): DataFrame = {
+    val cand = pqAdcRanked(queries, codebook, codes)
+      .filter(col("crk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    topK(cand
+      .join(queries, Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
+  }
+
+  /** The ADC candidate RANKING (query_id, vec_id, crk) shared by every
+    * rerank depth: LUT join + map-side-combined fold + one rank window.
+    * Factored out (round 15) so E25's sweep computes it ONCE and each
+    * depth is a filter over `crk` — the candidate sets per depth are
+    * nested by construction, the same sharing the banding sweep gets
+    * from nested bandings.
+    */
+  private def pqAdcRanked(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame): DataFrame = {
     // ADC lookup table: |queries| × 16 subspaces × 16 centroids
     val lut = broadcast(queries
       .select(col("query_id"), explode(expr(
@@ -1255,18 +1272,13 @@ object Similarity {
       .join(codebook, Seq("m"))
       .select(col("query_id"), col("m"), col("cid"),
         F.dot_product(col("qsv"), col("ce")).as("part")))
-    val cand = codes.join(lut, Seq("m", "cid"))
+    codes.join(lut, Seq("m", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("part")).as("adc"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("crk") <= rerank)
-      .select(col("query_id"), col("vec_id"))
-    topK(cand
-      .join(queries, Seq("query_id"))
-      .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id")))
   }
 
   val pq = QueryDef.rowsOnly("knn_pq") { (s, d) =>
@@ -1940,14 +1952,45 @@ object Similarity {
   private val SweepProbes =
     (Seq(1, 2, 4, 8) :+ NProbe :+ NCentroids).distinct.sorted.filter(_ <= NCentroids)
   val probeSweep = QueryDef.rowsOnly("knn_probe_sweep") { (s, d) =>
+    import s.implicits._
     val exact = broadcast(exactAnchor(s, d))
     val denom = exact
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
       .localCheckpoint()
+    // Score the probe fan-out ONCE at the full-probe endpoint, keeping
+    // each candidate's list rank (lrk = how deep a probe must go to
+    // reach its list): nProbe = p's candidate set is exactly the
+    // lrk ≤ p prefix — the nested structure every sweep point shares
+    // (round 15; previously each point re-ran the probe join + scan).
+    // The endpoint scores |queries| × corpus slim rows — inherent in a
+    // sweep that pins the exact full-probe point — eagerly cut so the
+    // per-point top-Ks read the materialization.
+    val refined = trainedCentroids(s, d)
+    val centroids = broadcast(refined.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cid", "ce"))
+    val probes = queriesDf(s, d).crossJoin(centroids)
+      .withColumn("csim", F.cosine_sim(col("qe"), col("ce")))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .select(col("query_id"), col("qe"), col("cid"), col("lrk"))
+    val scored = broadcast(probes).join(ivfLists(s, d), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")))
+      .select(col("query_id"), col("lrk"), col("vec_id"), col("cosine"))
+      .localCheckpoint()
     SweepProbes.map { p =>
-      val hits = ivfFrame(s, d, p)
-        .select(col("query_id"), col("neighbor_id"))
+      // identical semantics to ivfFrame(s, d, p): top-K over the
+      // candidates of the p nearest lists, same NaN filter (above) and
+      // the same (cosine desc, vec_id) total order
+      val hits = scored.filter(col("lrk") <= p)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"))
       denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(lit(p).as("n_probe"), lit(NCentroids).as("n_lists"),
@@ -1982,11 +2025,20 @@ object Similarity {
         count(lit(1)).as("n_exact"))
       .localCheckpoint()
     val qs = queriesDf(s, d)
-    val codebook = pqCodebook(s, d)
-    val codes = pqCodes(s, d)
     val emb = Tables.embeddings(s, d)
+    // ONE ADC ranking for the whole sweep (the candidate sets per depth
+    // are nested prefixes of it); each point pays only its rerank fetch
+    // + top-K + hit join. |queries| × maxDepth slim rows, eagerly cut.
+    val ranked = pqAdcRanked(qs, pqCodebook(s, d), pqCodes(s, d))
+      .filter(col("crk") <= SweepReranks.max)
+      .select(col("query_id"), col("vec_id"), col("crk"))
+      .localCheckpoint()
     SweepReranks.map { r =>
-      val hits = pqProbeWith(qs, codebook, codes, emb, r)
+      val hits = topK(ranked.filter(col("crk") <= r)
+          .select(col("query_id"), col("vec_id"))
+          .join(qs, Seq("query_id"))
+          .join(emb.select(col("vec_id"), col("embedding").as("ea")),
+            Seq("vec_id")))
         .select(col("query_id"), col("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"))
       denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
