@@ -430,17 +430,40 @@ object Dedup {
     val sigs = shingled(s, d).filter(col("n") > 0)
       .withColumn("sig", F.minhash_sigs(col("shingles")))
       .select(col("doc_id"), col("sig"))
-      .localCheckpoint() // |docs| rows × 1 KB; one read per banding
+      .localCheckpoint() // |docs| rows × 1 KB
     val truth = exactPairs(s, d).select(col("doc_a"), col("doc_b"))
     val denom = truth.agg(count(lit(1)).as("n_true")).localCheckpoint()
+    // ONE bucket self-join, at the WIDEST banding — by nesting, every
+    // sweep point's candidate set is a subset of it — then each
+    // geometry's candidacy is a map-side agreement predicate over the
+    // joined signature pair (a banding admits a pair iff some aligned
+    // r-row run of the signatures agrees end-to-end). Four self-joins
+    // become one (round 15); the spec independently recomputes two
+    // geometries through the per-banding join path and pins equal
+    // counts, so the two plans check each other.
+    val widest = SweepBandings.minBy(_._2)
+    val base = bandCandidates(sigs.select(col("doc_id"),
+      explode(expr(bandListExprFor(widest._1, widest._2))).as("bucket")))
+    val withSigs = base
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+        Seq("doc_b"))
+      .join(truth.withColumn("is_true", lit(true)), Seq("doc_a", "doc_b"),
+        "left")
+      .select(col("siga"), col("sigb"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+      .localCheckpoint() // candidate-bounded; one pass per geometry
     SweepBandings.map { case (b, r) =>
-      val bands = sigs.select(col("doc_id"),
-        explode(expr(bandListExprFor(b, r))).as("bucket"))
-      val cand = bandCandidates(bands).localCheckpoint() // 2 aggregates
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val caught = truth.join(cand, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_caught"))
-      denom.crossJoin(nCand).crossJoin(caught)
+      val isCand = expr(
+        s"""exists(sequence(0, ${b - 1}), i ->
+           |  size(filter(sequence(0, ${r - 1}),
+           |    j -> siga[i*$r+j] = sigb[i*$r+j])) = $r)""".stripMargin)
+      val agg = withSigs.filter(isCand)
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
+            .as("n_caught"))
+      denom.crossJoin(agg)
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_candidates"), col("n_true"), col("n_caught"),
           when(col("n_true") === 0, lit(null).cast("double"))
