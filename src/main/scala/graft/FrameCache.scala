@@ -56,6 +56,32 @@ private[graft] object FrameCache {
     */
   private[graft] val ArtifactFormatVersion = 2
 
+  /** How long a reader/loser waits for a concurrent publisher's
+    * _SUCCESS before declaring the publish torn or abandoned. One
+    * window serves both waits that need it: the rename-loser's wait
+    * for the winner's marker, and the unmarked-destination grace poll
+    * (an existing-but-unmarked artifact may belong to a LIVE writer
+    * that renamed but hasn't created the marker yet — deleting it on
+    * sight would race the winner and can end with the loser's tmp
+    * nested inside a re-created, marker-blessed directory). Specs
+    * lower it to keep the simulated-crash path fast.
+    */
+  private[graft] val PublishGraceConf = "spark.graft.index.publishGraceMs"
+  private val DefaultPublishGraceMs = 120000L
+
+  private def publishGraceMs(s: SparkSession): Long =
+    s.conf.get(PublishGraceConf, DefaultPublishGraceMs.toString).toLong
+
+  /** Poll for `marker` until it appears or `graceMs` elapses; returns
+    * whether it exists on exit. */
+  private def awaitMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, graceMs: Long): Boolean = {
+    val deadline = System.nanoTime() + graceMs * 1000000L
+    while (!fs.exists(marker) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    fs.exists(marker)
+  }
+
   // spec/bench observability: how many builds ran vs artifacts loaded
   private val diskBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   private val diskLoads = new java.util.concurrent.atomic.AtomicLong(0)
@@ -153,18 +179,30 @@ private[graft] object FrameCache {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
         val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        if (fs.exists(marker))
+        // An existing-but-unmarked p is EITHER a crash between
+        // rename(tmp,p) and the marker create (abandoned — safe to
+        // delete) OR a live cross-JVM writer inside that same window
+        // (deleting would destroy the winner's complete data, and its
+        // subsequent fs.create(marker) re-creates p so OUR later
+        // rename nests tmp INSIDE a marker-blessed directory — a
+        // permanently corrupt artifact). The two are indistinguishable
+        // at a glance, so give a live writer the publish-grace window
+        // to finish: only a p that stays unmarked for the full grace
+        // is treated as abandoned.
+        val marked = fs.exists(marker) ||
+          (fs.exists(p) && awaitMarker(fs, marker, publishGraceMs(s)))
+        if (marked)
           diskLoads.incrementAndGet()
         else {
           diskBuilds.incrementAndGet()
-          // CRASH WINDOW: a prior writer may have died between its
-          // rename(tmp,p) and its _SUCCESS create, leaving p complete
-          // but UNMARKED. Renaming onto an existing directory is "move
-          // INTO dest" on HDFS/local — tmp would nest inside p and the
-          // post-rename marker would then bless a directory holding the
-          // stale top level plus a duplicate nested copy, forever. So:
-          // an unmarked p is by definition an abandoned publish (the
-          // marker is the ONLY commit point) — delete it before building.
+          // CRASH WINDOW: a prior writer died between its rename(tmp,p)
+          // and its _SUCCESS create, leaving p complete but UNMARKED
+          // past the grace window above. Renaming onto an existing
+          // directory is "move INTO dest" on HDFS/local — tmp would
+          // nest inside p and the post-rename marker would then bless a
+          // directory holding the stale top level plus a duplicate
+          // nested copy, forever. The marker is the ONLY commit point —
+          // delete the abandoned publish before building.
           if (fs.exists(p)) fs.delete(p, true)
           val tmp = new org.apache.hadoop.fs.Path(
             path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -182,14 +220,12 @@ private[graft] object FrameCache {
             // per-file copy that may still be running when our rename
             // fails; loading immediately would read a torn directory.
             fs.delete(tmp, true)
-            val deadline = System.nanoTime() + 120L * 1000000000L
-            while (!fs.exists(marker) && System.nanoTime() < deadline)
-              Thread.sleep(200)
-            if (!fs.exists(marker))
+            if (!awaitMarker(fs, marker, publishGraceMs(s)))
               throw new IllegalStateException(
                 s"FrameCache: lost publish race for $path but winner's " +
-                "_SUCCESS never appeared within 120s — torn or abandoned " +
-                "concurrent publish; refusing to read an ungated artifact")
+                s"_SUCCESS never appeared within ${publishGraceMs(s)}ms — " +
+                "torn or abandoned concurrent publish; refusing to read " +
+                "an ungated artifact")
           }
         }
       }

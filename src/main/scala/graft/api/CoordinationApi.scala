@@ -187,10 +187,16 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     * readable twin of the distributed A16 query (spec-checked equal).
     */
   def fetchCas(namespace: String, key: Long): Option[Double] = {
+    // sort cluster-side and stream partition-at-a-time: the fold needs
+    // the key's events in log order, not resident at once — a
+    // pathological single key's history stays off the driver heap
+    // (range-partitioned sort ⇒ toLocalIterator preserves the order)
+    import scala.jdk.CollectionConverters._
     val rows = events
       .filter(col("event_type") === namespace && col("user_id") === key)
       .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
-      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+      .orderBy(col("us"), col("event_id"))
+      .toLocalIterator().asScala
     var present = false
     var value = 0.0
     rows.foreach { r =>

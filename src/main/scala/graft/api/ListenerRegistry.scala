@@ -58,6 +58,21 @@ trait StorageMutationListener {
 final class ListenerRegistry(api: CoordinationApi) {
 
   private val lock = new Object
+
+  /** Stream a sorted frame's rows to the driver one PARTITION at a
+    * time instead of collecting the whole feed: after a global sort
+    * the partitions are range-ordered, so iterating them in order
+    * preserves feed order while driver memory is bounded by the
+    * largest partition, not the watched key's full history — a
+    * pathological single-key feed can no longer OOM the driver
+    * (replay cost stays ∝ the feed's rows, as documented, but no
+    * longer resident all at once).
+    */
+  private def feedRows(
+      sorted: org.apache.spark.sql.DataFrame): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    sorted.toLocalIterator().asScala
+  }
   private val valueListeners =
     mutable.HashMap.empty[(String, Long), mutable.ListBuffer[ValueChangeListener]]
   private val keySetListeners =
@@ -193,18 +208,19 @@ final class ListenerRegistry(api: CoordinationApi) {
     val watched = lock.synchronized(
       valueWatchers.collect { case (ns, k) if ns == namespace => k }.toSet)
     if (watched.isEmpty) return 0L
-    val rows = api.valueChanges(namespace)
-      .filter(col("key").isin(watched.toSeq: _*))
-      .orderBy(col("ts"), col("event_id")).collect()
-    rows.foreach { r =>
+    var delivered = 0L
+    feedRows(api.valueChanges(namespace)
+        .filter(col("key").isin(watched.toSeq: _*))
+        .orderBy(col("ts"), col("event_id"))).foreach { r =>
       val key = r.getAs[Long]("key")
       val v = if (r.isNullAt(r.fieldIndex("value"))) None
               else Some(r.getAs[Double]("value"))
       val ls = lock.synchronized(
         valueListeners.get((namespace, key)).map(_.toList).getOrElse(Nil))
       ls.foreach(_.valueChanged(v))
+      delivered += 1
     }
-    rows.length.toLong
+    delivered
   }
 
   /** Play the namespace's per-tick key sets through the attached
@@ -215,13 +231,16 @@ final class ListenerRegistry(api: CoordinationApi) {
     */
   def replayKeySetChanges(namespace: String): Long = {
     if (!hasKeySetWatcher(namespace)) return 0L
-    val ticks = api.keySetsByTick(namespace).collect()
-      .groupBy(_.getAs[java.sql.Timestamp]("tick"))
-      .view.mapValues(_.map(_.getAs[String]("k")).toSet)
-      .toSeq.sortBy(_._1.getTime)
+    // the per-tick set assembles CLUSTER-side (one tick's key set is
+    // the unit a listener consumes anyway); the driver streams one
+    // tick row at a time instead of holding the whole feed
+    val ticks = feedRows(api.keySetsByTick(namespace)
+      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks"))
+      .orderBy(col("tick")))
     var watchable = Option.empty[Set[String]]
     var fired = 0L
-    ticks.foreach { case (_, ks) =>
+    ticks.foreach { r =>
+      val ks = r.getAs[scala.collection.Seq[String]]("ks").toSet
       if (!watchable.contains(ks)) {
         watchable = Some(ks)
         val ls = lock.synchronized(
@@ -240,14 +259,15 @@ final class ListenerRegistry(api: CoordinationApi) {
     */
   def replayLeaderChanges(resource: String): Long = {
     if (!hasLeaderWatcher(resource)) return 0L
-    val rows = api.leaderChanges(resource)
-      .orderBy(col("ts"), col("event_id")).collect()
-    rows.foreach { r =>
+    var fired = 0L
+    feedRows(api.leaderChanges(resource)
+        .orderBy(col("ts"), col("event_id"))).foreach { r =>
       val ls = lock.synchronized(
         leaderListeners.get(resource).map(_.toList).getOrElse(Nil))
       ls.foreach(_.onLeaderChange(Some(r.getAs[Long]("new_leader"))))
+      fired += 1
     }
-    rows.length.toLong
+    fired
   }
 
   /** Play the namespace's applied-mutation feed (A24 semantics) through
@@ -258,18 +278,19 @@ final class ListenerRegistry(api: CoordinationApi) {
     val watched = lock.synchronized(
       mutationWatchers.collect { case (ns, k) if ns == namespace => k }.toSet)
     if (watched.isEmpty) return 0L
-    val rows = api.storageMutations(namespace)
-      .filter(col("key").isin(watched.toSeq: _*))
-      .orderBy(col("ts"), col("event_id")).collect()
-    rows.foreach { r =>
+    var delivered = 0L
+    feedRows(api.storageMutations(namespace)
+        .filter(col("key").isin(watched.toSeq: _*))
+        .orderBy(col("ts"), col("event_id"))).foreach { r =>
       val key = r.getAs[Long]("key")
       val v = if (r.isNullAt(r.fieldIndex("new_value"))) None
               else Some(r.getAs[Double]("new_value"))
       val ls = lock.synchronized(
         mutationListeners.get((namespace, key)).map(_.toList).getOrElse(Nil))
       ls.foreach(_.onMutation(r.getAs[String]("op"), v))
+      delivered += 1
     }
-    rows.length.toLong
+    delivered
   }
 
   /** Play the group's per-tick membership through the attached
@@ -280,13 +301,15 @@ final class ListenerRegistry(api: CoordinationApi) {
     */
   def replayGroupChanges(group: String): Long = {
     if (!hasGroupWatcher(group)) return 0L
-    val ticks = api.keySetsByTick(group).collect()
-      .groupBy(_.getAs[java.sql.Timestamp]("tick"))
-      .view.mapValues(_.map(_.getAs[String]("k").toLong).toSet)
-      .toSeq.sortBy(_._1.getTime)
+    // same cluster-side per-tick assembly as replayKeySetChanges
+    val ticks = feedRows(api.keySetsByTick(group)
+      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks"))
+      .orderBy(col("tick")))
     var cached = Option.empty[Set[Long]]
     var fired = 0L
-    ticks.foreach { case (_, members) =>
+    ticks.foreach { r =>
+      val members = r.getAs[scala.collection.Seq[String]]("ks")
+        .map(_.toLong).toSet
       if (!cached.contains(members)) {
         cached = Some(members)
         val ls = lock.synchronized(
@@ -312,10 +335,10 @@ final class ListenerRegistry(api: CoordinationApi) {
     // on event_id, so the fold's observed member sets are deterministic
     // even when a join and a leave share a timestamp. (An expire's
     // event_id is its source record's — still a total, stable order.)
-    val rows = api.groupChanges(group)
-      .orderBy(col("ts_us"), col("event_id")).collect()
     var members = Set.empty[Long]
-    rows.foreach { r =>
+    var fired = 0L
+    feedRows(api.groupChanges(group)
+        .orderBy(col("ts_us"), col("event_id"))).foreach { r =>
       val m = r.getAs[Long]("member")
       members = r.getAs[String]("event") match {
         case "join" => members + m
@@ -324,7 +347,8 @@ final class ListenerRegistry(api: CoordinationApi) {
       val ls = lock.synchronized(
         groupListeners.get(group).map(_.toList).getOrElse(Nil))
       ls.foreach(_.onGroupChange(members))
+      fired += 1
     }
-    rows.length.toLong
+    fired
   }
 }

@@ -423,8 +423,16 @@ object Dedup {
   // exact-pair anchor; per-banding aggregates union into a |bandings|-
   // row report. rows+spec (signatures need the native kernel — no
   // DuckDB replica).
+  // Derived from the kernel geometry, not hardcoded 128-perm literals
+  // (the E24/E25 endpoint lesson, geometry edition): successive
+  // halvings of the operating BandRows — 4r, 2r, r, r/2 — filtered to
+  // valid tilings, so retuning HashImpl.NumPerms moves the whole sweep
+  // with it instead of failing bandListExprFor's tiling require at
+  // query time. The operating banding is the `r` point by construction.
   private[graft] val SweepBandings: Seq[(Int, Int)] =
-    (Seq((8, 16), (16, 8), (64, 2)) :+ (NumBands, BandRows))
+    Seq(4 * BandRows, 2 * BandRows, BandRows, BandRows / 2)
+      .filter(r => r >= 1 && NumHashes % r == 0)
+      .map(r => (NumHashes / r, r))
       .distinct.sortBy(-_._2)
   val bandingSweep = QueryDef.rowsOnly("dedup_banding_sweep") { (s, d) =>
     val sigs = shingled(s, d).filter(col("n") > 0)

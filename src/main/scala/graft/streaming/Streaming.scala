@@ -1273,12 +1273,21 @@ object Streaming {
           sess.sparkContext.hadoopConfiguration)
         if (!fs.exists(statePathH)) {
           // first batch (and the whole bootstrap-load case): no state
-          // to merge against, and aggregation output carries each key
-          // at most once per batch — write the bucketed batch directly
+          // to merge against — write the bucketed batch directly
           // instead of paying a full-keyspace merge window against an
           // empty frame (in the drain-and-stop harness this is ALSO
-          // the single data batch, so the window was pure overhead)
-          withBucket.write.mode("overwrite")
+          // the single data batch, so the window was pure overhead).
+          // The current callers are UPDATE-mode aggregations, whose
+          // output carries each key at most once per batch, but this
+          // is a generic private[graft] seam: ENFORCE that invariant
+          // rather than assume it, or a future non-aggregated caller
+          // would silently persist duplicate keys from batch 0 into
+          // buckets that may never be re-merged. dropDuplicates picks
+          // an arbitrary winner among same-batch duplicates — the same
+          // tie the merge path's batch_seq ordering leaves arbitrary —
+          // and costs one changed-keys-sized exchange on batch 0 only.
+          withBucket.dropDuplicates(keyCols)
+            .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(statePath)
         } else {
@@ -2427,6 +2436,11 @@ object Streaming {
     */
   private[graft] def annTopK(it: Iterator[AnnListCand],
       k: Int): Iterator[AnnListCand] = {
+    // degenerate k: a top-0 selection is empty. Without this guard the
+    // first-candidate check below evaluates buf(-1) (n = 0, k = 0).
+    // Drain the iterator so a state-function caller still consumes its
+    // group (FMGWS contract: the iterator must be exhausted).
+    if (k <= 0) { while (it.hasNext) it.next(); return Iterator.empty }
     // rank order: cosine desc, then vec_id asc; negative = a before b
     def cmp(a: AnnListCand, b: AnnListCand): Int = {
       val c = java.lang.Double.compare(b.cosine, a.cosine)

@@ -141,6 +141,8 @@ class FrameCacheSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_crash").toString
     val key = "spec.indexdir.crashwindow"
     val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    // genuinely-abandoned publish: don't wait the production grace
+    s1.conf.set(FrameCache.PublishGraceConf, "200")
     try {
       // simulate the crash window: the artifact directory exists with
       // data files but NO _SUCCESS (a writer died after rename(tmp,p),
@@ -174,6 +176,50 @@ class FrameCacheSpec extends AnyFunSuite {
       }.count() === 25)
       assert(FrameCache.diskStats._1 === b2)
       FrameCache.evict(s2)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index dir: an unmarked destination whose writer is still ALIVE " +
+      "(marker lands during the grace poll) is loaded, never deleted") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_live").toString
+    val key = "spec.indexdir.livewriter"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    s1.conf.set(FrameCache.PublishGraceConf, "5000")
+    try {
+      // simulate the live-race window: another JVM's writer has
+      // completed rename(tmp,p) — data files all present — but has not
+      // yet created _SUCCESS. Pre-grace-poll, this session would
+      // delete p on sight (destroying the winner's publish) and
+      // rebuild; the winner's pending fs.create(marker) would then
+      // re-create p and bless whatever landed next. With the grace
+      // poll, this session waits, sees the marker arrive, and LOADS.
+      val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
+      s1.range(33).toDF("id").withColumn("v", col("id") * 3)
+        .write.parquet(p.toString)
+      val marker = p.toPath.resolve("_SUCCESS")
+      java.nio.file.Files.delete(marker) // rename done, marker pending
+      val sentinel = p.toPath.resolve("_winner-sentinel")
+      java.nio.file.Files.writeString(sentinel, "")
+      val lateWriter = new Thread(() => {
+        Thread.sleep(400)
+        java.nio.file.Files.createFile(marker)
+      })
+      lateWriter.start()
+      val (b0, l0) = FrameCache.diskStats
+      val df = FrameCache.getOrPersist(s1, key) {
+        fail("grace poll deleted a live writer's publish and rebuilt")
+      }
+      lateWriter.join()
+      assert(df.count() === 33, "loaded frame lost the winner's rows")
+      val (b1, l1) = FrameCache.diskStats
+      assert(b1 - b0 === 0 && l1 - l0 === 1,
+        s"expected pure load: builds ${b1 - b0}, loads ${l1 - l0}")
+      assert(java.nio.file.Files.exists(sentinel),
+        "winner's data file was deleted during the grace window")
     } finally {
       FrameCache.evict(s1)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

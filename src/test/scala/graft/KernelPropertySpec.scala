@@ -383,5 +383,14 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == expect,
         s"k=$k in=${cands.size}: bounded buffer diverged from sort")
     }
+    // degenerate k: top-0 (and negative k) is empty and still drains
+    // the group iterator (the FMGWS exhaustion contract) instead of
+    // evaluating buf(-1) on the first candidate
+    val some = List(AnnListCand(7L, 3L, 1L, 0.5), AnnListCand(7L, 3L, 2L, 0.9))
+    for (k <- Seq(0, -1)) {
+      val it = some.iterator
+      assert(Streaming.annTopK(it, k).toList.isEmpty, s"top-$k not empty")
+      assert(!it.hasNext, s"top-$k left the group iterator undrained")
+    }
   }
 }

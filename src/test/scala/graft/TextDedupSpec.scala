@@ -1279,8 +1279,14 @@ class TextDedupSpec extends AnyFunSuite {
     // inherits that by nesting
     assert(rows((32, 4))._4 == 1.0 && rows((64, 2))._4 == 1.0,
       s"operating banding missed true pairs: ${rows((32, 4))}")
-    // the nesting CLAIM itself, on real data (not just counts): every
-    // (32×4) candidate pair is also a (64×2) candidate pair
+    // the nesting CLAIM itself, on real data (not just counts): EVERY
+    // sweep geometry's candidate set is recomputed through the
+    // independent per-banding bucket-join path (the plan the shared-
+    // widest-join rewrite replaced) — each must match the report's
+    // count exactly, and each narrower banding's set must nest inside
+    // the next wider one. Backfilled to all four geometries (r15
+    // checked two; the (8,16)/(16,8) points rode on the nesting
+    // argument alone).
     import org.apache.spark.sql.functions._
     val sigs = queries.Dedup.shingled(spark, sf).filter(col("n") > 0)
       .withColumn("sig",
@@ -1290,12 +1296,19 @@ class TextDedupSpec extends AnyFunSuite {
         sigs.select(col("doc_id"),
           explode(expr(queries.Dedup.bandListExprFor(b, r))).as("bucket")))
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    val c32 = candSet(32, 4)
-    val c64 = candSet(64, 2)
-    assert(c32.subsetOf(c64),
-      s"banding nesting violated: ${(c32 -- c64).take(5)} in 32x4 only")
-    assert(c32.size == rows((32, 4))._1 && c64.size == rows((64, 2))._1,
-      "report candidate counts diverge from the recomputed sets")
+    val sets = queries.Dedup.SweepBandings.map { case (b, r) =>
+      (b, r) -> candSet(b, r)
+    }
+    sets.foreach { case ((b, r), cs) =>
+      assert(cs.size == rows((b, r))._1,
+        s"report candidate count diverges from the recomputed ${b}x$r " +
+          s"join: ${cs.size} vs ${rows((b, r))._1}")
+    }
+    sets.zip(sets.tail).foreach { case (((ab, ar), a), ((bb, br), b)) =>
+      assert(a.subsetOf(b),
+        s"banding nesting violated: ${(a -- b).take(5)} in ${ab}x$ar " +
+          s"but not ${bb}x$br")
+    }
   }
 
   test("D17/D19 share ONE staged admitted-pair frame: a fresh session " +
