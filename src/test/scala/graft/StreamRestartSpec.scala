@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint kill-and-restart recovery — the one streaming contract a
+  * real user hits on day two. Every stream here runs with
+  * `checkpointLocation` and argues restart safety ("mergeable ⇒
+  * restart-safe", "newest batch_seq wins"); these specs EXECUTE that
+  * argument across a process-level restart boundary, one per state
+  * class:
+  *
+  *   - FMGWS keyed fold      (A25 presence state)
+  *   - sketch aggregate      (A33 Misra–Gries complete-mode state)
+  *   - keyed MERGE sink      (A52-shape counts through runKeyedUpsert)
+  *
+  * Harness: a session with [[graft.streaming.Streaming.RestartRootConf]]
+  * set drives every streaming query from a FIXED checkpoint root. Each
+  * spec drains the files available now, stops, adds more source files,
+  * and invokes the SAME operator again — the second invocation rebuilds
+  * the plan from code (what a restarted JVM does) and must resume from
+  * the checkpoint: committed batches are not re-read (no duplicate
+  * output) and the state store / keyed table restores (output that
+  * depends on pre-restart state is correct). The asserted equality is
+  * the same one the multi-batch specs pin, now across the restart.
+  */
+class StreamRestartSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Write each chunk as hold/batch_i.parquet (mtime-ordered); expose
+    * none yet. Returns (srcDir, holdDir).
+    */
+  private def stagedChunks(
+      chunks: Seq[org.apache.spark.sql.DataFrame]): (String, String) = {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_src").toString
+    val holdDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_hold").toString
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$holdDir/f$i")
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$holdDir/f$i"))
+        .filter(_.toString.endsWith(".parquet")).forEach { f =>
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(s"$holdDir/batch_$i.parquet"))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$holdDir/f$i"))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$holdDir/batch_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          1600000000000L + i * 1000L))
+    }
+    (srcDir, holdDir)
+  }
+
+  private def expose(srcDir: String, holdDir: String, i: Int): Unit =
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$holdDir/batch_$i.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch_$i.parquet"))
+
+  private def restartSession(root: String): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(graft.streaming.Streaming.RestartRootConf, root)
+    s
+  }
+
+  private def cleanup(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+  test("FMGWS fold (A25 presence state) resumes from the checkpoint: " +
+      "no re-emission, post-restart ops see pre-restart presence, " +
+      "union equals the batch oracle") {
+    // 4 time-ordered chunks of the real event log, one per trigger;
+    // restart between chunks 2 and 3
+    val all = Tables.events(spark, sf)
+      .select(col("event_type").as("namespace"), col("user_id").as("key"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    val chunks = (1 to 4).map(i => all.filter(col("q") === i).drop("q"))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = spark.read.parquet(s"$holdDir/batch_0.parquet").schema
+      def run() = {
+        import s.implicits._
+        graft.streaming.Streaming.runStorageFeed(s,
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(srcDir).as[graft.streaming.KeyedEvent])
+          .collect()
+          .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+            r.getAs[Long]("event_id"), r.getAs[String]("op"))).toSet
+      }
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()                       // incarnation 1: chunks 0-1
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()                      // incarnation 2: resumes
+      // exactly-once across the restart: committed batches don't replay
+      assert(first.nonEmpty && second.nonEmpty)
+      assert((first & second).isEmpty,
+        s"restart re-emitted committed rows: ${(first & second).take(5)}")
+      // the union is the batch oracle — bit-for-bit the multi-batch
+      // equality, now across the restart boundary
+      val batch = SparkEntry.queries("kv_storage_feed")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[String]("namespace"), r.getAs[Long]("key"),
+          r.getAs[Long]("event_id"), r.getAs[String]("op"))).toSet
+      assert((first | second) === batch,
+        "resumed union diverges from the batch oracle")
+      // the restart actually exercised state carry: some key's presence
+      // was established pre-restart and consumed post-restart (an
+      // applied update/delete needs present=true from the state store)
+      val presentBefore = first.collect { case (ns, k, _, "put") => (ns, k) }
+      val dependent = second.collect {
+        case (ns, k, _, op) if op != "put" && presentBefore((ns, k)) => (ns, k)
+      }
+      assert(dependent.nonEmpty,
+        "no post-restart op consumed pre-restart presence state — " +
+          "the spec isn't witnessing the state restore")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
+  test("sketch aggregate (A33 Misra-Gries) resumes from the checkpoint: " +
+      "post-restart n_total covers pre-restart rows, MG bounds hold") {
+    import spark.implicits._
+    // 4 planted chunks of 1000 rows, 40% hot key; restart after 2
+    val rng = new scala.util.Random(16)
+    val chunks = (1 to 4).map { _ =>
+      val hot = Seq.fill(400)("hot")
+      val cold = (0 until 600).map(_ => s"cold${rng.nextInt(400)}")
+      rng.shuffle(hot ++ cold).toDF("event_type")
+    }
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = spark.read.parquet(s"$holdDir/batch_0.parquet").schema
+      def run() = graft.streaming.Streaming.runHeavyHitters(s,
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir), k = 8).collect()
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()
+      assert(first.forall(_.getAs[Long]("n_total") == 2000L),
+        "pre-restart sketch lost rows within its own run")
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()
+      val byItem = second.map(r =>
+        r.getAs[String]("event_type") -> r.getAs[Long]("est_count")).toMap
+      // THE restart witness: all 4000 rows reached one sketch. A
+      // sketch whose state died with the first incarnation reports
+      // 2000 here.
+      assert(second.forall(_.getAs[Long]("n_total") == 4000L),
+        s"restarted sketch dropped pre-restart rows: ${second.toSeq}")
+      // MG contract over the GLOBAL count (true hot count = 1600)
+      assert(byItem.contains("hot"), s"hot key lost across restart: $byItem")
+      assert(byItem("hot") <= 1600L && 1600L - byItem("hot") <= 4000L / 8,
+        s"MG bound violated across restart: est=${byItem("hot")}")
+      assert(second.forall(_.getAs[Long]("est_count") > 4000L / 8),
+        "emission rule violated after restart")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
+  test("keyed MERGE sink (A52-shape counts) resumes from the checkpoint: " +
+      "agg state and keyed table both survive, final table equals batch " +
+      "counts, post-restart IO stays changed-keys-sized") {
+    import spark.implicits._
+    // chunk 0: keys 1..50; chunk 1: keys 1..5; -- restart --
+    // chunk 2: keys 3..8; chunk 3: key 50. A count whose agg state died
+    // at the restart reports 1 for key 3 (true: 3); a keyed table that
+    // died reports only post-restart keys.
+    val chunks = Seq(
+      (1L to 50L).map(k => (k, 1.0)).toDF("user_id", "v"),
+      (1L to 5L).map(k => (k, 2.0)).toDF("user_id", "v"),
+      (3L to 8L).map(k => (k, 3.0)).toDF("user_id", "v"),
+      Seq((50L, 4.0)).toDF("user_id", "v"))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = chunks.head.schema
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def run() = graft.streaming.Streaming.runKeyedUpsert(s,
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(srcDir)
+            .groupBy(col("user_id")).agg(count(lit(1)).as("cnt")),
+          Seq("user_id"),
+          (id, n) => perBatch.synchronized { perBatch += ((id, n)) })
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")).toMap
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()
+      val expectFirst =
+        ((1L to 5L).map(_ -> 2L) ++ (6L to 50L).map(_ -> 1L)).toMap
+      assert(first == expectFirst, s"pre-restart table diverges: $first")
+      perBatch.synchronized(perBatch.clear())
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()
+      // final keyed table == batch counts over ALL chunks — needs both
+      // the restored agg state (key 3: 1+1+1) and the persisted keyed
+      // table (key 9..49 untouched after restart)
+      val expect = ((1L to 2L).map(_ -> 2L) ++ (3L to 5L).map(_ -> 3L) ++
+        (6L to 8L).map(_ -> 2L) ++ (9L to 49L).map(_ -> 1L) ++
+        Seq(50L -> 2L)).toMap
+      assert(second == expect, s"post-restart table diverges: $second")
+      // post-restart triggers emit only the keys they touch (6, then
+      // 1) and batch ids CONTINUE past the pre-restart ones — the
+      // checkpoint, not a fresh query, numbered them
+      val emitted = perBatch.synchronized(perBatch.sortBy(_._1))
+        .filter(_._2 > 0)
+      assert(emitted.map(_._2) == Seq(6L, 1L),
+        s"post-restart sink IO not changed-keys-sized: $emitted")
+      assert(emitted.forall(_._1 >= 2L),
+        s"batch ids restarted from zero — checkpoint not resumed: $emitted")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+}
