@@ -426,7 +426,16 @@ object Similarity {
     }
 
   private[graft] def ivfFrame(s: SparkSession, d: String,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    ivfProbeWith(s, d, ivfLists(s, d), nProbe)
+
+  /** The IVF probe against an ARBITRARY (cid, vec_id, ea) lists frame —
+    * factored out (the ivfPqProbeWith precedent) so the A60 incremental
+    * index-maintenance twin can probe its freshly-merged lists table
+    * through the exact plan knn_ivf runs.
+    */
+  private[graft] def ivfProbeWith(s: SparkSession, d: String,
+      lists: DataFrame, nProbe: Int): DataFrame = {
     // train on the sample, driver-side (shared trainedCentroids —
     // k-means++ seeds + Lloyd, memoized per dir). The cluster never
     // scans the corpus for training; the one list-assignment encode
@@ -444,7 +453,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
-    topK(broadcast(probes).join(ivfLists(s, d), Seq("cid"))
+    topK(broadcast(probes).join(lists, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("ea")))
   }

@@ -1293,9 +1293,18 @@ object Streaming {
     * incremental, the contract a real Cassandra/MERGE table gives.
     * `onBatch(batchId, changedRows)` is spec observability.
     */
+  /** `bootstrap`: an optional EXISTING keyed table to seed the MERGE
+    * sink with before the stream starts (batch_seq −1, superseded by
+    * any streamed write of the same key) — the deployment shape where
+    * the table is last night's build and the stream is today's
+    * appends (A60 seeds the IVF lists artifact). Must carry `updates`'
+    * columns. Ignored when the sink state already exists (the restart
+    * path: the persisted table IS the bootstrap).
+    */
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
-      onBatch: (Long, Long) => Unit = null): DataFrame = {
+      onBatch: (Long, Long) => Unit = null,
+      bootstrap: Option[DataFrame] = None): DataFrame = {
     // under the restart harness the keyed table AND the checkpoint
     // live under the session's fixed root and survive the run — the
     // deployment shape (the MERGE table persists between restarts),
@@ -1312,7 +1321,7 @@ object Streaming {
       outCols = updates.columns.toSeq,
       outSchema = org.apache.spark.sql.types.StructType(
         updates.schema.fields.toSeq),
-      keepDirs = restartRoot.isDefined)
+      keepDirs = restartRoot.isDefined, bootstrap = bootstrap)
     catch { case t: Throwable =>
       if (restartRoot.isEmpty)
         org.apache.commons.io.FileUtils.deleteQuietly(
@@ -1325,9 +1334,25 @@ object Streaming {
       keyCols: Seq[String], onBatch: (Long, Long) => Unit,
       stateDir: String, outCols: Seq[String],
       outSchema: org.apache.spark.sql.types.StructType,
-      keepDirs: Boolean = false): DataFrame = {
+      keepDirs: Boolean = false,
+      bootstrap: Option[DataFrame] = None): DataFrame = {
     val ckpt =
       if (keepDirs) s"$stateDir.ckpt" else scratchDir("graft_kupsert_ckpt_")
+    // seed the keyed table with the existing build BEFORE the stream
+    // starts: bucketed identically (the streamed MERGE must find an
+    // old key in the bucket its replacement hashes to), stamped
+    // batch_seq -1 so any streamed write supersedes it
+    bootstrap.foreach { table =>
+      val statePathH = new org.apache.hadoop.fs.Path(s"$stateDir/state")
+      val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(statePathH))
+        table.withColumn("batch_seq", lit(-1L))
+          .withColumn("bucket",
+            pmod(xxhash64(keyCols.map(col): _*), lit(UpsertBuckets))
+              .cast("int"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(statePathH.toString)
+    }
     val q = updates.writeStream
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Update)
@@ -2628,6 +2653,65 @@ object Streaming {
       Sim.ivfPqProbeWith(queries, book, codes, emb))
   }
 
+  // --- A60: incremental IVF list maintenance (round 16) --------------------
+  // A57-A59 serve a FROZEN index; a real retrieval deployment appends
+  // vectors between rebuilds. A60 is that maintenance loop, composed
+  // from two existing pieces exactly as a deployment would: arriving
+  // embeddings assign to their nearest centroid MAP-SIDE (the same
+  // argmax_cos encode the ivfLists build runs — the codebook stays
+  // frozen between rebuilds, which is what makes the incremental path
+  // sound: assignment is a pure per-row function of the frozen
+  // codebook) and MERGE into the lists table through runKeyedUpsert,
+  // seeded with last night's build (the bootstrap param). Newest write
+  // per vec_id wins, so a RE-EMBEDDED vector replaces its old row —
+  // and because the MERGE buckets hash the KEY (vec_id), not the list
+  // (cid), a re-embedding that moves the vector to a different list
+  // still lands in the same bucket as the row it supersedes; bucketing
+  // by cid would strand a stale copy in the old list. At scale,
+  // probe-side list pruning comes from sorting the artifact by cid
+  // within buckets (row-group pruning), not from the MERGE layout.
+  //
+  // Post-drain, the merged table is probed through ivfProbeWith — the
+  // EXACT plan knn_ivf runs — and must equal batch knn_ivf over the
+  // full (original + appended) corpus row-for-row: frozen codebook ⇒
+  // merged lists ≡ full-build lists, the spec's equality.
+  //
+  // Scale: per-trigger sink IO ∝ arrival-touched buckets; the encode
+  // is map-side against the literal codebook; nothing rescans the
+  // corpus. The registered query streams the `vec_id % 5 == 0` cohort
+  // as "today's appends" against a v1 index of the rest.
+  val annIndexUpsert = QueryDef.rowsOnly("stream_ann_index_upsert") { (s, d) =>
+    val path = s"$d/embeddings.parquet"
+    runAnnIndexUpsert(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "embeddings.parquet"))
+        .filter(pmod(col("vec_id"), lit(5)) === 0), d)
+  }
+
+  /** The A60 pipeline over an arbitrary streaming (vec_id, embedding)
+    * append frame — seam for the multi-batch and replacement specs.
+    * `v1` overrides the seeded index (defaults to the staged ivfLists
+    * minus the registered arriving cohort); `onBatch` is the spec's
+    * per-trigger sink-IO observability hook.
+    */
+  private[graft] def runAnnIndexUpsert(s: SparkSession, raw: DataFrame,
+      d: String, v1: Option[DataFrame] = None,
+      onBatch: (Long, Long) => Unit = null): DataFrame = {
+    val Sim = graft.queries.Similarity
+    val F = graft.functions.expressions
+    val refined = trainedCentroidsLit(s, d)
+    val seed = v1.getOrElse(
+      Sim.ivfLists(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    val updates = raw
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cid",
+        F.argmax_cos(col("embedding"), refined).cast("long"))
+      .select(col("cid"), col("vec_id"), col("embedding").as("ea"))
+    val merged = runKeyedUpsert(s, updates, Seq("vec_id"),
+      onBatch = onBatch, bootstrap = Some(seed))
+    Sim.ivfProbeWith(s, d, merged, Sim.NProbe)
+  }
+
   /** Shared A58/A59 serving harness: run each arrival micro-batch of
     * (vec_id, embedding) rows through a full BATCH probe plan via
     * foreachBatch, appending (query_id, rank, neighbor_id, cosine)
@@ -2690,5 +2774,5 @@ object Streaming {
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
     keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe,
-    annAdc, annIvfPq)
+    annAdc, annIvfPq, annIndexUpsert)
 }

@@ -417,6 +417,71 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(srcDir))
   }
 
+  test("stream_ann_index_upsert: merged lists probe equals batch knn_ivf " +
+      "over the full corpus, multi-batch appends MERGE incrementally, " +
+      "and a re-embedded vector supersedes its stale row") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    // frozen codebook ⇒ merged (v1 + appends) lists ≡ full-build lists
+    // ⇒ the post-drain probe is row-exact vs batch knn_ivf
+    val batch = keyed(SparkEntry.queries("knn_ivf")(spark, sf).collect())
+    val got = keyed(
+      SparkEntry.queries("stream_ann_index_upsert")(spark, sf).collect())
+    assert(got == batch,
+      "post-drain probe over the merged index diverges from batch knn_ivf")
+    // forced multi-batch appends: 3 triggers of arriving vectors MERGE
+    // into the seeded lists; per-trigger sink IO is the arrivals, not
+    // the index (the changed-keys contract, index edition)
+    val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val nArriving = arriving.count()
+    val srcDir = timeSplitSource(arriving, 3, Seq(col("vec_id")))
+    try {
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val multi = keyed(graft.streaming.Streaming.runAnnIndexUpsert(spark,
+        spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+        onBatch = (id, n) => perBatch.synchronized { perBatch += ((id, n)) })
+        .collect())
+      assert(multi == batch, "multi-batch merged probe diverges from batch")
+      val emitted = perBatch.synchronized(perBatch.sortBy(_._1))
+        .map(_._2).filter(_ > 0)
+      assert(emitted.size == 3 && emitted.sum == nArriving,
+        s"per-trigger MERGE IO is not the arrival cohort: $emitted " +
+          s"(expected 3 triggers summing to $nArriving)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir))
+    // replacement semantics: seed the v1 index with a STALE row for an
+    // arriving vec_id, poisoned to be query 0's exact vector (cosine 1
+    // — it would rank #1 for query 0 if the stale row survived). The
+    // arriving fresh embedding must supersede it, restoring batch
+    // equality.
+    val staleId = arriving.filter(col("vec_id") >= Sim.NQueries)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    val q0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select(col("embedding")).head
+      .getSeq[Float](0)
+    val v1 = Sim.ivfLists(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .unionByName(Sim.ivfLists(spark, sf)
+        .filter(col("vec_id") === staleId)
+        .withColumn("ea", typedlit(q0)))
+    val srcDir2 = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+    try {
+      val healed = keyed(graft.streaming.Streaming.runAnnIndexUpsert(spark,
+        spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir2), sf,
+        v1 = Some(v1)).collect())
+      assert(healed == batch,
+        s"stale row for vec $staleId survived the MERGE — newest write " +
+          "did not supersede the bootstrap")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir2))
+  }
+
   test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
     import spark.implicits._
     // static vocab side: three in-vocab tokens; the stream arrives in
