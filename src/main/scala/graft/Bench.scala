@@ -63,6 +63,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.get(cpus)
+    // Default the artifact store to the gate's index dir (round 16 —
+    // r15 "what's wrong" #3): the driver's per-round bench run sets no
+    // SPARK_GRAFT_INDEX_DIR, so it ran session-mode — staged builds
+    // landed inside query times and the round-named artifact was a
+    // 263 s cold run while the gated (warm-load) artifact said 190 s.
+    // Benching is the ONE main whose numbers are compared across
+    // rounds, so it defaults to the store the gate populates: same box
+    // ⇒ warm-load ≈ the gated numbers; fresh box ⇒ cold-build, both
+    // recorded honestly in stage_mode. Explicit env still overrides;
+    // other mains keep the opt-in default.
+    if (spark.conf.get(FrameCache.IndexDirConf, "").isEmpty)
+      spark.conf.set(FrameCache.IndexDirConf, "/tmp/gate_graft_index")
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // materialize the FULL plan: .count() would let the optimizer
