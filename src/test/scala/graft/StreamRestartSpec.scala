@@ -164,6 +164,64 @@ class StreamRestartSpec extends AnyFunSuite {
     } finally cleanup(srcDir, holdDir, root)
   }
 
+  test("watermark-closed window agg (A37b sliding rollup) resumes from " +
+      "the checkpoint: closed windows emit exactly once across the " +
+      "restart and the union equals the closed-window oracle") {
+    // 4 time-ordered chunks; restart between 2 and 3. Sliding 3h/1h
+    // windows STRADDLE the restart boundary — their counts are only
+    // right if the window state (and the watermark) restore.
+    val all = Tables.events(spark, sf)
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+    val chunks = (1 to 4).map(i => all.filter(col("q") === i).drop("q"))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = spark.read.parquet(s"$holdDir/batch_0.parquet").schema
+      def run() = graft.streaming.Streaming.runSlidingRollupAppend(s,
+        Tables.withMicroTs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+          r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()
+      // exactly-once: a window flushed pre-restart never re-emits
+      assert(first.nonEmpty && second.nonEmpty)
+      assert(first.keySet.intersect(second.keySet).isEmpty,
+        s"restart re-emitted closed windows: ${
+          first.keySet.intersect(second.keySet).take(3)}")
+      // the union is the registered A37b output — itself DuckDB-oracled
+      // as the batch sliding rollup restricted to closed windows
+      val batch = SparkEntry.queries(
+          "stream_sliding_rollup_append")(spark, sf).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+          r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+      assert(first ++ second == batch,
+        "resumed closed-window union diverges from the batch oracle")
+      // the restart exercised window-state carry: some window emitted
+      // post-restart OPENED pre-restart (its 3 h span covers events
+      // from both sides of the boundary) — its count is only right if
+      // the restored state held the pre-restart partial aggregate
+      val boundary = spark.read.parquet(s"$srcDir/batch_1.parquet")
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val straddling = second.keys.filter { case (ws, _) =>
+        val us = ws.getTime * 1000L
+        us <= boundary && boundary < us + 3L * 3600 * 1000000
+      }
+      assert(straddling.nonEmpty,
+        "no post-restart window straddles the restart boundary — " +
+          "the spec isn't witnessing the window-state restore")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
   test("keyed MERGE sink (A52-shape counts) resumes from the checkpoint: " +
       "agg state and keyed table both survive, final table equals batch " +
       "counts, post-restart IO stays changed-keys-sized") {
