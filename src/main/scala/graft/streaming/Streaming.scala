@@ -1338,6 +1338,30 @@ object Streaming {
       bootstrap: Option[DataFrame] = None): DataFrame = {
     val ckpt =
       if (keepDirs) s"$stateDir.ckpt" else scratchDir("graft_kupsert_ckpt_")
+    // Size the state store AND the per-batch merge windows to the
+    // stream harness (the runToMemory clamp, which this drive never
+    // got): every state partition pays checkpoint/commit IO per
+    // trigger, and the merge window shuffles changed-keys-sized
+    // batches — 32 partitions of both was pure fixed cost. Unlike
+    // runToMemory the clamp must span the WHOLE drive, not just
+    // .start(): foreachBatch bodies plan their merge jobs during
+    // processAllAvailable. (A cluster deployment raises the env; keyed
+    // semantics are partition-count-independent.)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt,
+        prevParts.toInt).toString)
+    try runKeyedUpsertDrive(s, updates, keyCols, onBatch, stateDir, ckpt,
+      outCols, outSchema, keepDirs, bootstrap)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def runKeyedUpsertDrive(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String], onBatch: (Long, Long) => Unit,
+      stateDir: String, ckpt: String, outCols: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType,
+      keepDirs: Boolean,
+      bootstrap: Option[DataFrame]): DataFrame = {
     // seed the keyed table with the existing build BEFORE the stream
     // starts: bucketed identically (the streamed MERGE must find an
     // old key in the bucket its replacement hashes to), stamped
