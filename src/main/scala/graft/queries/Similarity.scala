@@ -29,7 +29,7 @@ object Similarity {
   private val LshTables = 16  // L independent hash tables of LshBits each,
   private val LshBits = 8     // carved from ceil(L*B/64) seeded SRP sigs
   private val LshProbeRadius = 2 // probe all buckets within hamming ≤ r
-  private val NCentroids = 16
+  private[graft] val NCentroids = 16
   // Probe count is the IVF recall/scan dial and is DATA-dependent: the
   // synthetic embeddings carry no cluster structure (measured recall ≈
   // scan fraction + ~0.1 across nCent ∈ {10,16} at both SFs — nearest
@@ -65,6 +65,11 @@ object Similarity {
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+
+  /** The standard query frame, exposed for the streaming maintenance
+    * twins' post-drain probes (A61). */
+  private[graft] def queriesFrame(s: SparkSession, d: String): DataFrame =
+    queriesDf(s, d)
 
   // --- Deterministic k-means++-style codebook seeding ---------------------
   // Head-of-corpus seeds ("first k vectors") are deterministic but
@@ -1135,36 +1140,44 @@ object Similarity {
     */
   private[graft] def ivfPqCodes(s: SparkSession, d: String): DataFrame =
     graft.FrameCache.getOrPersist(s, s"sim.ivfpq.codes:$d") {
-      val book = ivfPqBook(s, d)
-      // both quantizer levels as literal arrays: the whole encode pass
-      // is then one map-only pipeline over the corpus — no crossJoin
-      // row amplification, no per-vector window, no exchange at all
-      // (the round-8 shape shuffled 16× the corpus twice). Same
-      // lowest-index tiebreaks as the ranked form.
-      val coarseLit = typedlit(bookAsArrays(
-        book.filter(col("m") === -1).withColumn("m", lit(0))).head)
-      val booksLit = typedlit(bookAsArrays(book.filter(col("m") >= 0)))
-      val xn = Tables.spread(Tables.embeddings(s, d), s, "vec_id")
-        .withColumn("nrm", F.l2norm(col("embedding")))
-        .filter(col("nrm") > 0)
-        .withColumn("xn", expr("transform(embedding, x -> CAST(x / nrm AS FLOAT))"))
-        .select(col("vec_id"), col("xn"))
-      // assign each vector to its nearest list (L2 in normalized
-      // space), then slice per-subspace residuals against that list's
-      // centroid
-      xn.withColumn("list", F.argmin_l2(col("xn"), coarseLit))
-        .withColumn("le", element_at(coarseLit, col("list") + 1))
-        .select(col("vec_id"), col("list"), explode(expr(
-          s"""transform(sequence(0, ${PqM - 1}),
-             |  m -> struct(m AS m, slice(zip_with(xn, le,
-             |    (x, c) -> CAST(x - c AS FLOAT)), m * $PqSub + 1, $PqSub) AS sv))"""
-            .stripMargin)).as("p"))
-        .select(col("vec_id"), col("list"), col("p.m").as("m"),
-          col("p.sv").as("sv"))
-        .withColumn("cid",
-          F.argmin_l2(col("sv"), element_at(booksLit, col("m") + 1)))
-        .select(col("vec_id"), col("list"), col("m"), col("cid"))
+      ivfPqEncode(ivfPqBook(s, d),
+        Tables.spread(Tables.embeddings(s, d), s, "vec_id"))
     }
+
+  /** The IVFADC encode pass over an ARBITRARY (vec_id, embedding)
+    * frame — batch or streaming (A61 encodes arriving vectors with it
+    * map-side). Both quantizer levels ride as literal arrays: the
+    * whole pass is one map-only pipeline — no crossJoin row
+    * amplification, no per-vector window, no exchange at all (the
+    * round-8 shape shuffled 16× the corpus twice). Same lowest-index
+    * tiebreaks as the ranked form. Degenerate (zero-norm) vectors are
+    * dropped, as in the staged build.
+    */
+  private[graft] def ivfPqEncode(book: DataFrame, emb: DataFrame): DataFrame = {
+    val coarseLit = typedlit(bookAsArrays(
+      book.filter(col("m") === -1).withColumn("m", lit(0))).head)
+    val booksLit = typedlit(bookAsArrays(book.filter(col("m") >= 0)))
+    val xn = emb
+      .withColumn("nrm", F.l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .withColumn("xn", expr("transform(embedding, x -> CAST(x / nrm AS FLOAT))"))
+      .select(col("vec_id"), col("xn"))
+    // assign each vector to its nearest list (L2 in normalized
+    // space), then slice per-subspace residuals against that list's
+    // centroid
+    xn.withColumn("list", F.argmin_l2(col("xn"), coarseLit))
+      .withColumn("le", element_at(coarseLit, col("list") + 1))
+      .select(col("vec_id"), col("list"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  m -> struct(m AS m, slice(zip_with(xn, le,
+           |    (x, c) -> CAST(x - c AS FLOAT)), m * $PqSub + 1, $PqSub) AS sv))"""
+          .stripMargin)).as("p"))
+      .select(col("vec_id"), col("list"), col("p.m").as("m"),
+        col("p.sv").as("sv"))
+      .withColumn("cid",
+        F.argmin_l2(col("sv"), element_at(booksLit, col("m") + 1)))
+      .select(col("vec_id"), col("list"), col("m"), col("cid"))
+  }
 
   val ivfPq = QueryDef.rowsOnly("knn_ivfpq") { (s, d) =>
     ivfPqFrame(s, d, NProbe)

@@ -2736,6 +2736,51 @@ object Streaming {
     Sim.ivfProbeWith(s, d, merged, Sim.NProbe)
   }
 
+  // --- A61: incremental IVFADC code maintenance (round 16) -----------------
+  // A60's sibling for the production index (E11 — coarse lists + 16
+  // residual PQ codes per vector): arriving embeddings run the SAME
+  // map-only encode pass the nightly build runs (`ivfPqEncode` against
+  // the frozen two-level book — coarse assignment + per-subspace
+  // residual codes, all literal-codebook map work) and MERGE into the
+  // codes table through runKeyedUpsert, seeded with the existing
+  // build. The MERGE key is (vec_id, m) — a vector is 16 code rows —
+  // so a re-embedded vector replaces ALL its rows even when its coarse
+  // list changes (the rows' keys don't mention the list; the A60
+  // bucketing argument one level down). Post-drain the merged codes
+  // are probed through ivfPqProbeWith — the exact knn_ivfpq plan —
+  // and must equal it row-for-row (frozen book ⇒ merged codes ≡
+  // full-build codes).
+  //
+  // Scale: encode is map-side; per-trigger sink IO ∝ 16 × arrivals
+  // (touched buckets); nothing rescans the corpus. Together with A60
+  // this closes the index-maintenance matrix: both servable artifacts
+  // (IVF lists, IVFADC codes) stay fresh between rebuilds.
+  val annCodesUpsert = QueryDef.rowsOnly("stream_ann_codes_upsert") { (s, d) =>
+    val path = s"$d/embeddings.parquet"
+    runAnnCodesUpsert(s,
+      s.readStream.schema(parquetSchema(s, path))
+        .parquet(symlinkedDir(path, "embeddings.parquet"))
+        .filter(pmod(col("vec_id"), lit(5)) === 0), d)
+  }
+
+  /** The A61 pipeline over an arbitrary streaming (vec_id, embedding)
+    * append frame — seam for the multi-batch and replacement specs.
+    */
+  private[graft] def runAnnCodesUpsert(s: SparkSession, raw: DataFrame,
+      d: String, v1: Option[DataFrame] = None,
+      onBatch: (Long, Long) => Unit = null): DataFrame = {
+    val Sim = graft.queries.Similarity
+    val book = Sim.ivfPqBook(s, d)
+    val seed = v1.getOrElse(
+      Sim.ivfPqCodes(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    val updates = Sim.ivfPqEncode(book,
+      raw.select(col("vec_id"), col("embedding")))
+    val merged = runKeyedUpsert(s, updates, Seq("vec_id", "m"),
+      onBatch = onBatch, bootstrap = Some(seed))
+    Sim.ivfPqProbeWith(graft.queries.Similarity.queriesFrame(s, d),
+      book, merged, Tables.embeddings(s, d), Sim.NProbe)
+  }
+
   /** Shared A58/A59 serving harness: run each arrival micro-batch of
     * (vec_id, embedding) rows through a full BATCH probe plan via
     * foreachBatch, appending (query_id, rank, neighbor_id, cosine)
@@ -2798,5 +2843,5 @@ object Streaming {
     ewmaFeed, hourlySampleFeed, keySkewFeed, mixDriftFeed, kvTtlFeed,
     funnelLatencyFeed, seasonalFeed, incrementalDedupFeed, changepointFeed,
     keySkewUpsert, kvTtlUpsert, stripFeed, valueWatchFeed, annProbe,
-    annAdc, annIvfPq, annIndexUpsert)
+    annAdc, annIvfPq, annIndexUpsert, annCodesUpsert)
 }

@@ -482,6 +482,69 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(srcDir2))
   }
 
+  test("stream_ann_codes_upsert: merged codes probe equals batch " +
+      "knn_ivfpq, multi-batch appends MERGE 16 rows per vector, and a " +
+      "re-embedded vector replaces all its code rows across lists") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    // frozen two-level book ⇒ merged (v1 + appends) codes ≡ full-build
+    // codes ⇒ the post-drain probe is row-exact vs batch knn_ivfpq
+    val batch = keyed(SparkEntry.queries("knn_ivfpq")(spark, sf).collect())
+    val got = keyed(
+      SparkEntry.queries("stream_ann_codes_upsert")(spark, sf).collect())
+    assert(got == batch,
+      "post-drain probe over the merged codes diverges from batch knn_ivfpq")
+    // forced multi-batch: 3 triggers of arriving vectors; per-trigger
+    // sink IO = 16 code rows per arriving (non-degenerate) vector
+    val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val nCodeRows = Sim.ivfPqCodes(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0).count()
+    val srcDir = timeSplitSource(arriving, 3, Seq(col("vec_id")))
+    try {
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val multi = keyed(graft.streaming.Streaming.runAnnCodesUpsert(spark,
+        spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+        onBatch = (id, n) => perBatch.synchronized { perBatch += ((id, n)) })
+        .collect())
+      assert(multi == batch, "multi-batch merged probe diverges from batch")
+      val emitted = perBatch.synchronized(perBatch.sortBy(_._1))
+        .map(_._2).filter(_ > 0)
+      assert(emitted.size == 3 && emitted.sum == nCodeRows,
+        s"per-trigger MERGE IO is not 16 x arrivals: $emitted " +
+          s"(expected 3 triggers summing to $nCodeRows)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir))
+    // replacement across LISTS: seed the v1 codes with stale rows for
+    // an arriving vec_id under a DIFFERENT coarse list (the re-embed-
+    // moves-lists case). Keyed on (vec_id, m), the arriving encode
+    // must replace all 16 rows — a leftover stale row would add a
+    // phantom candidate under the wrong list.
+    val staleId = arriving.filter(col("vec_id") >= Sim.NQueries)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    val stale = Sim.ivfPqCodes(spark, sf)
+      .filter(col("vec_id") === staleId)
+      .withColumn("list", pmod(col("list") + 1,
+        lit(graft.queries.Similarity.NCentroids.toLong)))
+    val v1 = Sim.ivfPqCodes(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .unionByName(stale)
+    val srcDir2 = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+    try {
+      val healed = keyed(graft.streaming.Streaming.runAnnCodesUpsert(spark,
+        spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir2), sf,
+        v1 = Some(v1)).collect())
+      assert(healed == batch,
+        s"stale code rows for vec $staleId survived the MERGE")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(srcDir2))
+  }
+
   test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
     import spark.implicits._
     // static vocab side: three in-vocab tokens; the stream arrives in
