@@ -222,6 +222,61 @@ class StreamRestartSpec extends AnyFunSuite {
     } finally cleanup(srcDir, holdDir, root)
   }
 
+  test("index maintenance (A60 IVF list upsert) resumes from the " +
+      "checkpoint: the seeded table is NOT re-bootstrapped, committed " +
+      "appends don't replay, and the final probe equals batch knn_ivf") {
+    // the deployment scenario: the nightly append job dies mid-stream
+    // and is restarted. Arrivals split into 4 chunks; restart between
+    // 2 and 3. On resume the kept state dir IS the bootstrap (the
+    // seed write is skipped — state exists), offsets skip chunks 0-1,
+    // and the merged table must still converge to the full corpus.
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))))
+    val chunks = (1 to 4).map(i => arriving.filter(col("q") === i).drop("q"))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = spark.read.parquet(s"$holdDir/batch_0.parquet").schema
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def run() = graft.streaming.Streaming.runAnnIndexUpsert(s,
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir), sf,
+        onBatch = (id, n) => perBatch.synchronized { perBatch += ((id, n)) })
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      run()                                  // incarnation 1: half the appends
+      perBatch.synchronized(perBatch.clear())
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val resumed = run()                    // incarnation 2: resumes
+      // committed appends never replay: post-restart triggers carry
+      // only chunks 2-3's rows, numbered past the pre-restart batches
+      val emitted = perBatch.synchronized(perBatch.sortBy(_._1))
+        .filter(_._2 > 0)
+      val tail = chunks.drop(2).map(_.count()).sum
+      assert(emitted.map(_._2).sum == tail,
+        s"post-restart triggers re-delivered committed appends: $emitted " +
+          s"(expected rows summing to $tail)")
+      assert(emitted.forall(_._1 >= 2L),
+        s"batch ids restarted from zero: $emitted")
+      // the resumed merged index converges to the full corpus: probe
+      // equals batch knn_ivf — which needs BOTH the pre-restart appends
+      // (persisted table, not re-seeded over) and the post-restart ones
+      val batch = SparkEntry.queries("knn_ivf")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+      assert(resumed == batch,
+        "resumed maintenance did not converge to the full-build index")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
   test("keyed MERGE sink (A52-shape counts) resumes from the checkpoint: " +
       "agg state and keyed table both survive, final table equals batch " +
       "counts, post-restart IO stays changed-keys-sized") {
