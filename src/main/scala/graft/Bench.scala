@@ -75,6 +75,12 @@ object Bench {
     // other mains keep the opt-in default.
     if (spark.conf.get(FrameCache.IndexDirConf, "").isEmpty)
       spark.conf.set(FrameCache.IndexDirConf, "/tmp/gate_graft_index")
+    // a bench never races a live cross-JVM publisher (the gate runs
+    // its bench invocations serially) — don't let a crashed earlier
+    // run's unmarked artifact stall every affected key for the full
+    // production publish grace
+    if (spark.conf.get(FrameCache.PublishGraceConf, "").isEmpty)
+      spark.conf.set(FrameCache.PublishGraceConf, "5000")
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // materialize the FULL plan: .count() would let the optimizer

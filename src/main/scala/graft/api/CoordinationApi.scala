@@ -187,16 +187,14 @@ final class CoordinationApi(spark: SparkSession, sfDir: String,
     * readable twin of the distributed A16 query (spec-checked equal).
     */
   def fetchCas(namespace: String, key: Long): Option[Double] = {
-    // sort cluster-side and stream partition-at-a-time: the fold needs
-    // the key's events in log order, not resident at once — a
-    // pathological single key's history stays off the driver heap
-    // (range-partitioned sort ⇒ toLocalIterator preserves the order)
-    import scala.jdk.CollectionConverters._
-    val rows = events
+    // stream the key's events to the driver in log order (FeedIter:
+    // bounded ranges, a fixed handful of jobs) — the fold needs them
+    // ordered, not resident at once, so a pathological single key's
+    // history stays off the driver heap
+    val rows = FeedIter.rows(events
       .filter(col("event_type") === namespace && col("user_id") === key)
-      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
-      .orderBy(col("us"), col("event_id"))
-      .toLocalIterator().asScala
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value")),
+      col("us"), col("event_id"))
     var present = false
     var value = 0.0
     rows.foreach { r =>

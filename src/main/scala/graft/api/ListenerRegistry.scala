@@ -59,20 +59,9 @@ final class ListenerRegistry(api: CoordinationApi) {
 
   private val lock = new Object
 
-  /** Stream a sorted frame's rows to the driver one PARTITION at a
-    * time instead of collecting the whole feed: after a global sort
-    * the partitions are range-ordered, so iterating them in order
-    * preserves feed order while driver memory is bounded by the
-    * largest partition, not the watched key's full history — a
-    * pathological single-key feed can no longer OOM the driver
-    * (replay cost stays ∝ the feed's rows, as documented, but no
-    * longer resident all at once).
-    */
-  private def feedRows(
-      sorted: org.apache.spark.sql.DataFrame): Iterator[org.apache.spark.sql.Row] = {
-    import scala.jdk.CollectionConverters._
-    sorted.toLocalIterator().asScala
-  }
+  private def feedRows(df: org.apache.spark.sql.DataFrame,
+      order: org.apache.spark.sql.Column*): Iterator[org.apache.spark.sql.Row] =
+    FeedIter.rows(df, order: _*)
   private val valueListeners =
     mutable.HashMap.empty[(String, Long), mutable.ListBuffer[ValueChangeListener]]
   private val keySetListeners =
@@ -210,8 +199,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     if (watched.isEmpty) return 0L
     var delivered = 0L
     feedRows(api.valueChanges(namespace)
-        .filter(col("key").isin(watched.toSeq: _*))
-        .orderBy(col("ts"), col("event_id"))).foreach { r =>
+        .filter(col("key").isin(watched.toSeq: _*)),
+        col("ts"), col("event_id")).foreach { r =>
       val key = r.getAs[Long]("key")
       val v = if (r.isNullAt(r.fieldIndex("value"))) None
               else Some(r.getAs[Double]("value"))
@@ -235,8 +224,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     // the unit a listener consumes anyway); the driver streams one
     // tick row at a time instead of holding the whole feed
     val ticks = feedRows(api.keySetsByTick(namespace)
-      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks"))
-      .orderBy(col("tick")))
+      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks")),
+      col("tick"))
     var watchable = Option.empty[Set[String]]
     var fired = 0L
     ticks.foreach { r =>
@@ -260,8 +249,8 @@ final class ListenerRegistry(api: CoordinationApi) {
   def replayLeaderChanges(resource: String): Long = {
     if (!hasLeaderWatcher(resource)) return 0L
     var fired = 0L
-    feedRows(api.leaderChanges(resource)
-        .orderBy(col("ts"), col("event_id"))).foreach { r =>
+    feedRows(api.leaderChanges(resource),
+        col("ts"), col("event_id")).foreach { r =>
       val ls = lock.synchronized(
         leaderListeners.get(resource).map(_.toList).getOrElse(Nil))
       ls.foreach(_.onLeaderChange(Some(r.getAs[Long]("new_leader"))))
@@ -280,8 +269,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     if (watched.isEmpty) return 0L
     var delivered = 0L
     feedRows(api.storageMutations(namespace)
-        .filter(col("key").isin(watched.toSeq: _*))
-        .orderBy(col("ts"), col("event_id"))).foreach { r =>
+        .filter(col("key").isin(watched.toSeq: _*)),
+        col("ts"), col("event_id")).foreach { r =>
       val key = r.getAs[Long]("key")
       val v = if (r.isNullAt(r.fieldIndex("new_value"))) None
               else Some(r.getAs[Double]("new_value"))
@@ -303,8 +292,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     if (!hasGroupWatcher(group)) return 0L
     // same cluster-side per-tick assembly as replayKeySetChanges
     val ticks = feedRows(api.keySetsByTick(group)
-      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks"))
-      .orderBy(col("tick")))
+      .groupBy(col("tick")).agg(collect_set(col("k")).as("ks")),
+      col("tick"))
     var cached = Option.empty[Set[Long]]
     var fired = 0L
     ticks.foreach { r =>
@@ -337,8 +326,8 @@ final class ListenerRegistry(api: CoordinationApi) {
     // event_id is its source record's — still a total, stable order.)
     var members = Set.empty[Long]
     var fired = 0L
-    feedRows(api.groupChanges(group)
-        .orderBy(col("ts_us"), col("event_id"))).foreach { r =>
+    feedRows(api.groupChanges(group),
+        col("ts_us"), col("event_id")).foreach { r =>
       val m = r.getAs[Long]("member")
       members = r.getAs[String]("event") match {
         case "join" => members + m

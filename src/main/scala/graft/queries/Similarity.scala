@@ -62,14 +62,11 @@ object Similarity {
        |      list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |      (x, y) -> x + y)))""".stripMargin
 
-  private def queriesDf(s: SparkSession, d: String): DataFrame =
+  // private[graft]: the streaming maintenance twins' post-drain probes
+  // (A61) build on the same query frame
+  private[graft] def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-
-  /** The standard query frame, exposed for the streaming maintenance
-    * twins' post-drain probes (A61). */
-  private[graft] def queriesFrame(s: SparkSession, d: String): DataFrame =
-    queriesDf(s, d)
 
   // --- Deterministic k-means++-style codebook seeding ---------------------
   // Head-of-corpus seeds ("first k vectors") are deterministic but

@@ -217,19 +217,6 @@ object Streaming {
       case None => ()
     }
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    // The state-store partition count is fixed per query from this conf
-    // at start; every partition pays checkpoint/commit IO per trigger.
-    // Size it to the harness (a cluster deployment raises it with its
-    // parallelism; state is keyed, so the semantics don't change).
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(streamParts, prev.toInt).toString)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      needsNoDataBatch.toString)
     val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
     def phase[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -239,14 +226,10 @@ object Streaming {
       r
     }
     val ckpt = scratchDir(s"graft_ckpt_")
-    val q =
-      try phase("start")(frame.writeStream.outputMode(mode)
+    val q = phase("start")(startClamped(s, needsNoDataBatch)(
+      frame.writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt)
-        .format("memory").queryName(name).start())
-      finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
+        .format("memory").queryName(name).start()))
     try phase("process")(q.processAllAvailable())
     finally {
       if (dbg) q.recentProgress.foreach(p => System.err.println(
@@ -264,6 +247,36 @@ object Streaming {
       table.schema)
   }
 
+  /** Start a streaming query under the harness-sized stream confs,
+    * restoring the session's values once the query is running. The
+    * state-store partition count is fixed per query from the shuffle
+    * conf AT START — every partition pays checkpoint/commit IO per
+    * trigger, so size it to the harness (a cluster deployment raises
+    * SPARK_GRAFT_STREAM_PARTS with its parallelism; state is keyed, so
+    * the semantics don't change). `needsNoDataBatch`: see runToMemory.
+    * Restore-after-start is safe because the plan is resolved and the
+    * confs captured synchronously inside start(); drives whose
+    * foreachBatch bodies plan LATER jobs that must also see the clamp
+    * (runKeyedUpsert) hold their own conf for the whole drive instead.
+    */
+  private def startClamped(s: SparkSession, needsNoDataBatch: Boolean)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt,
+        prev.toInt).toString)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      needsNoDataBatch.toString)
+    try start
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   /** Restart-harness conf (spec-only): a session with this set drives
     * its streaming queries from a FIXED checkpoint root instead of a
     * throwaway scratch dir — so a spec can drain the files available
@@ -272,9 +285,12 @@ object Streaming {
     * process-level restart) and resumes from the checkpoint — offsets
     * skip the already-committed batches and the state store restores.
     * This is the witness for the restart-safety claims every stream
-    * here makes by running with `checkpointLocation`. One streaming
-    * query per session at a time (the keys under the root are
-    * per-OPERATOR, not per-invocation).
+    * here makes by running with `checkpointLocation`. ONE OPERATOR per
+    * restart root: the checkpoint paths under the root are fixed
+    * ($root/ckpt, $root/kupsert), so a second, different operator run
+    * under the same root would resume the FIRST operator's offsets and
+    * state (empty output or a state-schema crash). Specs create a
+    * fresh root per operator under test.
     */
   private[graft] val RestartRootConf = "spark.graft.stream.checkpoint"
 
@@ -293,19 +309,10 @@ object Streaming {
     */
   private def runRestartable(s: SparkSession, frame: DataFrame,
       mode: OutputMode, needsNoDataBatch: Boolean, root: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt
-    s.conf.set("spark.sql.shuffle.partitions",
-      math.min(streamParts, prev.toInt).toString)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      needsNoDataBatch.toString)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val schema = frame.schema
-    val q =
-      try frame.writeStream.outputMode(mode)
+    val q = startClamped(s, needsNoDataBatch)(
+      frame.writeStream.outputMode(mode)
         .option("checkpointLocation", s"$root/ckpt")
         .foreachBatch { (b: DataFrame, _: Long) =>
           val rows = b.collect()
@@ -315,11 +322,7 @@ object Streaming {
           }
           ()
         }
-        .start()
-      finally {
-        s.conf.set("spark.sql.shuffle.partitions", prev)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-      }
+        .start())
     try q.processAllAvailable() finally q.stop()
     val rows = buf.synchronized(buf.toIndexedSeq)
     s.createDataFrame(
@@ -1370,7 +1373,12 @@ object Streaming {
       val statePathH = new org.apache.hadoop.fs.Path(s"$stateDir/state")
       val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(statePathH))
-        table.withColumn("batch_seq", lit(-1L))
+        // same one-row-per-key enforcement as the batch-0 fast path:
+        // a seed assembled with an accidental key overlap would persist
+        // duplicate rows at batch_seq -1, and buckets never touched by
+        // a later trigger are never re-merged
+        table.dropDuplicates(keyCols)
+          .withColumn("batch_seq", lit(-1L))
           .withColumn("bucket",
             pmod(xxhash64(keyCols.map(col): _*), lit(UpsertBuckets))
               .cast("int"))
@@ -2777,7 +2785,7 @@ object Streaming {
       raw.select(col("vec_id"), col("embedding")))
     val merged = runKeyedUpsert(s, updates, Seq("vec_id", "m"),
       onBatch = onBatch, bootstrap = Some(seed))
-    Sim.ivfPqProbeWith(graft.queries.Similarity.queriesFrame(s, d),
+    Sim.ivfPqProbeWith(Sim.queriesDf(s, d),
       book, merged, Tables.embeddings(s, d), Sim.NProbe)
   }
 
