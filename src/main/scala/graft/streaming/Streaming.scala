@@ -1307,7 +1307,22 @@ object Streaming {
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
       onBatch: (Long, Long) => Unit = null,
-      bootstrap: Option[DataFrame] = None): DataFrame = {
+      bootstrap: Option[DataFrame] = None): DataFrame =
+    runKeyedUpsertThen(s, updates, keyCols, onBatch, bootstrap)(identity)
+
+  /** [[runKeyedUpsert]] with a post-drain CONSUMER over the
+    * parquet-backed keyed table: `consume` plans against the state
+    * parquet in place (real partitions, column stats) and only ITS
+    * result is collected before the scratch dirs go away — the
+    * production read shape (a probe queries the keyed table, it never
+    * collects it). A60/A61 pass their index probes; the drained-table
+    * contract is `consume = identity`.
+    */
+  private[graft] def runKeyedUpsertThen(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String],
+      onBatch: (Long, Long) => Unit = null,
+      bootstrap: Option[DataFrame] = None)(
+      consume: DataFrame => DataFrame): DataFrame = {
     // under the restart harness the keyed table AND the checkpoint
     // live under the session's fixed root and survive the run — the
     // deployment shape (the MERGE table persists between restarts),
@@ -1324,7 +1339,8 @@ object Streaming {
       outCols = updates.columns.toSeq,
       outSchema = org.apache.spark.sql.types.StructType(
         updates.schema.fields.toSeq),
-      keepDirs = restartRoot.isDefined, bootstrap = bootstrap)
+      keepDirs = restartRoot.isDefined, bootstrap = bootstrap,
+      consume = consume)
     catch { case t: Throwable =>
       if (restartRoot.isEmpty)
         org.apache.commons.io.FileUtils.deleteQuietly(
@@ -1338,7 +1354,8 @@ object Streaming {
       stateDir: String, outCols: Seq[String],
       outSchema: org.apache.spark.sql.types.StructType,
       keepDirs: Boolean = false,
-      bootstrap: Option[DataFrame] = None): DataFrame = {
+      bootstrap: Option[DataFrame] = None,
+      consume: DataFrame => DataFrame = identity): DataFrame = {
     val ckpt =
       if (keepDirs) s"$stateDir.ckpt" else scratchDir("graft_kupsert_ckpt_")
     // Size the state store AND the per-batch merge windows to the
@@ -1355,7 +1372,7 @@ object Streaming {
       math.min(sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt,
         prevParts.toInt).toString)
     try runKeyedUpsertDrive(s, updates, keyCols, onBatch, stateDir, ckpt,
-      outCols, outSchema, keepDirs, bootstrap)
+      outCols, outSchema, keepDirs, bootstrap, consume)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -1364,7 +1381,8 @@ object Streaming {
       stateDir: String, ckpt: String, outCols: Seq[String],
       outSchema: org.apache.spark.sql.types.StructType,
       keepDirs: Boolean,
-      bootstrap: Option[DataFrame]): DataFrame = {
+      bootstrap: Option[DataFrame],
+      consume: DataFrame => DataFrame): DataFrame = {
     // seed the keyed table with the existing build BEFORE the stream
     // starts: bucketed identically (the streamed MERGE must find an
     // old key in the bucket its replacement hashes to), stamped
@@ -1449,18 +1467,21 @@ object Streaming {
       if (!keepDirs)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
-    // materialize the compacted state and remove the temp dir (the
-    // collect is the documented harness-only drain, as in runUpsert —
-    // production reads the keyed table in place; under the restart
-    // harness the table and checkpoint persist for the next
-    // incarnation). A source that never produced a data batch wrote no
-    // state — that is an empty table, not a crash.
-    val (rows, schema) =
-      if (new java.io.File(s"$stateDir/state").exists()) {
-        val state = s.read.parquet(s"$stateDir/state")
-          .select(outCols.map(col): _*)
-        (state.collect().toIndexedSeq, state.schema)
-      } else (IndexedSeq.empty[org.apache.spark.sql.Row], outSchema)
+    // run the consumer against the parquet-backed keyed table in place
+    // (production's read shape — a probe never collects the table),
+    // materialize only ITS result, then remove the temp dir (the
+    // collect is the documented harness-only drain, as in runUpsert;
+    // under the restart harness the table and checkpoint persist for
+    // the next incarnation). A source that never produced a data batch
+    // (and no bootstrap) wrote no state — that is an empty table, not
+    // a crash.
+    val keyed =
+      if (new java.io.File(s"$stateDir/state").exists())
+        s.read.parquet(s"$stateDir/state").select(outCols.map(col): _*)
+      else s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val result = consume(keyed)
+    val (rows, schema) = (result.collect().toIndexedSeq, result.schema)
     if (!keepDirs)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     s.createDataFrame(
@@ -2739,9 +2760,9 @@ object Streaming {
       .withColumn("cid",
         F.argmax_cos(col("embedding"), refined).cast("long"))
       .select(col("cid"), col("vec_id"), col("embedding").as("ea"))
-    val merged = runKeyedUpsert(s, updates, Seq("vec_id"),
-      onBatch = onBatch, bootstrap = Some(seed))
-    Sim.ivfProbeWith(s, d, merged, Sim.NProbe)
+    runKeyedUpsertThen(s, updates, Seq("vec_id"),
+      onBatch = onBatch, bootstrap = Some(seed))(merged =>
+      Sim.ivfProbeWith(s, d, merged, Sim.NProbe))
   }
 
   // --- A61: incremental IVFADC code maintenance (round 16) -----------------
@@ -2783,10 +2804,10 @@ object Streaming {
       Sim.ivfPqCodes(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0))
     val updates = Sim.ivfPqEncode(book,
       raw.select(col("vec_id"), col("embedding")))
-    val merged = runKeyedUpsert(s, updates, Seq("vec_id", "m"),
-      onBatch = onBatch, bootstrap = Some(seed))
-    Sim.ivfPqProbeWith(Sim.queriesDf(s, d),
-      book, merged, Tables.embeddings(s, d), Sim.NProbe)
+    runKeyedUpsertThen(s, updates, Seq("vec_id", "m"),
+      onBatch = onBatch, bootstrap = Some(seed))(merged =>
+      Sim.ivfPqProbeWith(Sim.queriesDf(s, d),
+        book, merged, Tables.embeddings(s, d), Sim.NProbe))
   }
 
   /** Shared A58/A59 serving harness: run each arrival micro-batch of
