@@ -1035,6 +1035,44 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
   }
 
+  test("runKeyedUpsert property: random bootstrap + batches converge to " +
+      "last-write-wins over every key-overlap pattern") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeded-random trials: a bootstrap table plus 3 batches with
+    // arbitrary key overlap (seed-replacements, cross-batch rewrites,
+    // never-touched seed keys, keys born mid-stream). Expected state =
+    // the driver-side fold: last batch containing the key wins, else
+    // the seed value. Each batch honors the documented one-row-per-key
+    // contract (intra-batch winners are intentionally arbitrary).
+    val rng = new scala.util.Random(61)
+    (1 to 3).foreach { trial =>
+      val keys = 0L until (20 + rng.nextInt(30))
+      val seed = keys.filter(_ => rng.nextBoolean())
+        .map(k => (k, rng.nextInt(1000).toDouble)).toMap
+      val batches = (1 to 3).map { _ =>
+        keys.filter(_ => rng.nextDouble() < 0.4)
+          .map(k => (k, rng.nextInt(1000).toDouble)).toMap
+      }
+      val expect = batches.foldLeft(seed)(_ ++ _)
+      val srcDir = plantedSource(batches.map(b =>
+        b.toSeq.toDF("user_id", "v")))
+      try {
+        val got = graft.streaming.Streaming.runKeyedUpsert(spark,
+            spark.readStream.schema(batches.head.toSeq.toDF("user_id", "v").schema)
+              .option("maxFilesPerTrigger", 1).parquet(srcDir),
+            Seq("user_id"),
+            bootstrap = Some(seed.toSeq.toDF("user_id", "v")))
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("v"))
+          .toMap
+        assert(got == expect,
+          s"trial $trial diverged from the last-write-wins fold: " +
+            s"got ${got.toSeq.sorted.take(8)}… expect ${expect.toSeq.sorted.take(8)}…")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(srcDir))
+    }
+  }
+
   test("stream_kv_ttl_upsert equals the batch TTL snapshot across MULTIPLE " +
       "micro-batches") {
     import org.apache.spark.sql.functions._
