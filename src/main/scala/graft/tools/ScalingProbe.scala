@@ -17,7 +17,8 @@ object ScalingProbe {
     "knn_probe_sweep", "orders_market_basket", "stream_leader_tenures",
     "supplier_lead_time", "knn_mmr", "source_overlap",
     "stream_group_change_feed", "corpus_curation", "stream_ewma",
-    "dedup_banding_sweep", "dedup_winnow_clusters", "stream_ann_index_upsert")
+    "dedup_banding_sweep", "dedup_winnow_clusters", "stream_ann_index_upsert",
+    "stream_ann_codes_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
