@@ -1317,6 +1317,13 @@ object Streaming {
     * production read shape (a probe queries the keyed table, it never
     * collects it). A60/A61 pass their index probes; the drained-table
     * contract is `consume = identity`.
+    *
+    * The consumer plans under the drive's stream-sized shuffle conf
+    * (SPARK_GRAFT_STREAM_PARTS) — deliberate: drained-state consumers
+    * are state-sized, and the harness measured the stream-sized fold
+    * faster than the 32-partition one at sf0.1 (task overhead
+    * dominates); a cluster deployment raises the env with its
+    * parallelism, which sizes drive and consumer together.
     */
   private[graft] def runKeyedUpsertThen(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
