@@ -1360,9 +1360,9 @@ object Streaming {
       keyCols: Seq[String], onBatch: (Long, Long) => Unit,
       stateDir: String, outCols: Seq[String],
       outSchema: org.apache.spark.sql.types.StructType,
-      keepDirs: Boolean = false,
-      bootstrap: Option[DataFrame] = None,
-      consume: DataFrame => DataFrame = identity): DataFrame = {
+      keepDirs: Boolean,
+      bootstrap: Option[DataFrame],
+      consume: DataFrame => DataFrame): DataFrame = {
     val ckpt =
       if (keepDirs) s"$stateDir.ckpt" else scratchDir("graft_kupsert_ckpt_")
     // Size the state store AND the per-batch merge windows to the
@@ -1383,6 +1383,19 @@ object Streaming {
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** A zero-row `partitionBy` write leaves a poisoned state dir —
+    * `_SUCCESS` but no bucket subdirectories — which later existence
+    * checks read as live state and `read.parquet` then fails on
+    * ("Unable to infer schema"). An empty write is "no state yet",
+    * not state: delete the dir so the empty-table contract holds for
+    * empty bootstraps and empty first batches alike.
+    */
+  private def dropDatalessState(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(statePath) &&
+        !fs.listStatus(statePath).exists(_.isDirectory))
+      fs.delete(statePath, true)
+
   private def runKeyedUpsertDrive(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String], onBatch: (Long, Long) => Unit,
       stateDir: String, ckpt: String, outCols: Seq[String],
@@ -1397,7 +1410,7 @@ object Streaming {
     bootstrap.foreach { table =>
       val statePathH = new org.apache.hadoop.fs.Path(s"$stateDir/state")
       val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(statePathH))
+      if (!fs.exists(statePathH)) {
         // same one-row-per-key enforcement as the batch-0 fast path:
         // a seed assembled with an accidental key overlap would persist
         // duplicate rows at batch_seq -1, and buckets never touched by
@@ -1409,6 +1422,8 @@ object Streaming {
               .cast("int"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(statePathH.toString)
+        dropDatalessState(fs, statePathH)
+      }
     }
     val q = updates.writeStream
       .option("checkpointLocation", ckpt)
@@ -1449,6 +1464,7 @@ object Streaming {
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(statePath)
+          dropDatalessState(fs, statePathH)
         } else {
           // bounded partition-pruning list (≤ UpsertBuckets ints)
           val touched = withBucket.select(col("bucket")).distinct()

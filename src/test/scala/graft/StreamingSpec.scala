@@ -1046,12 +1046,17 @@ class StreamingSpec extends AnyFunSuite {
     // the seed value. Each batch honors the documented one-row-per-key
     // contract (intra-batch winners are intentionally arbitrary).
     val rng = new scala.util.Random(61)
-    (1 to 3).foreach { trial =>
+    (1 to 4).foreach { trial =>
       val keys = 0L until (20 + rng.nextInt(30))
-      val seed = keys.filter(_ => rng.nextBoolean())
+      // trial 4 pins the degenerate edges explicitly: an EMPTY
+      // bootstrap and an EMPTY middle batch. A zero-row partitionBy
+      // write leaves _SUCCESS with no bucket dirs — pre-fix, the next
+      // existence check read that as live state and the read-back
+      // crashed on schema inference instead of treating it as empty.
+      val seed = keys.filter(_ => trial != 4 && rng.nextBoolean())
         .map(k => (k, rng.nextInt(1000).toDouble)).toMap
-      val batches = (1 to 3).map { _ =>
-        keys.filter(_ => rng.nextDouble() < 0.4)
+      val batches = (1 to 3).map { i =>
+        keys.filter(_ => !(trial == 4 && i == 2) && rng.nextDouble() < 0.4)
           .map(k => (k, rng.nextInt(1000).toDouble)).toMap
       }
       val expect = batches.foldLeft(seed)(_ ++ _)
