@@ -53,8 +53,40 @@ private[graft] object FrameCache {
     * algorithm — the same silently-wrong failure the fingerprint closes,
     * on the code axis. Superseded artifacts are orphaned, not
     * overwritten (index-dir GC is the deployment's retention job).
+    *
+    * v3 (round 17): artifacts carry a `_GRAFT_META` sidecar (version +
+    * schema) and may be hive-partitioned ([[Layout]]) — v2 artifacts
+    * are path-orphaned and rebuilt.
     */
-  private[graft] val ArtifactFormatVersion = 2
+  private[graft] val ArtifactFormatVersion = 3
+
+  /** On-disk layout of an artifact. `partitionCols` hive-partitions the
+    * parquet (one directory per value) — under a probe join on that
+    * column Spark's dynamic partition pruning then reads ONLY the
+    * probed partitions, which is the 100 TB point of an inverted-list
+    * index: IO ∝ probed lists, not corpus. `sortCols` additionally
+    * sorts rows within each written file (parquet row-group min/max
+    * clustering for readers that push a range/equality filter). A
+    * partitioned artifact is returned as the RAW parquet read — no
+    * re-spread, no memory persist — so every consumer plan hangs off
+    * the prunable scan.
+    */
+  private[graft] final case class Layout(partitionCols: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil) {
+    def isPartitioned: Boolean = partitionCols.nonEmpty
+  }
+  private[graft] val NoLayout = Layout()
+
+  /** Sidecar written into every v3 artifact BEFORE the _SUCCESS marker:
+    * line 1 = format version, rest = the frame's schema json (pre-
+    * partitionBy column order and types). Load-side it is the artifact
+    * VALIDATION gate — a marker-blessed directory without a matching
+    * sidecar (a foreign or poisoned pre-created path, or a torn
+    * publish) is rebuilt, never trusted — and the schema restores the
+    * build's column order/types exactly (hive partition columns
+    * otherwise re-infer as int and migrate to the end of the schema).
+    */
+  private val MetaFile = "_GRAFT_META"
 
   /** How long a reader/loser waits for a concurrent publisher's
     * _SUCCESS before declaring the publish torn or abandoned. One
@@ -148,6 +180,82 @@ private[graft] object FrameCache {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Read and validate the artifact sidecar: Some(schema) iff the
+    * sidecar exists, parses, and carries the CURRENT format version.
+    */
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val mp = new org.apache.hadoop.fs.Path(p, MetaFile)
+      if (!fs.exists(mp)) return None
+      val in = fs.open(mp)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val nl = txt.indexOf('\n')
+      if (nl < 0 || txt.substring(0, nl).trim != ArtifactFormatVersion.toString)
+        return None
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt.substring(nl + 1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case _: Throwable => None }
+
+  /** Write `df` as a complete artifact at `p`: parquet (hive-partitioned
+    * per `layout`) into a temp sibling, the meta sidecar, then the
+    * atomic rename and the post-rename _SUCCESS marker — the shared
+    * publish protocol of [[materialize]] (build-once keys) and
+    * [[publishGeneration]] (maintenance output). Returns false when a
+    * concurrent writer won the rename (our output is discarded; the
+    * caller waits for the winner's marker).
+    */
+  private def writeArtifact(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, df: DataFrame, layout: Layout): Boolean = {
+    val schemaJson = df.schema.json
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    if (layout.isPartitioned) {
+      // one shuffle partition per partition value → one file per value
+      // per task (a cluster raises spark.sql.shuffle.partitions to get
+      // more files per list); within-file sort gives row-group min/max
+      // clustering on the sort columns
+      val parted = df.repartition(layout.partitionCols.map(
+        org.apache.spark.sql.functions.col): _*)
+      val sorted =
+        if (layout.sortCols.isEmpty) parted
+        else parted.sortWithinPartitions(
+          (layout.partitionCols ++ layout.sortCols).map(
+            org.apache.spark.sql.functions.col): _*)
+      sorted.write.mode("overwrite")
+        .partitionBy(layout.partitionCols: _*).parquet(tmp.toString)
+    } else df.write.mode("overwrite").parquet(tmp.toString)
+    // strip the committer's marker so the marker a reader trusts is
+    // only ever the post-rename one below
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MetaFile))
+    try out.write((ArtifactFormatVersion + "\n" + schemaJson).getBytes("UTF-8"))
+    finally out.close()
+    if (fs.rename(tmp, p)) {
+      // publish the read gate strictly AFTER all data files exist
+      fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS")).close()
+      true
+    } else { fs.delete(tmp, true); false }
+  }
+
+  /** Open a published artifact: the sidecar schema drives the read (so
+    * hive partition columns come back with the build's TYPES, not
+    * re-inferred ints) and a projection restores the build's column
+    * ORDER (the scan always emits partition columns last, whatever the
+    * user schema says). The projection is transparent to partition
+    * pruning — DPP lineage-tracks through Project.
+    */
+  private def openArtifact(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, path: String): DataFrame = {
+    val raw = s.read.schema(schema).parquet(path)
+    if (raw.schema.fieldNames.sameElements(schema.fieldNames)) raw
+    else raw.select(schema.fieldNames.map(
+      org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+
   /** Disk layer: load the artifact if present, else run `build`, write
     * the artifact, and return a frame READING it (so every downstream
     * plan — this session included — hangs off the artifact scan, the
@@ -167,9 +275,16 @@ private[graft] object FrameCache {
     * can never observe the marker before every data file exists,
     * whatever the store's rename semantics.
     */
-  private def materialize(s: SparkSession, key: String)(
-      build: => DataFrame): DataFrame = indexDir(s) match {
-    case None => build
+  /** Disk-layer materialization. Returns (frame, skipPersist):
+    * skipPersist is true for a partitioned on-disk artifact — the whole
+    * point of the layout is the prunable parquet scan, which a
+    * MEMORY_AND_DISK InMemoryRelation would hide from every consumer
+    * plan (and a corpus-sized index does not belong in executor memory
+    * at 100 TB anyway).
+    */
+  private def materialize(s: SparkSession, key: String, layout: Layout)(
+      build: => DataFrame): (DataFrame, Boolean) = indexDir(s) match {
+    case None => (build, false)
     case Some(dir) =>
       val path = artifactPathFor(s, dir, key)
       val p = new org.apache.hadoop.fs.Path(path)
@@ -177,7 +292,7 @@ private[graft] object FrameCache {
       // DEFAULT fs and either crashes ("Wrong FS") or probes the wrong
       // store when the index dir lives elsewhere (hdfs://, s3a://)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val schema = buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
         val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
         // An existing-but-unmarked p is EITHER a crash between
         // rename(tmp,p) and the marker create (abandoned — safe to
@@ -186,62 +301,157 @@ private[graft] object FrameCache {
         // subsequent fs.create(marker) re-creates p so OUR later
         // rename nests tmp INSIDE a marker-blessed directory — a
         // permanently corrupt artifact). The two are indistinguishable
-        // at a glance, so give a live writer the publish-grace window
-        // to finish: only a p that stays unmarked for the full grace
-        // is treated as abandoned.
-        val marked = fs.exists(marker) ||
-          (fs.exists(p) && awaitMarker(fs, marker, publishGraceMs(s)))
-        if (marked)
-          diskLoads.incrementAndGet()
-        else {
-          diskBuilds.incrementAndGet()
-          // CRASH WINDOW: a prior writer died between its rename(tmp,p)
-          // and its _SUCCESS create, leaving p complete but UNMARKED
-          // past the grace window above. Renaming onto an existing
-          // directory is "move INTO dest" on HDFS/local — tmp would
-          // nest inside p and the post-rename marker would then bless a
-          // directory holding the stale top level plus a duplicate
-          // nested copy, forever. The marker is the ONLY commit point —
-          // delete the abandoned publish before building.
-          if (fs.exists(p)) fs.delete(p, true)
-          val tmp = new org.apache.hadoop.fs.Path(
-            path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-          build.write.mode("overwrite").parquet(tmp.toString)
-          // strip the committer's marker so the marker a reader trusts
-          // is only ever the post-rename one below
-          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-          if (fs.rename(tmp, p)) {
-            // publish the read gate strictly AFTER all data files exist
-            fs.create(marker).close()
-          } else {
-            // a concurrent writer in another JVM published (or is mid-
-            // publish) — drop ours and WAIT for their _SUCCESS before
-            // reading. On object stores their rename is a non-atomic
-            // per-file copy that may still be running when our rename
-            // fails; loading immediately would read a torn directory.
-            fs.delete(tmp, true)
-            if (!awaitMarker(fs, marker, publishGraceMs(s)))
-              throw new IllegalStateException(
-                s"FrameCache: lost publish race for $path but winner's " +
-                s"_SUCCESS never appeared within ${publishGraceMs(s)}ms — " +
-                "torn or abandoned concurrent publish; refusing to read " +
-                "an ungated artifact")
-          }
+        // at a glance ONLY while the directory is fresh: a live writer
+        // renamed moments ago, so a directory whose mtime already
+        // predates the grace window has no live writer and is declared
+        // abandoned immediately — the full poll is paid only inside the
+        // genuine ambiguity window (a crash within the last graceMs),
+        // not by every later session that trips over old debris.
+        val grace = publishGraceMs(s)
+        val marked = fs.exists(marker) || (fs.exists(p) && {
+          val fresh =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime <= grace
+            catch { case _: java.io.FileNotFoundException => false }
+          fresh && awaitMarker(fs, marker, grace)
+        })
+        // a marker without a valid current-version sidecar is NOT an
+        // artifact (foreign/poisoned pre-created path, or torn publish)
+        // — rebuilt, never trusted
+        val meta = if (marked) readMeta(fs, p) else None
+        meta match {
+          case Some(sch) => diskLoads.incrementAndGet(); sch
+          case None =>
+            diskBuilds.incrementAndGet()
+            // CRASH WINDOW: a prior writer died between its rename(tmp,p)
+            // and its _SUCCESS create, leaving p complete but UNMARKED
+            // past the grace window above. Renaming onto an existing
+            // directory is "move INTO dest" on HDFS/local — tmp would
+            // nest inside p and the post-rename marker would then bless a
+            // directory holding the stale top level plus a duplicate
+            // nested copy, forever. The marker is the ONLY commit point —
+            // delete the abandoned publish before building.
+            if (fs.exists(p)) fs.delete(p, true)
+            if (!writeArtifact(fs, p, build, layout)) {
+              // a concurrent writer in another JVM published (or is mid-
+              // publish) — ours was dropped; WAIT for their _SUCCESS
+              // before reading. On object stores their rename is a
+              // non-atomic per-file copy that may still be running when
+              // our rename fails; loading immediately would read a torn
+              // directory.
+              if (!awaitMarker(fs, new org.apache.hadoop.fs.Path(p, "_SUCCESS"),
+                  publishGraceMs(s)))
+                throw new IllegalStateException(
+                  s"FrameCache: lost publish race for $path but winner's " +
+                  s"_SUCCESS never appeared within ${publishGraceMs(s)}ms — " +
+                  "torn or abandoned concurrent publish; refusing to read " +
+                  "an ungated artifact")
+            }
+            readMeta(fs, p).getOrElse(throw new IllegalStateException(
+              s"FrameCache: artifact $path is marked but carries no valid " +
+              s"v$ArtifactFormatVersion sidecar — foreign or torn publish"))
         }
       }
-      // A small artifact reads back as a handful of file-split
-      // partitions — far below the executor width the build's
-      // Tables.spread gave it — and consumers doing map-heavy work
-      // before their first exchange would serialize. Re-spread
-      // (round-robin; one artifact-sized shuffle per session, then the
-      // MEMORY_AND_DISK persist holds it), mirroring spread's 2x guard.
-      val loaded = s.read.parquet(path)
-      val target = s.sparkContext.defaultParallelism
-      if (loaded.rdd.getNumPartitions * 2 >= target) loaded
-      else loaded.repartition(target)
+      val loaded = openArtifact(s, schema, path)
+      if (layout.isPartitioned) (loaded, true)
+      else {
+        // A small artifact reads back as a handful of file-split
+        // partitions — far below the executor width the build's
+        // Tables.spread gave it — and consumers doing map-heavy work
+        // before their first exchange would serialize. Re-spread
+        // (round-robin; one artifact-sized shuffle per session, then the
+        // MEMORY_AND_DISK persist holds it), mirroring spread's 2x guard.
+        val target = s.sparkContext.defaultParallelism
+        (if (loaded.rdd.getNumPartitions * 2 >= target) loaded
+         else loaded.repartition(target), false)
+      }
   }
 
-  def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  // ---- maintenance-output generations (round 17) ---------------------------
+  // materialize is a build-once CACHE: an existing marked artifact is
+  // always loaded, never replaced — the right contract for staged
+  // builds, the wrong one for MAINTENANCE output (A60/A61), where each
+  // run's merged index must become the new servable artifact. A
+  // generation is always written (the caller's token makes the path
+  // unique), published through the same tmp+rename+sidecar+_SUCCESS
+  // protocol, and a `<key>.latest` pointer file is atomically repointed
+  // so the next serve session OPENS the newest generation in place —
+  // no re-seed copy, closing the loop from maintenance back to serving.
+
+  private def pointerPath(dir: String, key: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      artifactPath(dir, s"$key#v$ArtifactFormatVersion") + ".latest")
+
+  /** Publish `df` as the next generation of `key` under `dir` and
+    * repoint `<key>.latest` at it. `gen` must be unique per maintenance
+    * run within a store (a batch id, a run uuid). Returns the artifact
+    * path.
+    */
+  private[graft] def publishGeneration(s: SparkSession, dir: String,
+      key: String, df: DataFrame, layout: Layout, gen: String): String = {
+    val path = artifactPath(dir, s"$key#v$ArtifactFormatVersion!gen-$gen")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a re-used token is a caller bug, but never corrupt the store over
+    // it: the stale same-token artifact is replaced, not nested into
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!writeArtifact(fs, p, df, layout))
+      throw new IllegalStateException(
+        s"FrameCache: generation publish lost a rename race at $path — " +
+        "generation tokens must be unique per maintenance run")
+    // atomic pointer flip: readers see the old generation or the new
+    // one, never a torn pointer (FileContext.rename OVERWRITE is atomic
+    // on local/HDFS, unlike delete-then-rename)
+    val ptr = pointerPath(dir, key)
+    val tmp = new org.apache.hadoop.fs.Path(
+      ptr.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp)
+    try out.write(path.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    path
+  }
+
+  /** Open the newest published generation of `key` under `dir` — the
+    * serve-session entry point: a pure read of the pointed-at artifact
+    * (validated marker + sidecar), zero copies, zero builds.
+    */
+  private[graft] def openLatestGeneration(s: SparkSession, dir: String,
+      key: String): Option[DataFrame] = {
+    val ptr = pointerPath(dir, key)
+    val fs = ptr.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val path =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    openGeneration(s, path)
+  }
+
+  /** Open one published generation by path (the value
+    * [[publishGeneration]] returned), gated on marker + sidecar.
+    */
+  private[graft] def openGeneration(s: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return None
+    readMeta(fs, p).map(openArtifact(s, _, path))
+  }
+
+  def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    getOrPersistLayout(s, key, NoLayout)(build)
+
+  /** [[getOrPersist]] with an on-disk [[Layout]]: with the index dir
+    * set, the artifact is written hive-partitioned (+ optionally
+    * row-group-sorted) and returned as the RAW prunable scan — no
+    * memory persist (see materialize). Without the index dir the layout
+    * is moot (no files to prune) and the session-scoped persist applies
+    * as for any other key.
+    */
+  private[graft] def getOrPersistLayout(s: SparkSession, key: String,
+      layout: Layout)(build: => DataFrame): DataFrame = {
     hooked.computeIfAbsent(s, { _ =>
       val l = new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
@@ -262,12 +472,14 @@ private[graft] object FrameCache {
     val hit = cache.get(k)
     if (hit ne null) hit
     else {
-      val built = materialize(s, key)(build)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (mat, skipPersist) = materialize(s, key, layout)(build)
+      val built =
+        if (skipPersist) mat else mat.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = cache.putIfAbsent(k, built)
       if (prev eq null) built
       else {
-        try built.unpersist(blocking = false) catch { case _: Throwable => () }
+        if (!skipPersist)
+          try built.unpersist(blocking = false) catch { case _: Throwable => () }
         prev
       }
     }

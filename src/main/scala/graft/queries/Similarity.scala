@@ -419,7 +419,13 @@ object Similarity {
     * probe; with the index dir set it persists like the PQ codes.
     */
   private[graft] def ivfLists(s: SparkSession, d: String): DataFrame =
-    graft.FrameCache.getOrPersist(s, s"sim.ivf.lists:$d") {
+    // PARTITIONED BY cid (round 17): one hive partition per inverted
+    // list, so the broadcast probe joins on cid read ONLY the probed
+    // lists via dynamic partition pruning — IO ∝ nProbe/nLists of the
+    // corpus, the point of IVF at 100 TB (previously the scan was full
+    // and the pruning compute-only).
+    graft.FrameCache.getOrPersistLayout(s, s"sim.ivf.lists:$d",
+      graft.FrameCache.Layout(partitionCols = Seq("cid"))) {
       val refined = trainedCentroids(s, d)
       Tables.spread(Tables.embeddings(s, d), s, "vec_id")
         .withColumn("cid", F.argmax_cos(col("embedding"),
@@ -1136,7 +1142,12 @@ object Similarity {
     * staged alongside the book.
     */
   private[graft] def ivfPqCodes(s: SparkSession, d: String): DataFrame =
-    graft.FrameCache.getOrPersist(s, s"sim.ivfpq.codes:$d") {
+    // PARTITIONED BY list (round 17), the ivfLists layout one level
+    // down: the ADC probe's join on list reads only the probed lists'
+    // code partitions (dynamic partition pruning) — per-query IO ∝
+    // probed-list ENCODED mass, the IVFADC contract at 100 TB
+    graft.FrameCache.getOrPersistLayout(s, s"sim.ivfpq.codes:$d",
+      graft.FrameCache.Layout(partitionCols = Seq("list"))) {
       ivfPqEncode(ivfPqBook(s, d),
         Tables.spread(Tables.embeddings(s, d), s, "vec_id"))
     }

@@ -297,6 +297,41 @@ object Streaming {
   private def restartRootOf(s: SparkSession): Option[String] =
     Option(s.conf.get(RestartRootConf, null)).map(_.trim).filter(_.nonEmpty)
 
+  /** One-operator-per-root, ENFORCED (round 17 — the rule above used to
+    * rest on spec discipline alone): record an operator fingerprint
+    * under the root on first use and fail fast on mismatch, instead of
+    * letting a second, different operator silently resume the first
+    * one's offsets and state. The fingerprint is the md5 of the
+    * harness tag (drive path, output mode, key columns) and the
+    * frame's schema json — a SCHEMA-LEVEL guard, deliberately not a
+    * full-plan hash: analyzed/canonicalized plan strings embed closure
+    * object identities (FMGWS functions, lambda ids) that differ
+    * between two incarnations of the SAME operator, so a plan hash
+    * would reject every legitimate restart. Two genuinely different
+    * operators that agree on harness path, mode, keys, AND full output
+    * schema can still slip past this gate — those crash or corrupt on
+    * the state-schema axis today exactly as before; everything else
+    * now fails fast with an explanation.
+    */
+  private def enforceOperatorIdentity(root: String, frame: DataFrame,
+      tag: String): Unit = {
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((tag + "\n" + frame.schema.json).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val f = java.nio.file.Paths.get(root, "operator.fp")
+    if (java.nio.file.Files.exists(f)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+      if (prev != fp) throw new IllegalStateException(
+        s"restart root $root already hosts a different operator " +
+        s"(recorded $prev, this plan $fp): the fixed checkpoint paths " +
+        "under a root would resume the FIRST operator's offsets/state — " +
+        "use a fresh root per operator")
+    } else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, fp.getBytes("UTF-8"))
+    }
+  }
+
   /** [[runToMemory]]'s restart-capable twin: same drain-and-stop drive,
     * but the sink is a driver-side foreachBatch buffer (the memory
     * sink refuses checkpoint recovery outside complete mode) and the
@@ -309,6 +344,7 @@ object Streaming {
     */
   private def runRestartable(s: SparkSession, frame: DataFrame,
       mode: OutputMode, needsNoDataBatch: Boolean, root: String): DataFrame = {
+    enforceOperatorIdentity(root, frame, s"memory:$mode")
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val schema = frame.schema
     val q = startClamped(s, needsNoDataBatch)(
@@ -1298,17 +1334,31 @@ object Streaming {
     */
   /** `bootstrap`: an optional EXISTING keyed table to seed the MERGE
     * sink with before the stream starts (batch_seq −1, superseded by
-    * any streamed write of the same key) — the deployment shape where
-    * the table is last night's build and the stream is today's
-    * appends (A60 seeds the IVF lists artifact). Must carry `updates`'
+    * any streamed write of the same key) — for SMALL keyed tables a
+    * deployment re-materializes per session. Must carry `updates`'
     * columns. Ignored when the sink state already exists (the restart
-    * path: the persisted table IS the bootstrap).
+    * path: the persisted table IS the bootstrap). The seed write
+    * publishes via tmp+rename (round 17 — a crash mid-seed must not
+    * leave a torn directory the next incarnation reads as live state).
+    * NOTE: a CORPUS-SIZED base does not belong here — A60/A61 open the
+    * published index artifact in place and keep only a delta in the
+    * sink (maintainPublishProbe), copying nothing.
     */
   private[graft] def runKeyedUpsert(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
       onBatch: (Long, Long) => Unit = null,
       bootstrap: Option[DataFrame] = None): DataFrame =
     runKeyedUpsertThen(s, updates, keyCols, onBatch, bootstrap)(identity)
+
+  /** Optional secondary sort for the keyed table's writes (round 17):
+    * every state write becomes `sortWithinPartitions(bucket, sortCols)`,
+    * so each bucket's parquet files are row-group-clustered on the sort
+    * columns — a reader that pushes an equality/range filter on them
+    * (an IVF probe filtering cid) skips non-matching row groups via
+    * parquet min/max stats even though the MERGE layout must stay
+    * key-hash-bucketed (bucketing by cid would strand superseded rows
+    * in their old list — the A60 Scaladoc argument).
+    */
 
   /** [[runKeyedUpsert]] with a post-drain CONSUMER over the
     * parquet-backed keyed table: `consume` plans against the state
@@ -1328,13 +1378,16 @@ object Streaming {
   private[graft] def runKeyedUpsertThen(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String],
       onBatch: (Long, Long) => Unit = null,
-      bootstrap: Option[DataFrame] = None)(
+      bootstrap: Option[DataFrame] = None,
+      sortCols: Seq[String] = Nil)(
       consume: DataFrame => DataFrame): DataFrame = {
     // under the restart harness the keyed table AND the checkpoint
     // live under the session's fixed root and survive the run — the
     // deployment shape (the MERGE table persists between restarts),
     // witnessed by the restart spec
     val restartRoot = restartRootOf(s)
+    restartRoot.foreach(enforceOperatorIdentity(_, updates,
+      s"kupsert:${keyCols.mkString(",")}"))
     val stateDir = restartRoot.map(r => s"$r/kupsert")
       .getOrElse(scratchDir("graft_kupsert_state"))
     // scratch dirs prefer /dev/shm (RAM): a failed run must not leave
@@ -1347,7 +1400,7 @@ object Streaming {
       outSchema = org.apache.spark.sql.types.StructType(
         updates.schema.fields.toSeq),
       keepDirs = restartRoot.isDefined, bootstrap = bootstrap,
-      consume = consume)
+      sortCols = sortCols, consume = consume)
     catch { case t: Throwable =>
       if (restartRoot.isEmpty)
         org.apache.commons.io.FileUtils.deleteQuietly(
@@ -1362,6 +1415,7 @@ object Streaming {
       outSchema: org.apache.spark.sql.types.StructType,
       keepDirs: Boolean,
       bootstrap: Option[DataFrame],
+      sortCols: Seq[String],
       consume: DataFrame => DataFrame): DataFrame = {
     val ckpt =
       if (keepDirs) s"$stateDir.ckpt" else scratchDir("graft_kupsert_ckpt_")
@@ -1379,7 +1433,7 @@ object Streaming {
       math.min(sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4").toInt,
         prevParts.toInt).toString)
     try runKeyedUpsertDrive(s, updates, keyCols, onBatch, stateDir, ckpt,
-      outCols, outSchema, keepDirs, bootstrap, consume)
+      outCols, outSchema, keepDirs, bootstrap, sortCols, consume)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -1396,13 +1450,52 @@ object Streaming {
         !fs.listStatus(statePath).exists(_.isDirectory))
       fs.delete(statePath, true)
 
+  /** Write a keyed-table state frame ATOMICALLY: the partitioned write
+    * lands in a temp sibling and is published to `dest` by one rename
+    * (round 17 — the r16 advisor's torn-seed finding: a crash mid-write
+    * directly at `dest` left a directory the next incarnation's
+    * exists() check read as LIVE state, silently skipping the seed and
+    * merging batches into a partial table). A dataless write publishes
+    * nothing — "no state yet", the [[dropDatalessState]] contract.
+    * Orphaned temp siblings from crashed runs are swept on entry.
+    */
+  private def publishState(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, frame: DataFrame): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      dest.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    frame.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    dropDatalessState(fs, tmp)
+    if (fs.exists(tmp) && !fs.rename(tmp, dest)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"keyed-upsert state publish lost a rename race at $dest — " +
+        "two drives are sharing one state dir")
+    }
+  }
+
+  private def sweepStateTmp(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val parent = dest.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(dest.getName + ".tmp-"))
+        .foreach(fs.delete(_, true))
+  }
+
   private def runKeyedUpsertDrive(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String], onBatch: (Long, Long) => Unit,
       stateDir: String, ckpt: String, outCols: Seq[String],
       outSchema: org.apache.spark.sql.types.StructType,
       keepDirs: Boolean,
       bootstrap: Option[DataFrame],
+      sortCols: Seq[String],
       consume: DataFrame => DataFrame): DataFrame = {
+    // optional row-group clustering of every state write (Scaladoc at
+    // runKeyedUpsert): bucket first — the write splits files on it —
+    // then the caller's sort columns within each bucket's file
+    def clustered(frame: DataFrame): DataFrame =
+      if (sortCols.isEmpty) frame
+      else frame.sortWithinPartitions(("bucket" +: sortCols).map(col): _*)
     // seed the keyed table with the existing build BEFORE the stream
     // starts: bucketed identically (the streamed MERGE must find an
     // old key in the bucket its replacement hashes to), stamped
@@ -1410,19 +1503,17 @@ object Streaming {
     bootstrap.foreach { table =>
       val statePathH = new org.apache.hadoop.fs.Path(s"$stateDir/state")
       val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+      sweepStateTmp(fs, statePathH)
       if (!fs.exists(statePathH)) {
         // same one-row-per-key enforcement as the batch-0 fast path:
         // a seed assembled with an accidental key overlap would persist
         // duplicate rows at batch_seq -1, and buckets never touched by
         // a later trigger are never re-merged
-        table.dropDuplicates(keyCols)
+        publishState(fs, statePathH, clustered(table.dropDuplicates(keyCols)
           .withColumn("batch_seq", lit(-1L))
           .withColumn("bucket",
             pmod(xxhash64(keyCols.map(col): _*), lit(UpsertBuckets))
-              .cast("int"))
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(statePathH.toString)
-        dropDatalessState(fs, statePathH)
+              .cast("int"))))
       }
     }
     val q = updates.writeStream
@@ -1460,23 +1551,24 @@ object Streaming {
           // an arbitrary winner among same-batch duplicates — the same
           // tie the merge path's batch_seq ordering leaves arbitrary —
           // and costs one changed-keys-sized exchange on batch 0 only.
-          withBucket.dropDuplicates(keyCols)
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(statePath)
-          dropDatalessState(fs, statePathH)
+          // Published via tmp+rename (publishState): a crash mid-write
+          // must not leave a torn directory the checkpoint-replayed
+          // batch would then try to MERGE against.
+          sweepStateTmp(fs, statePathH)
+          publishState(fs, statePathH,
+            clustered(withBucket.dropDuplicates(keyCols)))
         } else {
           // bounded partition-pruning list (≤ UpsertBuckets ints)
           val touched = withBucket.select(col("bucket")).distinct()
             .collect().map(_.getInt(0)).toSeq
           val existing = sess.read.parquet(statePath)
             .filter(col("bucket").isin(touched: _*))
-          existing.unionByName(withBucket)
+          clustered(existing.unionByName(withBucket)
             .withColumn("rn", row_number().over(
               org.apache.spark.sql.expressions.Window
                 .partitionBy(keyCols.map(col): _*)
                 .orderBy(col("batch_seq").desc)))
-            .filter(col("rn") === 1).drop("rn")
+            .filter(col("rn") === 1).drop("rn"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
@@ -2729,33 +2821,45 @@ object Streaming {
       Sim.ivfPqProbeWith(queries, book, codes, emb))
   }
 
-  // --- A60: incremental IVF list maintenance (round 16) --------------------
+  // --- A60: incremental IVF list maintenance (round 16; r17 publish loop) ---
   // A57-A59 serve a FROZEN index; a real retrieval deployment appends
   // vectors between rebuilds. A60 is that maintenance loop, composed
-  // from two existing pieces exactly as a deployment would: arriving
-  // embeddings assign to their nearest centroid MAP-SIDE (the same
-  // argmax_cos encode the ivfLists build runs — the codebook stays
-  // frozen between rebuilds, which is what makes the incremental path
-  // sound: assignment is a pure per-row function of the frozen
-  // codebook) and MERGE into the lists table through runKeyedUpsert,
-  // seeded with last night's build (the bootstrap param). Newest write
-  // per vec_id wins, so a RE-EMBEDDED vector replaces its old row —
-  // and because the MERGE buckets hash the KEY (vec_id), not the list
-  // (cid), a re-embedding that moves the vector to a different list
-  // still lands in the same bucket as the row it supersedes; bucketing
-  // by cid would strand a stale copy in the old list. At scale,
-  // probe-side list pruning comes from sorting the artifact by cid
-  // within buckets (row-group pruning), not from the MERGE layout.
+  // exactly as a deployment would run it (round 17 shape — the r16
+  // bootstrap design copied the corpus-sized artifact into the state
+  // dir every session):
   //
-  // Post-drain, the merged table is probed through ivfProbeWith — the
-  // EXACT plan knn_ivf runs — and must equal batch knn_ivf over the
-  // full (original + appended) corpus row-for-row: frozen codebook ⇒
-  // merged lists ≡ full-build lists, the spec's equality.
+  //   1. OPEN the existing build in place — the published artifact IS
+  //      the base table; nothing is copied, nothing rescans the corpus.
+  //   2. Arriving embeddings assign to their nearest centroid MAP-SIDE
+  //      (the same argmax_cos encode the ivfLists build runs — the
+  //      codebook stays frozen between rebuilds, which is what makes
+  //      the incremental path sound: assignment is a pure per-row
+  //      function of the frozen codebook) and MERGE into a DELTA-ONLY
+  //      keyed table through runKeyedUpsert: per-trigger sink IO ∝
+  //      arrival-touched buckets of the CHANGED KEYS, never the index.
+  //      Newest write per vec_id wins, so a RE-EMBEDDED vector replaces
+  //      its old delta row — and because the MERGE buckets hash the KEY
+  //      (vec_id), not the list (cid), a re-embedding that moves the
+  //      vector to a different list still supersedes in place
+  //      (bucketing by cid would strand a stale copy in the old list);
+  //      sortCols=cid keeps the delta's files row-group-clustered by
+  //      list all the same.
+  //   3. Post-drain, the maintained view (base rows whose key has no
+  //      delta row, plus the delta — one broadcastable anti-join, the
+  //      LSM merge read) is PUBLISHED through the FrameCache marker
+  //      protocol as the next index GENERATION, cid-partitioned like
+  //      the nightly build, and the `<key>.latest` pointer flips so the
+  //      next serve session opens the maintained index with no re-seed.
+  //   4. The probe runs against the PUBLISHED artifact through
+  //      ivfProbeWith — the EXACT plan knn_ivf runs, dynamic partition
+  //      pruning included — and must equal batch knn_ivf over the full
+  //      (original + appended) corpus row-for-row: frozen codebook ⇒
+  //      maintained view ≡ full-build lists, the spec's equality.
   //
-  // Scale: per-trigger sink IO ∝ arrival-touched buckets; the encode
-  // is map-side against the literal codebook; nothing rescans the
-  // corpus. The registered query streams the `vec_id % 5 == 0` cohort
-  // as "today's appends" against a v1 index of the rest.
+  // The registered query streams the `vec_id % 5 == 0` cohort as
+  // "today's appends" against a v1 index of the rest, publishing to a
+  // scratch store (the spec publishes to a real store and serves the
+  // maintained generation from a fresh session).
   val annIndexUpsert = QueryDef.rowsOnly("stream_ann_index_upsert") { (s, d) =>
     val path = s"$d/embeddings.parquet"
     runAnnIndexUpsert(s,
@@ -2765,48 +2869,55 @@ object Streaming {
   }
 
   /** The A60 pipeline over an arbitrary streaming (vec_id, embedding)
-    * append frame — seam for the multi-batch and replacement specs.
-    * `v1` overrides the seeded index (defaults to the staged ivfLists
-    * minus the registered arriving cohort); `onBatch` is the spec's
-    * per-trigger sink-IO observability hook.
+    * append frame — seam for the multi-batch, replacement, and restart
+    * specs. `v1` overrides the opened base index (defaults to the
+    * staged ivfLists minus the registered arriving cohort); `onBatch`
+    * is the spec's per-trigger sink-IO observability hook; `publishTo`
+    * = (store dir, artifact key) publishes the maintained generation
+    * into a real store (default: a scratch store, removed post-probe).
     */
   private[graft] def runAnnIndexUpsert(s: SparkSession, raw: DataFrame,
       d: String, v1: Option[DataFrame] = None,
-      onBatch: (Long, Long) => Unit = null): DataFrame = {
+      onBatch: (Long, Long) => Unit = null,
+      publishTo: Option[(String, String)] = None): DataFrame = {
     val Sim = graft.queries.Similarity
     val F = graft.functions.expressions
     val refined = trainedCentroidsLit(s, d)
-    val seed = v1.getOrElse(
+    val base = v1.getOrElse(
       Sim.ivfLists(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0))
     val updates = raw
       .select(col("vec_id"), col("embedding"))
       .withColumn("cid",
         F.argmax_cos(col("embedding"), refined).cast("long"))
       .select(col("cid"), col("vec_id"), col("embedding").as("ea"))
-    runKeyedUpsertThen(s, updates, Seq("vec_id"),
-      onBatch = onBatch, bootstrap = Some(seed))(merged =>
-      Sim.ivfProbeWith(s, d, merged, Sim.NProbe))
+    maintainPublishProbe(s, updates, Seq("vec_id"), onBatch, base,
+      partCol = "cid", publishTo)(published =>
+      Sim.ivfProbeWith(s, d, published, Sim.NProbe))
   }
 
-  // --- A61: incremental IVFADC code maintenance (round 16) -----------------
+  // --- A61: incremental IVFADC code maintenance (round 16; r17 publish) -----
   // A60's sibling for the production index (E11 — coarse lists + 16
   // residual PQ codes per vector): arriving embeddings run the SAME
   // map-only encode pass the nightly build runs (`ivfPqEncode` against
   // the frozen two-level book — coarse assignment + per-subspace
   // residual codes, all literal-codebook map work) and MERGE into the
-  // codes table through runKeyedUpsert, seeded with the existing
-  // build. The MERGE key is (vec_id, m) — a vector is 16 code rows —
-  // so a re-embedded vector replaces ALL its rows even when its coarse
-  // list changes (the rows' keys don't mention the list; the A60
-  // bucketing argument one level down). Post-drain the merged codes
-  // are probed through ivfPqProbeWith — the exact knn_ivfpq plan —
-  // and must equal it row-for-row (frozen book ⇒ merged codes ≡
-  // full-build codes).
+  // delta-only keyed table. The MERGE key is (vec_id, m) — a vector is
+  // 16 code rows — so a re-embedded vector replaces ALL its rows even
+  // when its coarse list changes (the rows' keys don't mention the
+  // list; the A60 bucketing argument one level down). The maintained
+  // view (base codes anti-joined on (vec_id, m), plus the delta)
+  // publishes list-partitioned like the nightly codes build, and the
+  // probe runs ivfPqProbeWith — the exact knn_ivfpq plan, DPP included
+  // — against the PUBLISHED generation, row-equal to batch knn_ivfpq
+  // (frozen book ⇒ maintained codes ≡ full-build codes).
   //
   // Scale: encode is map-side; per-trigger sink IO ∝ 16 × arrivals
-  // (touched buckets); nothing rescans the corpus. Together with A60
-  // this closes the index-maintenance matrix: both servable artifacts
-  // (IVF lists, IVFADC codes) stay fresh between rebuilds.
+  // (touched buckets of the delta); nothing copies or rescans the
+  // corpus — the publish is the one index-sized write, and it IS the
+  // next servable artifact. Together with A60 this closes the
+  // index-maintenance matrix: both servable artifacts (IVF lists,
+  // IVFADC codes) stay fresh between rebuilds, and serving reads them
+  // via the generation pointer.
   val annCodesUpsert = QueryDef.rowsOnly("stream_ann_codes_upsert") { (s, d) =>
     val path = s"$d/embeddings.parquet"
     runAnnCodesUpsert(s,
@@ -2816,21 +2927,58 @@ object Streaming {
   }
 
   /** The A61 pipeline over an arbitrary streaming (vec_id, embedding)
-    * append frame — seam for the multi-batch and replacement specs.
+    * append frame — seam for the multi-batch, replacement, and publish
+    * specs (params as in [[runAnnIndexUpsert]]).
     */
   private[graft] def runAnnCodesUpsert(s: SparkSession, raw: DataFrame,
       d: String, v1: Option[DataFrame] = None,
-      onBatch: (Long, Long) => Unit = null): DataFrame = {
+      onBatch: (Long, Long) => Unit = null,
+      publishTo: Option[(String, String)] = None): DataFrame = {
     val Sim = graft.queries.Similarity
     val book = Sim.ivfPqBook(s, d)
-    val seed = v1.getOrElse(
+    val base = v1.getOrElse(
       Sim.ivfPqCodes(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 0))
     val updates = Sim.ivfPqEncode(book,
       raw.select(col("vec_id"), col("embedding")))
-    runKeyedUpsertThen(s, updates, Seq("vec_id", "m"),
-      onBatch = onBatch, bootstrap = Some(seed))(merged =>
+    maintainPublishProbe(s, updates, Seq("vec_id", "m"), onBatch, base,
+      partCol = "list", publishTo)(published =>
       Sim.ivfPqProbeWith(Sim.queriesDf(s, d),
-        book, merged, Tables.embeddings(s, d), Sim.NProbe))
+        book, published, Tables.embeddings(s, d), Sim.NProbe))
+  }
+
+  /** Shared A60/A61 maintenance drive: delta-only keyed MERGE of
+    * `updates`, then post-drain the maintained view — base rows whose
+    * key has no delta row (one anti-join against the changed-keys-sized
+    * delta), union the delta — is PUBLISHED as the next partitioned
+    * index generation through the FrameCache marker protocol, and
+    * `probe` runs against the published artifact (the serve-path plan,
+    * partition pruning included). Nothing seeds or copies the base into
+    * the state dir: the base is opened in place, the delta is the only
+    * state, and the publish is the one index-sized write — which is the
+    * point of the write (it becomes the next servable artifact).
+    */
+  private def maintainPublishProbe(s: SparkSession, updates: DataFrame,
+      keyCols: Seq[String], onBatch: (Long, Long) => Unit, base: DataFrame,
+      partCol: String, publishTo: Option[(String, String)])(
+      probe: DataFrame => DataFrame): DataFrame = {
+    val scratch =
+      if (publishTo.isEmpty) Some(scratchDir("graft_annpub_")) else None
+    val (storeDir, key) = publishTo.getOrElse((scratch.get, "maintained"))
+    try {
+      runKeyedUpsertThen(s, updates, keyCols, onBatch = onBatch,
+        sortCols = Seq(partCol)) { delta =>
+        val view = base
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(delta)
+        val gen = java.util.UUID.randomUUID().toString.take(8)
+        val path = graft.FrameCache.publishGeneration(s, storeDir, key, view,
+          graft.FrameCache.Layout(partitionCols = Seq(partCol)), gen)
+        probe(graft.FrameCache.openGeneration(s, path).getOrElse(
+          throw new IllegalStateException(
+            s"published generation $path failed its own marker/sidecar gate")))
+      }
+    } finally scratch.foreach(dir =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)))
   }
 
   /** Shared A58/A59 serving harness: run each arrival micro-batch of

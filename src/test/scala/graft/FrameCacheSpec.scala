@@ -198,8 +198,12 @@ class FrameCacheSpec extends AnyFunSuite {
       // re-create p and bless whatever landed next. With the grace
       // poll, this session waits, sees the marker arrive, and LOADS.
       val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
-      s1.range(33).toDF("id").withColumn("v", col("id") * 3)
-        .write.parquet(p.toString)
+      val winner = s1.range(33).toDF("id").withColumn("v", col("id") * 3)
+      winner.write.parquet(p.toString)
+      // a v3 writer publishes the sidecar with the data, before the
+      // marker — simulate the same order
+      java.nio.file.Files.writeString(p.toPath.resolve("_GRAFT_META"),
+        FrameCache.ArtifactFormatVersion + "\n" + winner.schema.json)
       val marker = p.toPath.resolve("_SUCCESS")
       java.nio.file.Files.delete(marker) // rename done, marker pending
       val sentinel = p.toPath.resolve("_winner-sentinel")
@@ -220,6 +224,162 @@ class FrameCacheSpec extends AnyFunSuite {
         s"expected pure load: builds ${b1 - b0}, loads ${l1 - l0}")
       assert(java.nio.file.Files.exists(sentinel),
         "winner's data file was deleted during the grace window")
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index dir: an unmarked destination older than the grace window " +
+      "is declared abandoned IMMEDIATELY — no per-key grace stall") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_old").toString
+    val key = "spec.indexdir.stale"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    // production-sized grace: pre-fix this test would stall 120 s here
+    s1.conf.set(FrameCache.PublishGraceConf, "120000")
+    try {
+      val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
+      assert(p.mkdirs())
+      java.nio.file.Files.writeString(
+        p.toPath.resolve("part-stale.parquet"), "stale")
+      // age the directory past the grace window: no live writer renamed
+      // this recently, so there is nobody to wait for
+      java.nio.file.Files.setLastModifiedTime(p.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 600000L))
+      val t0 = System.nanoTime()
+      val df = FrameCache.getOrPersist(s1, key) {
+        s1.range(9).toDF("id")
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(df.count() === 9)
+      assert(elapsedMs < 60000L,
+        s"stale unmarked destination still paid the grace poll: ${elapsedMs}ms")
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index dir: a marker-blessed directory WITHOUT a valid sidecar " +
+      "(pre-created/poisoned path, or a stale format) is rebuilt, " +
+      "never loaded") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_poison").toString
+    val key = "spec.indexdir.poisoned"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    s1.conf.set(FrameCache.PublishGraceConf, "200")
+    try {
+      // an attacker (or a crashed foreign tool) pre-creates the path
+      // with a blessing marker but no sidecar — loading it blind was
+      // the r16 advisor's poisoning finding
+      val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
+      assert(p.mkdirs())
+      java.nio.file.Files.createFile(p.toPath.resolve("_SUCCESS"))
+      java.nio.file.Files.writeString(
+        p.toPath.resolve("part-evil.parquet"), "not-your-data")
+      val (b0, _) = FrameCache.diskStats
+      val df = FrameCache.getOrPersist(s1, key) {
+        s1.range(11).toDF("id")
+      }
+      assert(df.count() === 11,
+        "poisoned marker-blessed directory was served instead of rebuilt")
+      assert(FrameCache.diskStats._1 - b0 === 1)
+      val names = p.listFiles().map(_.getName).toSet
+      assert(names.contains("_GRAFT_META") && !names.contains("part-evil.parquet"),
+        s"poisoned content survived the rebuild: $names")
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("index dir: a partitioned Layout writes hive partitions, loads " +
+      "back with the build's schema (order and types), and is returned " +
+      "as the raw prunable scan (no InMemoryRelation)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_part").toString
+    val key = "spec.indexdir.layout"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      def build(s: org.apache.spark.sql.SparkSession) =
+        FrameCache.getOrPersistLayout(s, key,
+          FrameCache.Layout(partitionCols = Seq("cid"), sortCols = Seq("id"))) {
+          s.range(100).toDF("id")
+            .withColumn("cid", pmod(col("id"), lit(7)))
+            .withColumn("v", col("id") * 2)
+            .select(col("cid"), col("id"), col("v")) // cid FIRST on purpose
+        }
+      val first = build(s1)
+      // hive layout on disk: one directory per cid value
+      val p = new java.io.File(FrameCache.artifactPathFor(s1, dir, key))
+      val parts = p.listFiles().map(_.getName).filter(_.startsWith("cid="))
+      assert(parts.length === 7, s"expected 7 cid partitions: ${parts.toSeq}")
+      // schema round-trips EXACTLY: hive inference alone would type cid
+      // int and move it to the end
+      assert(first.schema.fieldNames.toSeq === Seq("cid", "id", "v"))
+      assert(first.schema("cid").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(first.count() === 100)
+      // raw prunable scan: a static filter on the partition column
+      // reaches the scan as a PartitionFilter over pruned partitions
+      val pruned = first.filter(col("cid") === 3L)
+      assert(pruned.count() === 100 / 7 + (if (3 < 100 % 7) 1 else 0))
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scan.isDefined, "partitioned artifact is not a file scan " +
+        "(persisted InMemoryRelation would hide pruning)")
+      assert(scan.get.partitionFilters.nonEmpty,
+        s"no partition filter pushed: ${pruned.queryExecution.executedPlan}")
+      // a fresh session loads (not rebuilds) with the same schema
+      val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+      val (b0, _) = FrameCache.diskStats
+      val second = build(s2)
+      assert(second.schema === first.schema)
+      assert(FrameCache.diskStats._1 === b0, "fresh session rebuilt a " +
+        "partitioned artifact")
+      FrameCache.evict(s2)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("generation publish: each publish writes a new gated artifact, " +
+      "the latest-pointer flips atomically, and a fresh session opens " +
+      "the newest generation in place (zero builds, zero copies)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_gen").toString
+    val key = "spec.generation.lists"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      val lay = FrameCache.Layout(partitionCols = Seq("cid"))
+      val gen1 = s1.range(10).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(3))).select("cid", "id")
+      val p1 = FrameCache.publishGeneration(s1, dir, key, gen1, lay, "g1")
+      assert(new java.io.File(s"$p1/_SUCCESS").exists())
+      val got1 = FrameCache.openLatestGeneration(s1, dir, key)
+      assert(got1.isDefined && got1.get.count() === 10)
+      // maintenance publishes the next generation; the pointer flips
+      val gen2 = s1.range(25).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(3))).select("cid", "id")
+      val p2 = FrameCache.publishGeneration(s1, dir, key, gen2, lay, "g2")
+      assert(p2 != p1, "generation paths must not collide")
+      // a fresh serve session opens the MAINTAINED generation: a pure
+      // read — no build, no re-seed copy, schema intact
+      val s2 = spark.newSession(); s2.conf.set(FrameCache.IndexDirConf, dir)
+      val (b0, _) = FrameCache.diskStats
+      val served = FrameCache.openLatestGeneration(s2, dir, key)
+      assert(served.isDefined && served.get.count() === 25,
+        "serve session did not open the newest generation")
+      assert(served.get.schema.fieldNames.toSeq === Seq("cid", "id"))
+      assert(FrameCache.diskStats._1 === b0)
+      // both generations remain on disk (retention is the store's GC
+      // job); the old one is still openable by path
+      assert(FrameCache.openGeneration(s2, p1).get.count() === 10)
+      FrameCache.evict(s2)
     } finally {
       FrameCache.evict(s1)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
