@@ -454,13 +454,26 @@ object Similarity {
       broadcast(refined.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }.toDF("cid", "ce"))
     }
-    // query → nProbe nearest lists
+    // query → nProbe nearest lists. The probe set is CUT (localCheckpoint
+    // — |queries| × nProbe rows, the FAISS "send the probe list" step)
+    // before the join: left as lineage, the window in this subplan
+    // defeats dynamic partition pruning on the cid-partitioned lists
+    // artifact — the planner can neither reuse the broadcast (plan
+    // mismatch) nor price the subquery (the lineage rescans the corpus
+    // on paper), so the probed-list scan silently degrades to a full
+    // read (measured: dynamicpruningexpression(true)). Checkpointed,
+    // the build side is a tiny materialized relation and the trailing
+    // trivially-true cid filter supplies the selective predicate the
+    // DPP rule requires — files read ∝ probed lists, the IVF contract,
+    // spec-pinned via scan metrics.
     val probes = queriesDf(s, d).crossJoin(centroids)
       .withColumn("csim", F.cosine_sim(col("qe"), col("ce")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
+      .localCheckpoint()
+      .filter(col("cid") >= 0L)
     topK(broadcast(probes).join(lists, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("ea")))
@@ -1212,7 +1225,11 @@ object Similarity {
       .filter(col("nrm") > 0)
       .withColumn("qn", expr("transform(qe, x -> CAST(x / nrm AS FLOAT))"))
       .select(col("query_id"), col("qn"))
-    // probe: nProbe nearest lists per query, carrying the coarse term
+    // probe: nProbe nearest lists per query, carrying the coarse term.
+    // Cut + trivially-true list filter before the broadcast, exactly as
+    // in ivfProbeWith: the window in this subplan otherwise defeats
+    // dynamic partition pruning on the list-partitioned codes artifact
+    // (the probed-codes scan would silently read every list).
     val probes = broadcast(qn.crossJoin(broadcast(book.filter(col("m") === -1)
         .select(col("cid").as("list"), col("ce").as("le"))))
       .withColumn("dist2", l2d(col("qn"), col("le")))
@@ -1220,7 +1237,9 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("list"))))
       .filter(col("lrk") <= nProbe)
       .select(col("query_id"), col("list"),
-        F.dot_product(col("qn"), col("le")).as("coarse")))
+        F.dot_product(col("qn"), col("le")).as("coarse"))
+      .localCheckpoint()
+      .filter(col("list") >= 0))
     // residual ADC lookup table: list-independent, (query, m, cid)
     val lut = broadcast(qn
       .select(col("query_id"), explode(expr(

@@ -2649,10 +2649,14 @@ object Streaming {
   }
 
   /** The A57 pipeline over an arbitrary streaming (vec_id, embedding)
-    * query frame — seam for the multi-batch spec.
+    * query frame — seam for the multi-batch spec. `lists` overrides the
+    * probed index table (default: the staged ivfLists artifact) — a
+    * serve session passes the MAINTAINED generation A60 published
+    * (FrameCache.openLatestGeneration), closing the maintain → publish
+    * → serve loop with zero re-seeding.
     */
   private[graft] def runAnnProbe(s: SparkSession, raw: DataFrame,
-      d: String): DataFrame = {
+      d: String, lists: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val Sim = graft.queries.Similarity
     val F = graft.functions.expressions
@@ -2662,7 +2666,7 @@ object Streaming {
       .withColumn("cid0", explode(
         F.top_cos_ids(col("qe"), refined, Sim.NProbe)))
       .withColumn("cid", col("cid0").cast("long")).drop("cid0")
-      .join(Sim.ivfLists(s, d), Seq("cid")) // stream-static, staged lists
+      .join(lists.getOrElse(Sim.ivfLists(s, d)), Seq("cid")) // stream-static lists
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
       .filter(!isnan(col("cosine")))
@@ -2809,16 +2813,19 @@ object Streaming {
   }
 
   /** The A59 pipeline over an arbitrary streaming (vec_id, embedding)
-    * query frame — seam for the multi-batch spec.
+    * query frame — seam for the multi-batch spec. `codes` overrides the
+    * probed codes table (default: the staged ivfPqCodes artifact) — a
+    * serve session passes the MAINTAINED generation A61 published, the
+    * A57 override one index down.
     */
   private[graft] def runAnnIvfPq(s: SparkSession, raw: DataFrame,
-      d: String): DataFrame = {
+      d: String, codes: Option[DataFrame] = None): DataFrame = {
     val Sim = graft.queries.Similarity
     val book = Sim.ivfPqBook(s, d)
-    val codes = Sim.ivfPqCodes(s, d)
+    val codesT = codes.getOrElse(Sim.ivfPqCodes(s, d))
     val emb = Tables.embeddings(s, d)
     runBatchPlanServing(s, raw, "annivfpq")(queries =>
-      Sim.ivfPqProbeWith(queries, book, codes, emb))
+      Sim.ivfPqProbeWith(queries, book, codesT, emb))
   }
 
   // --- A60: incremental IVF list maintenance (round 16; r17 publish loop) ---

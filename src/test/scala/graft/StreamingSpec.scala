@@ -545,6 +545,118 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(srcDir2))
   }
 
+  test("maintain -> publish -> serve (A60/A57 loop): the maintenance run " +
+      "publishes the merged lists as the next generation, a FRESH serve " +
+      "session opens it in place (no re-seed copy, no build) and both " +
+      "the streaming probe and the batch probe over it equal batch " +
+      "knn_ivf — with the probe scan partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivf")(spark, sf).collect())
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_serve_store").toString
+    val key = s"sim.ivf.lists.maintained:$sf"
+    val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val srcDir = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+    try {
+      // 1. maintenance session: delta MERGE + publish into the store
+      val maintained = keyed(graft.streaming.Streaming.runAnnIndexUpsert(
+        spark, spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+        publishTo = Some((store, key))).collect())
+      assert(maintained == batch,
+        "maintenance probe over the published generation diverges")
+      // 2. FRESH serve session opens the published generation in place:
+      // a pure read — zero disk builds, zero copies, full-corpus rows
+      val s2 = spark.newSession()
+      val (b0, _) = FrameCache.diskStats
+      val served = FrameCache.openLatestGeneration(s2, store, key)
+      assert(served.isDefined, "no latest-generation pointer after publish")
+      val expectRows = Sim.ivfLists(spark, sf).count()
+      assert(served.get.count() === expectRows,
+        "maintained generation does not hold the full merged index")
+      assert(FrameCache.diskStats._1 === b0,
+        "serve session built or copied instead of opening in place")
+      // 3. the A57 streaming serve path probes the MAINTAINED index
+      val qdf = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < Sim.NQueries)
+      val qSrc = timeSplitSource(qdf, 2, Seq(col("vec_id")))
+      try {
+        val servedProbe = keyed(graft.streaming.Streaming.runAnnProbe(s2,
+          s2.readStream.schema(qdf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(qSrc), sf,
+          lists = Some(served.get)).collect())
+        assert(servedProbe == batch,
+          "A57 serving the maintained generation diverges from batch knn_ivf")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(qSrc))
+      // 4. the batch probe plan over the published artifact is
+      // partition-pruned: the generation is cid-partitioned, so the
+      // broadcast probe join plants a dynamic pruning filter on the scan
+      val probePlan = Sim.ivfProbeWith(s2, sf, served.get, Sim.NProbe)
+      val explained = probePlan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(explained.contains("dynamicpruningexpression"),
+        s"no dynamic partition pruning on the maintained-index scan:\n" +
+          explained.take(4000))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    }
+  }
+
+  test("maintain -> publish -> serve (A61/A59 loop): the maintained codes " +
+      "generation serves a fresh session's IVFADC probe, row-equal to " +
+      "batch knn_ivfpq, with no re-seed copy") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivfpq")(spark, sf).collect())
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_serve_store_pq").toString
+    val key = s"sim.ivfpq.codes.maintained:$sf"
+    val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val srcDir = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+    try {
+      val maintained = keyed(graft.streaming.Streaming.runAnnCodesUpsert(
+        spark, spark.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+        publishTo = Some((store, key))).collect())
+      assert(maintained == batch)
+      val s2 = spark.newSession()
+      val (b0, _) = FrameCache.diskStats
+      val served = FrameCache.openLatestGeneration(s2, store, key)
+      assert(served.isDefined, "no latest-generation pointer after publish")
+      assert(served.get.count() === Sim.ivfPqCodes(spark, sf).count(),
+        "maintained codes generation does not hold the full merged codes")
+      assert(FrameCache.diskStats._1 === b0,
+        "serve session built or copied instead of opening in place")
+      // A59 streaming serve over the maintained codes
+      val qdf = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < Sim.NQueries)
+      val qSrc = timeSplitSource(qdf, 2, Seq(col("vec_id")))
+      try {
+        val servedProbe = keyed(graft.streaming.Streaming.runAnnIvfPq(s2,
+          s2.readStream.schema(qdf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(qSrc), sf,
+          codes = Some(served.get)).collect())
+        assert(servedProbe == batch,
+          "A59 serving the maintained codes diverges from batch knn_ivfpq")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(qSrc))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    }
+  }
+
   test("stream_oov_feed scores each arrival against the static vocab, multi-batch") {
     import spark.implicits._
     // static vocab side: three in-vocab tokens; the stream arrives in
