@@ -72,9 +72,13 @@ object Bench {
     // rounds, so it defaults to the store the gate populates: same box
     // ⇒ warm-load ≈ the gated numbers; fresh box ⇒ cold-build, both
     // recorded honestly in stage_mode. Explicit env still overrides;
-    // other mains keep the opt-in default.
+    // other mains keep the opt-in default. The default is USER-scoped
+    // (round 17 — r16 advice: a fixed world-writable /tmp path lets any
+    // local user pre-create the store; the _GRAFT_META validation on
+    // load is the second half of that fix) and gate.sh exports the same
+    // path so the driver's env-less bench stays warm-load.
     if (spark.conf.get(FrameCache.IndexDirConf, "").isEmpty)
-      spark.conf.set(FrameCache.IndexDirConf, "/tmp/gate_graft_index")
+      spark.conf.set(FrameCache.IndexDirConf, FrameCache.defaultIndexDir)
     // a bench never races a live cross-JVM publisher (the gate runs
     // its bench invocations serially) — don't let a crashed earlier
     // run's unmarked artifact stall every affected key for the full

@@ -45,6 +45,17 @@ private[graft] object FrameCache {
   // — and different VERSIONS of one regenerated corpus — never collide.
   private[graft] val IndexDirConf = "spark.graft.index.dir"
 
+  /** The user-scoped default store Bench falls back to and gate.sh
+    * exports — `<tmpdir>/graft_index_<user>`, NOT a fixed world-
+    * writable path another local user could pre-create (r16 advice;
+    * the _GRAFT_META validation on load is the defense-in-depth half:
+    * even a pre-created marker-blessed directory is rebuilt, not
+    * served).
+    */
+  private[graft] def defaultIndexDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+      "/graft_index_" + sys.props.getOrElse("user.name", "unknown")
+
   /** Artifact FORMAT VERSION, embedded in every artifact path. The
     * corpus fingerprint catches a changed corpus; this catches changed
     * CODE — bump it whenever any staged-build logic or constant changes

@@ -16,6 +16,12 @@ object Verify {
         "would silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.get(cpus)
+    // like Bench: a verify run never races a live cross-JVM publisher,
+    // so don't let a crashed earlier run's unmarked artifact stall
+    // affected keys for the production publish grace (the mtime check
+    // already skips OLD debris; this bounds the fresh-crash window too)
+    if (spark.conf.get(FrameCache.PublishGraceConf, "").isEmpty)
+      spark.conf.set(FrameCache.PublishGraceConf, "5000")
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries

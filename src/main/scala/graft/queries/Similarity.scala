@@ -2098,9 +2098,108 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("rerank_depth"))
   }
 
+  // --- E26: ANN index health — the rebuild trigger (round 17) ---------------
+  // A60/A61 keep the servable artifacts fresh under a FROZEN codebook;
+  // nothing measured when that assumption decays. This is the report a
+  // deployment schedules between rebuilds — the index analogue of the
+  // reference's TTL expiry forcing a re-election
+  // (CassandraLeaderElection.scala:46-90: staleness is detected and
+  // forces a rebuild of the leadership state; here staleness of the
+  // codebook forces a rebuild of the index):
+  //
+  //   - per-list occupancy vs the BUILD-TIME distribution (skew_micro:
+  //     a list growing much faster than the index means arrivals
+  //     concentrate where the frozen centroids are coarsest);
+  //   - assignment drift (drift_micro: mean cosine-to-own-centroid of
+  //     build rows minus appended rows — appended vectors sitting
+  //     farther from their centroids than the build did means the
+  //     codebook no longer describes the arrival distribution);
+  //   - a recall canary on the summary row (the CURRENT probe pipeline
+  //     scored against the staged exact anchor — the end-to-end number
+  //     an index swap is gated on, E23's measurement as a health field).
+  //
+  // Schema: one row per list plus a cid = -1 summary row (totals,
+  // corpus-level drift, the canary). Scale: ONE pass over the lists
+  // artifact — map-side cosine against the broadcast codebook, two
+  // aggregates — plus the staged-anchor probe; the report is
+  // nLists + 1 rows. Approximate-by-contract (the canary inherits ANN
+  // recall), so rows+spec: the spec recomputes every field driver-side
+  // on a planted frame and cross-checks the canary against the suite's
+  // own recall measurement.
+  /** The health report over an ARBITRARY lists frame — seam for the
+    * planted-drift spec and for running the report against a MAINTAINED
+    * generation instead of the staged build.
+    */
+  private[graft] def indexHealthOver(s: SparkSession, lists: DataFrame,
+      cents: IndexedSeq[Array[Float]], isNew: Column,
+      exact: DataFrame, approx: DataFrame): DataFrame = {
+    import s.implicits._
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "ce"))
+    val assigned = lists.join(centDf, Seq("cid"))
+      .withColumn("own_cos", F.cosine_sim(col("ea"), col("ce")))
+      .filter(!isnan(col("own_cos"))) // zero-norm degenerates carry no signal
+      .withColumn("is_new", isNew)
+    val perList = assigned.groupBy(col("cid")).agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("n_build"),
+      count(lit(1)).as("n_now"),
+      avg(when(!col("is_new"), col("own_cos"))).as("cos_build"),
+      avg(when(col("is_new"), col("own_cos"))).as("cos_new"))
+    val totals = assigned.agg(
+      sum(when(col("is_new"), 0L).otherwise(1L)).as("t_build"),
+      count(lit(1)).as("t_now"),
+      avg(when(!col("is_new"), col("own_cos"))).as("tc_build"),
+      avg(when(col("is_new"), col("own_cos"))).as("tc_new"))
+      .localCheckpoint() // 1 row, consumed by both report halves
+    def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
+    val listRows = perList.crossJoin(broadcast(totals))
+      .select(
+        col("cid"), col("n_build"), col("n_now"),
+        micro(col("n_build").cast("double") /
+          greatest(col("t_build"), lit(1L))).as("share_build_micro"),
+        micro(col("n_now").cast("double") / col("t_now"))
+          .as("share_now_micro"),
+        // occupancy growth vs build share; > 1e6 = outgrowing the index
+        when(col("n_build") > 0,
+          micro((col("n_now").cast("double") / col("t_now")) /
+            (col("n_build").cast("double") / col("t_build"))))
+          .as("skew_micro"),
+        micro(col("cos_build")).as("cos_own_build_micro"),
+        micro(col("cos_new")).as("cos_own_new_micro"),
+        (micro(col("cos_build")) - micro(col("cos_new"))).as("drift_micro"),
+        lit(null).cast("long").as("recall_canary_micro"))
+    val denom = broadcast(exact.agg(count(lit(1)).as("n_exact")))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(exact.select(col("query_id"), col("neighbor_id"))),
+        Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val summary = totals.crossJoin(denom).crossJoin(hits)
+      .select(
+        lit(-1L).as("cid"),
+        col("t_build").as("n_build"), col("t_now").as("n_now"),
+        lit(1000000L).as("share_build_micro"),
+        lit(1000000L).as("share_now_micro"),
+        lit(null).cast("long").as("skew_micro"),
+        micro(col("tc_build")).as("cos_own_build_micro"),
+        micro(col("tc_new")).as("cos_own_new_micro"),
+        (micro(col("tc_build")) - micro(col("tc_new"))).as("drift_micro"),
+        micro(col("n_hits").cast("double") / col("n_exact"))
+          .as("recall_canary_micro"))
+    summary.unionByName(listRows).orderBy(col("cid"))
+  }
+
+  /** Registered report: the A60/A61 maintenance cohort (vec_id % 5 == 0)
+    * as "appended since the build", scored over the staged artifacts.
+    */
+  val indexHealth = QueryDef.rowsOnly("ann_index_health") { (s, d) =>
+    indexHealthOver(s, ivfLists(s, d), trainedCentroids(s, d),
+      pmod(col("vec_id"), lit(5)) === 0,
+      exactAnchor(s, d), ivfFrame(s, d, NProbe))
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
     binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal,
-    recallReport, probeSweep, rerankSweep)
+    recallReport, probeSweep, rerankSweep, indexHealth)
 }

@@ -963,12 +963,21 @@ object Streaming {
   // batch range join row-for-row → same oracle SQL.
   val intervalJoin = QueryDef.oracled(
     "stream_interval_join", graft.queries.Analytics.rangeJoinSql) { (s, d) =>
-    val clicks = eventStream(s, d)
+    runIntervalJoin(s, eventStream(s, d), eventStream(s, d))
+  }
+
+  /** The A29 pipeline over arbitrary events-shaped click/purchase
+    * streams — seam for the restart spec (the two-sided buffered join
+    * state must survive a checkpoint restart).
+    */
+  private[graft] def runIntervalJoin(s: SparkSession, clicksSrc: DataFrame,
+      purchasesSrc: DataFrame): DataFrame = {
+    val clicks = clicksSrc
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "0 seconds")
-    val purchases = eventStream(s, d)
+    val purchases = purchasesSrc
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
@@ -1093,7 +1102,16 @@ object Streaming {
       |FROM agg, logend
       |WHERE epoch_us(session_end) + 1800000000 <= e // 1000 * 1000
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val agg = eventStream(s, d)
+    runSessionWindows(s, eventStream(s, d))
+  }
+
+  /** The A20 pipeline over an arbitrary events-shaped stream — seam for
+    * the restart spec (open-session state straddling the restart must
+    * restore from the checkpoint).
+    */
+  private[graft] def runSessionWindows(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    val agg = events
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),

@@ -700,6 +700,74 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_index_health: totals and canary line up with the suite's own " +
+      "measurements, and a planted drifted cohort is detected") {
+    import org.apache.spark.sql.functions._
+    val Sim = queries.Similarity
+    val report = SparkEntry.queries("ann_index_health")(spark, sf).collect()
+    val summary = report.filter(_.getAs[Long]("cid") == -1L)
+    assert(summary.length === 1, "exactly one summary row")
+    val lists = summary.map(_ => report.filter(_.getAs[Long]("cid") >= 0L)).head
+    assert(lists.nonEmpty && report.length === lists.length + 1)
+    // totals: n_now sums the per-list rows; n_build + appended = n_now
+    val sm = summary.head
+    assert(lists.map(_.getAs[Long]("n_now")).sum === sm.getAs[Long]("n_now"))
+    assert(lists.map(_.getAs[Long]("n_build")).sum === sm.getAs[Long]("n_build"))
+    // n_now = the non-degenerate corpus (the lists artifact minus
+    // zero-norm rows, which carry no cosine signal)
+    val nonDegenerate = Tables.embeddings(spark, sf)
+      .filter(graft.functions.expressions.l2norm(col("embedding")) > 0)
+      .count()
+    assert(sm.getAs[Long]("n_now") === nonDegenerate)
+    // the recall canary IS the suite's own knn_ivf-vs-exact recall
+    val got = neighbors("knn_ivf")
+    val hits = exact.map { case (q, n) =>
+      (got.getOrElse(q, Set.empty) & n).size }.sum
+    val expectMicro = math.round(
+      hits.toDouble / exact.values.map(_.size).sum * 1e6)
+    assert(sm.getAs[Long]("recall_canary_micro") === expectMicro,
+      s"canary ${sm.getAs[Long]("recall_canary_micro")} != suite recall " +
+        s"$expectMicro")
+    // per-list drift arithmetic: drift = cos_build - cos_new micros
+    lists.filter(r => !r.isNullAt(r.fieldIndex("drift_micro"))).foreach { r =>
+      assert(r.getAs[Long]("drift_micro") ===
+        r.getAs[Long]("cos_own_build_micro") - r.getAs[Long]("cos_own_new_micro"))
+    }
+    // planted drift: 2 orthogonal centroids; build rows sit ON their
+    // centroids (cos 1), appended rows at a known angle — the report
+    // must price the decay exactly, and a build-only list reports no
+    // new-cohort stats
+    import spark.implicits._
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c1 = Array(0f, 1f, 0f, 0f)
+    val invSqrt2 = (1.0 / math.sqrt(2.0)).toFloat
+    val planted = Seq(
+      (0L, 100L, c0.toSeq), (0L, 101L, c0.toSeq),          // build, list 0
+      (1L, 102L, c1.toSeq),                                 // build, list 1
+      (0L, 200L, Seq(invSqrt2, invSqrt2, 0f, 0f))           // appended, 45 deg
+    ).toDF("cid", "vec_id", "ea")
+    val anchor = Seq((0L, 1L)).toDF("query_id", "neighbor_id")
+    val planted_report = Sim.indexHealthOver(spark, planted,
+      IndexedSeq(c0, c1), col("vec_id") >= 200L,
+      anchor, anchor)   // canary 1.0: approx == exact
+      .collect().map(r => r.getAs[Long]("cid") -> r).toMap
+    val l0 = planted_report(0L)
+    assert(l0.getAs[Long]("n_build") === 2L && l0.getAs[Long]("n_now") === 3L)
+    assert(l0.getAs[Long]("cos_own_build_micro") === 1000000L)
+    // cos(45 deg) = 0.7071068 -> drift 292893 micro
+    assert(l0.getAs[Long]("cos_own_new_micro") === 707107L)
+    assert(l0.getAs[Long]("drift_micro") === 292893L,
+      s"planted 45-degree drift mispriced: ${l0.getAs[Long]("drift_micro")}")
+    // occupancy skew: list 0 went from 2/3 of the build to 3/4 of the
+    // index -> (0.75 / 0.666..) = 1.125
+    assert(l0.getAs[Long]("skew_micro") === 1125000L)
+    val l1 = planted_report(1L)
+    assert(l1.isNullAt(l1.fieldIndex("cos_own_new_micro")) &&
+      l1.isNullAt(l1.fieldIndex("drift_micro")),
+      "build-only list invented new-cohort stats")
+    assert(planted_report(-1L).getAs[Long]("recall_canary_micro") === 1000000L)
+  }
+
   test("IVF/IVFADC probe IO is partition-pruned AT THE SCAN: with the " +
       "artifact store on, the lists/codes scans carry dynamic partition " +
       "pruning and read only the probed lists' partitions — and the " +

@@ -223,13 +223,15 @@ class StreamRestartSpec extends AnyFunSuite {
   }
 
   test("index maintenance (A60 IVF list upsert) resumes from the " +
-      "checkpoint: the seeded table is NOT re-bootstrapped, committed " +
-      "appends don't replay, and the final probe equals batch knn_ivf") {
+      "checkpoint: the delta state persists (and stays DELTA-sized — " +
+      "no corpus copy), committed appends don't replay, and the final " +
+      "probe over the published generation equals batch knn_ivf") {
     // the deployment scenario: the nightly append job dies mid-stream
     // and is restarted. Arrivals split into 4 chunks; restart between
-    // 2 and 3. On resume the kept state dir IS the bootstrap (the
-    // seed write is skipped — state exists), offsets skip chunks 0-1,
-    // and the merged table must still converge to the full corpus.
+    // 2 and 3. On resume the kept delta table is the state (the base
+    // index is opened in place, never copied), offsets skip chunks
+    // 0-1, and the published maintained view must still converge to
+    // the full corpus.
     import org.apache.spark.sql.functions._
     val Sim = graft.queries.Similarity
     val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -274,6 +276,118 @@ class StreamRestartSpec extends AnyFunSuite {
           ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
       assert(resumed == batch,
         "resumed maintenance did not converge to the full-build index")
+      // the kept state is the DELTA, not the index: exactly the
+      // arriving cohort's rows — the r16 design re-copied the
+      // corpus-sized base into the state dir every session
+      val stateRows = spark.read.parquet(s"$root/kupsert/state").count()
+      val cohort = arriving.count()
+      assert(stateRows === cohort,
+        s"state dir holds $stateRows rows, expected the $cohort-row " +
+          "delta — the base index leaked into the MERGE state")
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
+  test("stream-stream interval join (A29) resumes from the checkpoint: " +
+      "buffered click state survives the restart, no duplicate matches, " +
+      "union equals the hand-computed band join") {
+    import spark.implicits._
+    // Planted chunks (the real log's per-user arrivals are too sparse
+    // to guarantee a cross-boundary match): click c1 buffered in
+    // incarnation 1 must pair with purchase p2 arriving AFTER the
+    // restart — that match exists only if the two-sided join buffer
+    // restores from the checkpoint.
+    def ev(rows: (String, Long, Long, String)*) = rows.toSeq
+      .toDF("event_type", "user_id", "event_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val chunks = Seq(
+      ev(("click", 1L, 101L, "2024-01-01 10:00:00")),
+      ev(("click", 1L, 102L, "2024-01-01 10:30:00"),
+        ("purchase", 1L, 201L, "2024-01-01 10:20:00")),
+      // -- restart --
+      ev(("purchase", 1L, 202L, "2024-01-01 10:50:00")),
+      ev(("purchase", 1L, 203L, "2024-01-01 12:00:00")))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = chunks.head.schema
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      def run() = graft.streaming.Streaming.runIntervalJoin(s, src(), src())
+        .collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")) ->
+          r.getAs[Long]("gap_us")).toMap
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()                       // incarnation 1: chunks 0-1
+      assert(first == Map((101L, 201L) -> 20L * 60 * 1000000),
+        s"pre-restart matches diverge: $first")
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()                      // incarnation 2: resumes
+      // exactly-once AND the buffer restore: (c1=101, p2=202) pairs a
+      // PRE-restart click with a POST-restart purchase (gap 50 min),
+      // (c2=102, p2=202) is the intra-incarnation match (20 min), and
+      // p3 at 12:00 is outside every click's 1h band
+      assert(second == Map(
+        (101L, 202L) -> 50L * 60 * 1000000,
+        (102L, 202L) -> 20L * 60 * 1000000),
+        s"post-restart matches diverge (buffered click lost?): $second")
+      assert(first.keySet.intersect(second.keySet).isEmpty)
+    } finally cleanup(srcDir, holdDir, root)
+  }
+
+  test("native session_window (A20) resumes from the checkpoint: a " +
+      "session straddling the restart closes with pre-restart start and " +
+      "full count, closed sessions never re-emit") {
+    import spark.implicits._
+    // Planted chunks (real per-user arrivals are sparser than the 30min
+    // gap, so natural straddles don't exist): u1's session spans the
+    // boundary — its start/count are right only if the session state
+    // restores. u4 closes pre-restart (no re-emission); u2 opens before
+    // and reopens after; u3 stays open at log end (emitted never).
+    def ev(rows: (Long, Long, String)*) = rows.toSeq
+      .toDF("user_id", "event_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val chunks = Seq(
+      ev((4L, 1L, "2024-01-01 08:00:00"), (1L, 2L, "2024-01-01 10:00:00"),
+        (2L, 3L, "2024-01-01 10:05:00"), (1L, 4L, "2024-01-01 10:10:00")),
+      ev((2L, 5L, "2024-01-01 10:20:00"), (1L, 6L, "2024-01-01 10:25:00")),
+      // -- restart --
+      ev((1L, 7L, "2024-01-01 10:45:00"), (2L, 8L, "2024-01-01 11:30:00")),
+      ev((3L, 9L, "2024-01-01 13:00:00")))
+    val (srcDir, holdDir) = stagedChunks(chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_restart_ckpt").toString
+    try {
+      val s = restartSession(root)
+      val schema = chunks.head.schema
+      def run() = graft.streaming.Streaming.runSessionWindows(s,
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").toString) ->
+          ((r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events")))).toMap
+      expose(srcDir, holdDir, 0); expose(srcDir, holdDir, 1)
+      val first = run()
+      // only u4's early singleton is watermark-closed pre-restart
+      assert(first == Map((4L, "2024-01-01 08:00:00.0") ->
+        (("2024-01-01 08:00:00.0", 1L))),
+        s"pre-restart closed sessions diverge: $first")
+      expose(srcDir, holdDir, 2); expose(srcDir, holdDir, 3)
+      val second = run()
+      // THE state witness: u1's session [10:00, 10:45] x4 straddles the
+      // restart — start and count exist only in the restored state;
+      // u2's pre-restart session closes post-restart with pre-restart
+      // bounds; u2's 11:30 singleton closes via the trailing no-data
+      // batch; u3's open tail session never emits
+      assert(second == Map(
+        (1L, "2024-01-01 10:00:00.0") -> (("2024-01-01 10:45:00.0", 4L)),
+        (2L, "2024-01-01 10:05:00.0") -> (("2024-01-01 10:20:00.0", 2L)),
+        (2L, "2024-01-01 11:30:00.0") -> (("2024-01-01 11:30:00.0", 1L))),
+        s"post-restart sessions diverge (session state lost?): $second")
+      assert(first.keySet.intersect(second.keySet).isEmpty)
     } finally cleanup(srcDir, holdDir, root)
   }
 

@@ -39,7 +39,9 @@ echo "=== gate 3/4: bench pair (sf0.1, two interleaved runs) ==="
 # (the production build-once model), and the per-run-min refresh rule
 # records the loaded `_stage` — the steady-state cost a deployment
 # actually pays per session.
-export SPARK_GRAFT_INDEX_DIR=/tmp/gate_graft_index
+# user-scoped store — must match FrameCache.defaultIndexDir so the
+# driver's env-less per-round bench warm-loads the gate's artifacts
+export SPARK_GRAFT_INDEX_DIR="${TMPDIR:-/tmp}/graft_index_$(id -un)"
 rm -rf "$SPARK_GRAFT_INDEX_DIR"
 for i in 1 2; do
   line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
