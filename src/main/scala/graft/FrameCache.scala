@@ -393,6 +393,15 @@ private[graft] object FrameCache {
     new org.apache.hadoop.fs.Path(
       artifactPath(dir, s"$key#v$ArtifactFormatVersion") + ".latest")
 
+  /** All of a key's generations live under ONE per-key directory
+    * (`<key-path>.gens/gen-<token>`), so retention can enumerate them
+    * — a flat hashed-path-per-generation layout couldn't be listed
+    * back to its key.
+    */
+  private def generationDir(dir: String, key: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      artifactPath(dir, s"$key#v$ArtifactFormatVersion") + ".gens")
+
   /** Publish `df` as the next generation of `key` under `dir` and
     * repoint `<key>.latest` at it. `gen` must be unique per maintenance
     * run within a store (a batch id, a run uuid). Returns the artifact
@@ -400,8 +409,8 @@ private[graft] object FrameCache {
     */
   private[graft] def publishGeneration(s: SparkSession, dir: String,
       key: String, df: DataFrame, layout: Layout, gen: String): String = {
-    val path = artifactPath(dir, s"$key#v$ArtifactFormatVersion!gen-$gen")
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new org.apache.hadoop.fs.Path(generationDir(dir, key), s"gen-$gen")
+    val path = p.toString
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a re-used token is a caller bug, but never corrupt the store over
     // it: the stale same-token artifact is replaced, not nested into
@@ -449,6 +458,60 @@ private[graft] object FrameCache {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return None
     readMeta(fs, p).map(openArtifact(s, _, path))
+  }
+
+  /** Retention sweep over a key's generation store — the GC the
+    * Scaladoc has so far left to "the deployment's retention job":
+    * keep the POINTED-AT generation unconditionally plus the newest
+    * `keep − 1` others (publish mtime order), delete the rest
+    * (torn/unmarked generation debris is always deleted). Returns the
+    * deleted paths. The pointer is re-read under the sweep so the
+    * serving generation can never be collected; a reader still holding
+    * a DataFrame over an already-superseded OLD generation races any
+    * retention policy — that is the usual table-store contract (run
+    * the sweep with a retention window longer than your longest
+    * reader, i.e. pick `keep` accordingly).
+    */
+  private[graft] def gcGenerations(s: SparkSession, dir: String,
+      key: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "gcGenerations: keep must be >= 1")
+    val gens = generationDir(dir, key)
+    val fs = gens.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(gens)) return Nil
+    val ptr = pointerPath(dir, key)
+    val current: Option[String] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val all = fs.listStatus(gens).filter(_.isDirectory)
+      .sortBy(-_.getModificationTime)
+    val (marked, unmarked) = all.partition(st =>
+      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    // an UNMARKED generation younger than the publish grace may be a
+    // LIVE publisher inside the rename→marker window (the materialize
+    // ambiguity) — leave it for a later sweep; older ones are torn
+    // debris
+    val now = System.currentTimeMillis()
+    val torn = unmarked.filter(st =>
+      now - st.getModificationTime > publishGraceMs(s))
+    // compare by generation NAME: listStatus returns scheme-qualified
+    // paths (file:/...) while the pointer records the publish-time
+    // string — a string compare would collect the serving generation
+    val currentName = current.map(new org.apache.hadoop.fs.Path(_).getName)
+    val keepNames = (currentName.toSeq ++
+      marked.map(_.getPath.getName).filterNot(currentName.contains)
+        .take(math.max(0, keep - (if (current.isDefined) 1 else 0))))
+      .toSet
+    val doomed = marked.map(_.getPath).filterNot(p => keepNames(p.getName)) ++
+      torn.map(_.getPath)
+    doomed.foreach(fs.delete(_, true))
+    // report in the publish-time path form (unqualified), as returned
+    // by publishGeneration
+    doomed.map(p =>
+      new org.apache.hadoop.fs.Path(gens, p.getName).toString).toSeq
   }
 
   def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =

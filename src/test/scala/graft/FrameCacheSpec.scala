@@ -386,6 +386,56 @@ class FrameCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("generation GC: keeps the pointed-at generation plus the newest " +
+      "keep-1, deletes older ones and aged torn debris, spares a " +
+      "possibly-live fresh unmarked publish") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_gc").toString
+    val key = "spec.generation.gc"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    s1.conf.set(FrameCache.PublishGraceConf, "60000")
+    try {
+      val lay = FrameCache.Layout(partitionCols = Seq("cid"))
+      def gen(n: Int) = s1.range(n).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(2))).select("cid", "id")
+      val p1 = FrameCache.publishGeneration(s1, dir, key, gen(5), lay, "g1")
+      val p2 = FrameCache.publishGeneration(s1, dir, key, gen(10), lay, "g2")
+      val p3 = FrameCache.publishGeneration(s1, dir, key, gen(15), lay, "g3")
+      // mtime-order the generations explicitly (same-second publishes
+      // on a 1s-granularity fs would otherwise tie)
+      Seq(p1, p2, p3).zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 600000L + i * 1000L))
+      }
+      // plant torn debris (old unmarked) and a FRESH unmarked dir (a
+      // possibly-live publisher inside the rename->marker window)
+      val gensDir = new java.io.File(p1).getParentFile
+      val torn = new java.io.File(gensDir, "gen-torn")
+      assert(torn.mkdirs())
+      java.nio.file.Files.setLastModifiedTime(torn.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 600000L))
+      val live = new java.io.File(gensDir, "gen-live")
+      assert(live.mkdirs()) // fresh mtime: inside the grace window
+      val deleted = FrameCache.gcGenerations(s1, dir, key, keep = 2)
+      assert(deleted.toSet === Set(p1, torn.getPath.toString),
+        s"GC deleted the wrong set: $deleted")
+      // the pointer still serves g3; g2 survives as rollback depth
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 15)
+      assert(FrameCache.openGeneration(s1, p2).get.count() === 10)
+      assert(FrameCache.openGeneration(s1, p1).isEmpty, "g1 not collected")
+      assert(live.exists(), "GC raced a possibly-live fresh publish")
+      // keep=1 collapses to the serving generation only
+      assert(FrameCache.gcGenerations(s1, dir, key, keep = 1)
+        .toSet === Set(p2))
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 15)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("index dir: a query family produces identical results with and " +
       "without the persistent artifact store (knn_pq end-to-end)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_pq").toString
