@@ -2982,6 +2982,10 @@ object Streaming {
     * state, and the publish is the one index-sized write — which is the
     * point of the write (it becomes the next servable artifact).
     */
+  /** Post-publish retention depth for [[maintainPublishProbe]] stores
+    * (see the knob's comment at the publish site). */
+  private[graft] val GenerationsKeepConf = "spark.graft.index.generations.keep"
+
   private def maintainPublishProbe(s: SparkSession, updates: DataFrame,
       keyCols: Seq[String], onBatch: (Long, Long) => Unit, base: DataFrame,
       partCol: String, publishTo: Option[(String, String)])(
@@ -2998,6 +3002,13 @@ object Streaming {
         val gen = java.util.UUID.randomUUID().toString.take(8)
         val path = graft.FrameCache.publishGeneration(s, storeDir, key, view,
           graft.FrameCache.Layout(partitionCols = Seq(partCol)), gen)
+        // retention knob: with spark.graft.index.generations.keep set,
+        // each maintenance run sweeps its key's store after publishing
+        // (the pointed-at generation is always kept) — unset, the
+        // store grows and gcGenerations is the deployment's cron job
+        val keep = s.conf.get(GenerationsKeepConf, "").trim
+        if (keep.nonEmpty)
+          graft.FrameCache.gcGenerations(s, storeDir, key, keep.toInt)
         probe(graft.FrameCache.openGeneration(s, path).getOrElse(
           throw new IllegalStateException(
             s"published generation $path failed its own marker/sidecar gate")))
@@ -3013,6 +3024,15 @@ object Streaming {
     * immutable for the server's life. The final read-back is the
     * documented harness drain (production reads the result table or
     * answers RPCs from the sink).
+    *
+    * Delivery contract, honestly: foreachBatch + a plain parquet
+    * append is AT-LEAST-ONCE across a crash — a batch that wrote its
+    * files but died before the checkpoint commit replays and appends
+    * again. For a scoring service that answers RPCs this is the normal
+    * serving contract (the caller retried anyway); a deployment that
+    * needs exactly-once RESULTS writes batch-id-stamped rows and
+    * dedupes read-side, or routes through runKeyedUpsert keyed on
+    * (query_id, rank) — whose merge IS idempotent under replay.
     */
   private def runBatchPlanServing(s: SparkSession, raw: DataFrame,
       tag: String)(probe: DataFrame => DataFrame): DataFrame = {

@@ -21,6 +21,8 @@ object DppProbe {
         // to a k-partitioned fact
         import org.apache.spark.sql.functions._
         val dir = java.nio.file.Files.createTempDirectory("dpp_min").toString
+        sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir)))
         spark.range(10000).toDF("id")
           .withColumn("k", pmod(col("id"), lit(16)))
           .withColumn("v", col("id") * 2)

@@ -603,6 +603,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(explained.contains("dynamicpruningexpression"),
         s"no dynamic partition pruning on the maintained-index scan:\n" +
           explained.take(4000))
+      // 5. retention knob: a second maintenance run with keep=1 sweeps
+      // the first generation after publishing its own — the store holds
+      // exactly one marked generation and the pointer serves it
+      val gensDir = new java.io.File(FrameCache.artifactPath(store,
+        s"$key#v${FrameCache.ArtifactFormatVersion}") + ".gens")
+      assert(gensDir.listFiles().count(_.isDirectory) === 1)
+      val srcDir2 = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+      try {
+        spark.conf.set(
+          graft.streaming.Streaming.GenerationsKeepConf, "1")
+        val again = keyed(graft.streaming.Streaming.runAnnIndexUpsert(
+          spark, spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir2), sf,
+          publishTo = Some((store, key))).collect())
+        assert(again == batch)
+        val gens = gensDir.listFiles().filter(_.isDirectory)
+        assert(gens.length === 1,
+          s"keep=1 retention left ${gens.length} generations: ${
+            gens.map(_.getName).toSeq}")
+        assert(FrameCache.openLatestGeneration(s2, store, key)
+          .get.count() === expectRows,
+          "pointer does not serve the surviving generation after the sweep")
+      } finally {
+        spark.conf.unset(graft.streaming.Streaming.GenerationsKeepConf)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir2))
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
