@@ -318,17 +318,50 @@ object Streaming {
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest((tag + "\n" + frame.schema.json).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val f = java.nio.file.Paths.get(root, "operator.fp")
-    if (java.nio.file.Files.exists(f)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
-      if (prev != fp) throw new IllegalStateException(
+    // the root's OWN filesystem, like every other state path in this
+    // file — java.nio resolved hdfs:///s3a:// roots to bogus local
+    // paths and never actually enforced (r17 advice)
+    val f = new org.apache.hadoop.fs.Path(root, "operator.fp")
+    val fs = f.getFileSystem(
+      frame.sparkSession.sparkContext.hadoopConfiguration)
+    val prev: Option[String] =
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        // a torn write (crash mid-create before the atomic protocol
+        // below existed, or a zero-length tmp leak) is NOT a different
+        // operator — treat unparseable as absent and re-record, instead
+        // of failing every legitimate restart with a misleading error
+        Some(txt).filter(_.matches("[0-9a-f]{32}"))
+      }
+    prev match {
+      case Some(p) if p != fp => throw new IllegalStateException(
         s"restart root $root already hosts a different operator " +
-        s"(recorded $prev, this plan $fp): the fixed checkpoint paths " +
+        s"(recorded $p, this plan $fp): the fixed checkpoint paths " +
         "under a root would resume the FIRST operator's offsets/state — " +
         "use a fresh root per operator")
-    } else {
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.write(f, fp.getBytes("UTF-8"))
+      case Some(_) => ()
+      case None =>
+        // tmp + rename so a crash mid-write can never leave a truncated
+        // fingerprint that poisons later restarts
+        val tmp = new org.apache.hadoop.fs.Path(
+          f.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        val out = fs.create(tmp, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, f)) {
+          // concurrent first-use race: the winner recorded a fingerprint;
+          // re-read and compare against ours
+          fs.delete(tmp, false)
+          val in = fs.open(f)
+          val theirs =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (theirs != fp) throw new IllegalStateException(
+            s"restart root $root already hosts a different operator " +
+            s"(recorded $theirs, this plan $fp)")
+        }
     }
   }
 

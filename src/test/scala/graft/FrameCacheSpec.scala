@@ -464,4 +464,91 @@ class FrameCacheSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("partitioned write spreads a hot partition value over multiple " +
+      "files (salted pre-write shuffle), with unchanged read-back") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_salt").toString
+    val key = "spec.indexdir.hotlist"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      // cid 0 holds 400 of 430 rows — the hot inverted list; pre-salt,
+      // repartition(cid) hashed all 400 rows into ONE writer task/file
+      def build(s: org.apache.spark.sql.SparkSession) =
+        FrameCache.getOrPersistLayout(s, key,
+          FrameCache.Layout(partitionCols = Seq("cid"))) {
+          s.range(430).toDF("id")
+            .withColumn("cid", when(col("id") < 400, 0L)
+              .otherwise(pmod(col("id"), lit(3)) + 1L))
+            .withColumn("v", col("id") * 7)
+            .select(col("cid"), col("id"), col("v"))
+        }
+      val first = build(s1)
+      assert(first.count() === 430)
+      val hotDir = new java.io.File(
+        FrameCache.artifactPathFor(s1, dir, key), "cid=0")
+      val hotFiles = hotDir.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") ||
+          f.getName.startsWith("part-"))
+      assert(hotFiles.length > 1,
+        s"hot partition written as ${hotFiles.length} file(s) — the " +
+          "salted shuffle did not split the hot list across writers")
+      // read-back content and pruning are unaffected by the salt
+      val ids = first.filter(col("cid") === 0L).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === (0L until 400L).toSet)
+      FrameCache.evict(s1)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("store trust: a fresh default-shaped store is created owner-only " +
+      "(0700), and a store owned by ANOTHER user is refused outright") {
+    import java.nio.file.{Files, Paths}
+    val parent = Files.createTempDirectory("graft_store_trust")
+    val fresh = parent.resolve("store_new").toString
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, fresh)
+    try {
+      FrameCache.getOrPersist(s1, "spec.store.trust") {
+        s1.range(3).toDF("id")
+      }
+      val perms = Files.getPosixFilePermissions(Paths.get(fresh))
+      import java.nio.file.attribute.PosixFilePermission._
+      assert(!perms.contains(GROUP_READ) && !perms.contains(GROUP_WRITE) &&
+        !perms.contains(OTHERS_READ) && !perms.contains(OTHERS_WRITE) &&
+        !perms.contains(GROUP_EXECUTE) && !perms.contains(OTHERS_EXECUTE),
+        s"store created world/group-accessible: $perms")
+      FrameCache.evict(s1)
+      // squatting: a pre-created store owned by someone else must be
+      // refused — the sidecar validates format, not provenance, so
+      // ownership is the real defense. Requires a second user on the
+      // box (the suite runs as root in CI, which can chown); skip the
+      // half when none is resolvable.
+      val foreign = parent.resolve("store_squat")
+      Files.createDirectory(foreign)
+      val lookup = foreign.getFileSystem.getUserPrincipalLookupService
+      val other =
+        try Some(lookup.lookupPrincipalByName("daemon"))
+        catch { case _: Throwable => None }
+      val chowned = other.exists { u =>
+        try { Files.setOwner(foreign, u); true }
+        catch { case _: Throwable => false }
+      }
+      if (chowned) {
+        val s2 = spark.newSession()
+        s2.conf.set(FrameCache.IndexDirConf, foreign.toString)
+        val e = intercept[IllegalStateException] {
+          FrameCache.getOrPersist(s2, "spec.store.squat") {
+            s2.range(1).toDF("id")
+          }
+        }
+        assert(e.getMessage.contains("owned by"),
+          s"wrong refusal: ${e.getMessage}")
+        FrameCache.evict(s2)
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(parent.toFile)
+  }
 }
