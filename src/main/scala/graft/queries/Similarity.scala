@@ -455,17 +455,19 @@ object Similarity {
         .map { case (v, i) => (i.toLong, v) }.toDF("cid", "ce"))
     }
     // query → nProbe nearest lists. The probe set is CUT (localCheckpoint
-    // — |queries| × nProbe rows, the FAISS "send the probe list" step)
-    // before the join: left as lineage, the window in this subplan
-    // defeats dynamic partition pruning on the cid-partitioned lists
-    // artifact — the planner can neither reuse the broadcast (plan
-    // mismatch) nor price the subquery (the lineage rescans the corpus
-    // on paper), so the probed-list scan silently degrades to a full
-    // read (measured: dynamicpruningexpression(true)). Checkpointed,
-    // the build side is a tiny materialized relation and the trailing
-    // trivially-true cid filter supplies the selective predicate the
-    // DPP rule requires — files read ∝ probed lists, the IVF contract,
-    // spec-pinned via scan metrics.
+    // — |queries| × nProbe rows, the FAISS "send the probe list" step),
+    // then the DISTINCT probed cids — bounded by nLists, never the
+    // corpus — are collected and pushed as a LITERAL isin partition
+    // filter on the lists scan. Round 17 achieved the pruning through
+    // dynamic partition pruning (checkpoint cut + a trivially-true
+    // predicate to satisfy the DPP rule's heuristics); round 18
+    // replaces it with static literal pruning because it is GUARANTEED
+    // — planner-heuristic-independent, and it still fires where DPP
+    // cannot: inside micro-batch streaming plans (AQE off, no stream
+    // stats) and through the union a manifest delta-generation read
+    // resolves to (a static filter pushes through Union; the DPP rule
+    // does not traverse it). Files read ∝ probed lists either way —
+    // the IVF contract, spec-pinned via post-execution scan metrics.
     val probes = queriesDf(s, d).crossJoin(centroids)
       .withColumn("csim", F.cosine_sim(col("qe"), col("ce")))
       .withColumn("crk", row_number().over(
@@ -473,10 +475,30 @@ object Similarity {
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
       .localCheckpoint()
-      .filter(col("cid") >= 0L)
-    topK(broadcast(probes).join(lists, Seq("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    topK(broadcast(probes)
+      .join(lists.filter(col("cid").isin(probedCids: _*)), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("ea")))
+  }
+
+  /** The DISTINCT probed-cid union the [[ivfProbeWith]] ranking
+    * produces for the registered query set — recomputed through the
+    * SAME (cosine desc, cid asc) window the probe plan runs; the
+    * pruning specs compare partitions-read scan metrics against it.
+    */
+  private[graft] def probedCidUnion(s: SparkSession, d: String,
+      nProbe: Int): Set[Long] = {
+    import s.implicits._
+    val centroids = trainedCentroids(s, d).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "ce")
+    queriesDf(s, d).crossJoin(centroids)
+      .withColumn("csim", F.cosine_sim(col("qe"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crk") <= nProbe)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
   }
 
   // --- E4: per-label centroids (custom TypedImperativeAggregate) ----------
@@ -1226,11 +1248,12 @@ object Similarity {
       .withColumn("qn", expr("transform(qe, x -> CAST(x / nrm AS FLOAT))"))
       .select(col("query_id"), col("qn"))
     // probe: nProbe nearest lists per query, carrying the coarse term.
-    // Cut + trivially-true list filter before the broadcast, exactly as
-    // in ivfProbeWith: the window in this subplan otherwise defeats
-    // dynamic partition pruning on the list-partitioned codes artifact
-    // (the probed-codes scan would silently read every list).
-    val probes = broadcast(qn.crossJoin(broadcast(book.filter(col("m") === -1)
+    // Cut at the checkpoint, then push the bounded distinct probed-list
+    // set as a LITERAL isin partition filter on the codes scan, exactly
+    // as in ivfProbeWith (round 18: static literal pruning replaces the
+    // DPP arrangement — guaranteed, and it survives micro-batch plans
+    // and manifest-generation unions where the DPP rule cannot fire).
+    val probesCut = qn.crossJoin(broadcast(book.filter(col("m") === -1)
         .select(col("cid").as("list"), col("ce").as("le"))))
       .withColumn("dist2", l2d(col("qn"), col("le")))
       .withColumn("lrk", row_number().over(
@@ -1239,7 +1262,11 @@ object Similarity {
       .select(col("query_id"), col("list"),
         F.dot_product(col("qn"), col("le")).as("coarse"))
       .localCheckpoint()
-      .filter(col("list") >= 0))
+    // the list column's type follows the book's cid (int) — collect
+    // numerically, not by a fixed accessor
+    val probedLists = probesCut.select(col("list")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+    val probes = broadcast(probesCut)
     // residual ADC lookup table: list-independent, (query, m, cid)
     val lut = broadcast(qn
       .select(col("query_id"), explode(expr(
@@ -1250,8 +1277,10 @@ object Similarity {
       .join(book.filter(col("m") >= 0), Seq("m"))
       .select(col("query_id"), col("m"), col("cid"),
         F.dot_product(col("qsv"), col("ce")).as("part")))
-    // probed-list codes only: the join on list IS the IVF pruning
-    val cand = codes.join(probes, Seq("list"))
+    // probed-list codes only: the join on list IS the IVF pruning, and
+    // the literal isin prunes the codes scan to the probed partitions
+    val cand = codes.filter(col("list").isin(probedLists: _*))
+      .join(probes, Seq("list"))
       .join(lut, Seq("query_id", "m", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg((max(col("coarse")) + sum(col("part"))).as("adc"))

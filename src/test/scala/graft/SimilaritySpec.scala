@@ -769,80 +769,39 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("IVF/IVFADC probe IO is partition-pruned AT THE SCAN: with the " +
-      "artifact store on, the lists/codes scans carry dynamic partition " +
-      "pruning and read only the probed lists' partitions — and the " +
-      "pruned results equal the session-mode run row-for-row") {
-    import org.apache.spark.sql.functions._
+      "artifact store on, the lists/codes scans carry the literal " +
+      "probed-list filter and read only the probed lists' partitions — " +
+      "and the pruned results equal the session-mode run row-for-row") {
     val Sim = queries.Similarity
-    val dir = java.nio.file.Files.createTempDirectory("graft_idx_dpp").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString
     val s = spark.newSession()
     s.conf.set(FrameCache.IndexDirConf, dir)
     try {
-      // recursive physical-plan walk: AQE wraps executed stages
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(q.plan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
       def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
           ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
-      def checkPruned(frame: org.apache.spark.sql.DataFrame, tag: String,
-          totalParts: Int): Long = {
-        val rows = frame.collect()
-        assert(rows.nonEmpty)
-        val scan = scans(frame.queryExecution.executedPlan).find(
-          _.relation.location.rootPaths.exists(_.toString.contains(tag)))
-        assert(scan.isDefined, s"no $tag file scan in the executed plan — " +
-          "the probe is not reading the partitioned artifact")
-        assert(scan.get.partitionFilters.mkString(",").toLowerCase
-            .contains("dynamicpruning"),
-          s"no dynamic pruning filter on the $tag scan: " +
-            scan.get.partitionFilters.mkString(","))
-        // driver metric "number of partitions read", post-execution:
-        // the runtime-pruned count, the IO claim itself
-        val read = scan.get.metrics.get("numPartitions")
-          .map(_.value).getOrElse(-1L)
-        assert(read > 0 && read < totalParts,
-          s"$tag scan read $read of $totalParts partitions — not pruned")
-        read
-      }
       // IVF at nProbe=1: the probed-cid union over 10 queries is at most
       // 10 of 16 lists BY CONSTRUCTION, so pruning is always observable
       // (at nProbe=2 the tiny suite corpus can spread the union over
       // all 16)
       val ivfPruned = Sim.ivfFrame(s, sf, nProbe = 1)
-      val readIvf = checkPruned(ivfPruned, "sim.ivf.lists", 16)
+      val (ivfRows, readIvf) = PruneCheck.checkPruned(ivfPruned,
+        "sim.ivf.lists", 16)
       // the probed set, recomputed through the SAME probe ranking the
       // plan runs — partitions read must be exactly the probed lists
-      val expected = Sim.queriesDf(s, sf)
-        .crossJoin({
-          import s.implicits._
-          Sim.trainedCentroids(s, sf).zipWithIndex
-            .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "ce")
-        })
-        .withColumn("csim",
-          graft.functions.expressions.cosine_sim(col("qe"), col("ce")))
-        .withColumn("crk", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(col("csim").desc, col("cid"))))
-        .filter(col("crk") <= 1)
-        .select(col("cid")).distinct().count()
+      val expected = Sim.probedCidUnion(s, sf, nProbe = 1).size
       assert(readIvf === expected,
         s"IVF scan read $readIvf partitions, probed-list union is $expected")
       // pruning changed no row: equal to the session-mode (unpartitioned,
       // in-memory) run of the same probe count
-      assert(keyed(ivfPruned.collect()) ===
+      assert(keyed(ivfRows) ===
         keyed(Sim.ivfFrame(spark, sf, nProbe = 1).collect()),
         "partition-pruned IVF diverges from the session-mode run")
       // IVFADC, one level down: codes scan pruned to probed lists
       val ivfPqPruned = Sim.ivfPqFrame(s, sf, nProbe = 1)
-      checkPruned(ivfPqPruned, "sim.ivfpq.codes", 16)
-      assert(keyed(ivfPqPruned.collect()) ===
+      val (pqRows, _) = PruneCheck.checkPruned(ivfPqPruned,
+        "sim.ivfpq.codes", 16)
+      assert(keyed(pqRows) ===
         keyed(Sim.ivfPqFrame(spark, sf, nProbe = 1).collect()),
         "partition-pruned IVFADC diverges from the session-mode run")
     } finally {

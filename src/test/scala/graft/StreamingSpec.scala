@@ -595,14 +595,17 @@ class StreamingSpec extends AnyFunSuite {
       } finally org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(qSrc))
       // 4. the batch probe plan over the published artifact is
-      // partition-pruned: the generation is cid-partitioned, so the
-      // broadcast probe join plants a dynamic pruning filter on the scan
-      val probePlan = Sim.ivfProbeWith(s2, sf, served.get, Sim.NProbe)
-      val explained = probePlan.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(explained.contains("dynamicpruningexpression"),
-        s"no dynamic partition pruning on the maintained-index scan:\n" +
-          explained.take(4000))
+      // partition-pruned AT THE SCAN (runtime numPartitions metric, not
+      // an explain string — a planned pruning predicate can silently
+      // degrade to true at physical planning): the generation is
+      // cid-partitioned and the probe's literal probed-list filter must
+      // read exactly the probed union at nProbe=1
+      val (_, readParts) = PruneCheck.checkPruned(
+        Sim.ivfProbeWith(s2, sf, served.get, nProbe = 1), "/gen-", 16)
+      val expectedParts = Sim.probedCidUnion(s2, sf, nProbe = 1).size
+      assert(readParts === expectedParts,
+        s"maintained-generation scan read $readParts partitions, " +
+          s"probed-list union is $expectedParts")
       // 5. retention knob: a second maintenance run with keep=1 sweeps
       // the first generation after publishing its own — the store holds
       // exactly one marked generation and the pointer serves it
