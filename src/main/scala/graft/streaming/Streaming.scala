@@ -2675,21 +2675,27 @@ object Streaming {
   // and emit their exact-cosine top-K at arrival: the (streaming ×
   // similarity) composition — a live retrieval/dedup-gate endpoint
   // querying last night's index build, the serving twin of the E23
-  // report that gates that build. Per arrival: probe selection is the
-  // map-side top_cos_ids kernel against the literal codebook (the E3
+  // report that gates that build. Per trigger (foreachBatch — the
+  // A58/A59 serving shape): probe selection is the map-side
+  // top_cos_ids kernel against the literal codebook (the E3
   // crossJoin+window probe ranking needs a batch window a stream can't
   // have; the kernel reproduces its exact (cosine desc, cid asc) order
-  // incl. NaN placement), candidates come from ONE stream-static
-  // equi-join against the staged lists on cid, and the per-query top-K
-  // reassembles in a NoTimeout keyed pass (A54's precedent: every
-  // candidate of a query derives from that query's single arrival row
-  // → same micro-batch, no cross-batch state).
+  // incl. NaN placement), the trigger's DISTINCT probed cids — bounded
+  // by min(|arrivals| × nProbe, nLists) — are collected and pushed as
+  // a LITERAL isin partition filter on the lists scan, candidates come
+  // from ONE equi-join against exactly those probed partitions, and
+  // the per-query top-K reassembles through the two-stage O(k)
+  // annTopK kernel (per-(query, list) then per-query).
   //
-  // Scale: per-trigger work ∝ arrivals × probed-list mass — never the
-  // corpus; at 100 TB the lists table is partitioned/bucketed by cid so
-  // the equi-join reads only probed lists (partition pruning), and the
-  // codebook is a literal (NCentroids × dim floats) riding the closure.
-  // Drained feed ≡ batch knn_ivf on the same queries by spec.
+  // Scale: per-trigger IO ∝ arrivals × probed-list mass — never the
+  // corpus. The r17 shape ran a continuous stream-static join and
+  // CLAIMED file-level pruning; no runtime witness existed, and
+  // micro-batch plans (AQE off, no stream stats) do not reliably
+  // insert dynamic partition pruning — the static literal filter is
+  // pruning the planner cannot decline, witnessed per trigger by the
+  // numPartitions scan metric (spec, via the onProbeExec seam). The
+  // codebook is a literal (NCentroids × dim floats) riding the
+  // closure. Drained feed ≡ batch knn_ivf on the same queries by spec.
   val annProbe = QueryDef.rowsOnly("stream_ann_probe") { (s, d) =>
     val path = s"$d/embeddings.parquet"
     val Sim = graft.queries.Similarity
@@ -2704,52 +2710,86 @@ object Streaming {
     * probed index table (default: the staged ivfLists artifact) — a
     * serve session passes the MAINTAINED generation A60 published
     * (FrameCache.openLatestGeneration), closing the maintain → publish
-    * → serve loop with zero re-seeding.
+    * → serve loop with zero re-seeding. `onProbeExec` is the pruning
+    * spec's per-trigger observability hook: (batchId, the EXECUTED
+    * probe plan, the probed-cid set the trigger pushed) — the spec
+    * asserts the numPartitions scan metric against an independently
+    * recomputed probed-list union.
     */
   private[graft] def runAnnProbe(s: SparkSession, raw: DataFrame,
-      d: String, lists: Option[DataFrame] = None): DataFrame = {
+      d: String, lists: Option[DataFrame] = None,
+      nProbe: Int = graft.queries.Similarity.NProbe,
+      onProbeExec: (Long, org.apache.spark.sql.execution.QueryExecution,
+        Set[Long]) => Unit = null): DataFrame = {
     import s.implicits._
     val Sim = graft.queries.Similarity
     val F = graft.functions.expressions
     val refined = trainedCentroidsLit(s, d)
-    val cand = raw
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("cid0", explode(
-        F.top_cos_ids(col("qe"), refined, Sim.NProbe)))
-      .withColumn("cid", col("cid0").cast("long")).drop("cid0")
-      .join(lists.getOrElse(Sim.ivfLists(s, d)), Seq("cid")) // stream-static lists
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
-      .filter(!isnan(col("cosine")))
-      .select(col("query_id"), col("cid"), col("vec_id"), col("cosine"))
-      .as[AnnListCand]
+    val listsT = lists.getOrElse(Sim.ivfLists(s, d))
     val k = Sim.K // primitive copy — the closure must not capture the module
-    // Two-stage reassembly (the B32 lesson applied to group sizing): a
-    // single query_id-keyed pass would hold a query's ENTIRE probed
-    // candidate mass (nProbe/nLists of the corpus) in one task. The
-    // global top-K equals the top-K of the per-list top-Ks — every true
-    // neighbor lives in some probed list and survives that list's
-    // top-K — so stage 1 keys by (query, list) (no task ever holds more
-    // than ONE inverted list, the IVF scan granule, exactly the batch
-    // plan's per-list parallelism) and stage 2 merges nProbe·K rows per
-    // query. Both stages are NoTimeout same-micro-batch reassembly
-    // (every candidate derives from its query's single arrival row).
-    // Each stage selects through [[annTopK]], the O(k) bounded insertion
-    // buffer (the A33/A36 sketch-buffer discipline): the batch plan's
-    // window sort can spill, a `toSeq` inside a state function cannot —
-    // a task heap must never hold a whole inverted list's candidates.
-    val perList = cand.groupByKey(c => (c.query_id, c.cid))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Long, Long), it: Iterator[AnnListCand], _: GroupState[Boolean]) =>
-          annTopK(it, k))
-    val ranked = perList.groupByKey(_.query_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (q: Long, it: Iterator[AnnListCand], _: GroupState[Boolean]) =>
-          // exact re-rank of the per-list winners, the topK contract:
-          // (cosine desc, vec_id asc), K rows from nProbe·K inputs
-          annTopK(it, k).zipWithIndex
-            .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) })
-    runToMemory(s, ranked.toDF(), OutputMode.Append, needsNoDataBatch = false)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[AnnProbeRow]()
+    val ckpt = scratchDir("graft_annprobe_ckpt_")
+    val q = raw.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // probe selection: map-side kernel against the literal codebook;
+        // cut (|arrivals| × nProbe rows) because it is consumed twice —
+        // the bounded cid collect and the candidate join
+        val probes = batch
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          .withColumn("cid0", explode(
+            F.top_cos_ids(col("qe"), refined, nProbe)))
+          .withColumn("cid", col("cid0").cast("long")).drop("cid0")
+          .localCheckpoint()
+        val cids = probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (cids.nonEmpty) {
+          // the trigger's literal partition filter: static pruning the
+          // planner cannot decline, on exactly the probed lists
+          val cand = broadcast(probes)
+            .join(listsT.filter(col("cid").isin(cids: _*)), Seq("cid"))
+            .filter(col("vec_id") =!= col("query_id"))
+            .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+            .filter(!isnan(col("cosine")))
+            .select(col("query_id"), col("cid"), col("vec_id"), col("cosine"))
+            .as[AnnListCand]
+          // Two-stage reassembly (the B32 lesson applied to group
+          // sizing): a single query_id-keyed pass would hold a query's
+          // ENTIRE probed candidate mass (nProbe/nLists of the corpus)
+          // in one task. The global top-K equals the top-K of the
+          // per-list top-Ks — every true neighbor lives in some probed
+          // list and survives that list's top-K — so stage 1 keys by
+          // (query, list) (no task ever holds more than ONE inverted
+          // list, the IVF scan granule) and stage 2 merges nProbe·K
+          // rows per query. Each stage selects through [[annTopK]],
+          // the O(k) bounded insertion buffer: a task heap must never
+          // hold a whole inverted list's candidates.
+          val ranked = cand.groupByKey(c => (c.query_id, c.cid))
+            .flatMapGroups((_: (Long, Long), it: Iterator[AnnListCand]) =>
+              annTopK(it, k))
+            .groupByKey(_.query_id)
+            .flatMapGroups((q: Long, it: Iterator[AnnListCand]) =>
+              // exact re-rank of the per-list winners, the topK
+              // contract: (cosine desc, vec_id asc), K rows
+              annTopK(it, k).zipWithIndex
+                .map { case (c, i) => AnnProbeRow(q, i + 1, c.vec_id, c.cosine) })
+          // the per-trigger drain is |arrivals|·K rows — the RPC-answer
+          // bound, as in runBatchPlanServing's documented harness drain
+          val rows = ranked.collect()
+          rows.foreach(out.add)
+          if (onProbeExec != null)
+            onProbeExec(batchId, ranked.queryExecution, cids.toSet)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+    scala.jdk.CollectionConverters.IteratorHasAsScala(out.iterator())
+      .asScala.toSeq.toDF()
   }
 
   /** Exact top-k selection in O(k) task memory: a sorted k-slot

@@ -369,6 +369,83 @@ class StreamingSpec extends AnyFunSuite {
       new java.io.File(srcDir))
   }
 
+  test("stream_ann_probe IO pruning holds ON THE STREAMING PLAN: every " +
+      "trigger's lists scan reads exactly that trigger's probed-list " +
+      "partitions (runtime numPartitions metric), and the triggers' " +
+      "probed sets reconstruct the independently recomputed union") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annprobe_prune").toString
+    val s = spark.newSession(); s.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      val qdf = s.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < Sim.NQueries)
+      // independent replay of the probe ranking, driver-side: cosine of
+      // each query against each trained centroid, (desc, cid asc), top 1
+      val cents = Sim.trainedCentroids(s, sf)
+      val expectedUnion = qdf.select(col("vec_id"), col("embedding"))
+        .collect().flatMap { r =>
+          val v = r.getSeq[Float](1).toArray
+          val qn = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (qn == 0) None
+          else Some(cents.zipWithIndex.map { case (c, i) =>
+            val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+            val dot = v.zip(c).map { case (a, b) => a.toDouble * b }.sum
+            (dot / (qn * cn), i.toLong)
+          }.maxBy { case (cos, cid) => (cos, -cid) }._2)
+        }.toSet
+      // the partition values that exist in the staged artifact (an
+      // empty list writes no directory — the metric counts directories)
+      val existing = Sim.ivfLists(s, sf).select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val perTrigger = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Set[Long])] // (batchId, partitionsRead, cids)
+      val srcDir = timeSplitSource(qdf, 4, Seq(col("vec_id")))
+      try {
+        val got = graft.streaming.Streaming.runAnnProbe(s,
+          s.readStream.schema(qdf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+          nProbe = 1,
+          onProbeExec = (bid, qe, cids) => perTrigger.synchronized {
+            perTrigger += ((bid, PruneCheck.partitionsRead(qe,
+              "sim.ivf.lists"), cids))
+          }).collect()
+        assert(got.nonEmpty)
+        assert(perTrigger.size >= 4, s"expected >= 4 data triggers, " +
+          s"saw ${perTrigger.size}")
+        val nLists = existing.size
+        perTrigger.foreach { case (bid, read, cids) =>
+          // the IO claim itself, per trigger: partitions read equals
+          // the trigger's probed union (intersected with the lists that
+          // exist on disk), and is strictly less than the index
+          assert(read === (cids & existing).size,
+            s"trigger $bid read $read partitions, pushed ${cids.size} " +
+              s"probed lists (${(cids & existing).size} on disk)")
+          assert(read < nLists,
+            s"trigger $bid read the whole index ($read of $nLists)")
+        }
+        // the triggers' probed sets are the REAL probe ranking: their
+        // union reconstructs the driver-side replay over all queries
+        assert(perTrigger.flatMap(_._3).toSet === expectedUnion,
+          "union of per-trigger probed sets diverges from the " +
+            "independent probe-ranking replay")
+        // pruning changed no row: the drained feed equals batch IVF at
+        // the same probe count
+        def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+            ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+        assert(keyed(got) ===
+          keyed(Sim.ivfFrame(spark, sf, nProbe = 1).collect()),
+          "pruned streaming probe diverges from batch IVF at nProbe=1")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(srcDir))
+    } finally {
+      FrameCache.evict(s)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("stream_ann_adc: drained feed equals batch knn_pq, and a forced " +
       "4-trigger replay is identical") {
     import org.apache.spark.sql.functions._
