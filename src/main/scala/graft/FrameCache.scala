@@ -117,8 +117,14 @@ private[graft] object FrameCache {
     * v3 (round 17): artifacts carry a `_GRAFT_META` sidecar (version +
     * schema) and may be hive-partitioned ([[Layout]]) — v2 artifacts
     * are path-orphaned and rebuilt.
+    *
+    * v4 (round 18): generation stores add manifest DELTA generations
+    * (`_GRAFT_MANIFEST` referencing a base generation's untouched
+    * partitions), monotonic `gen-<seq>-<token>` naming, and the CAS
+    * pointer flip — v3 artifacts and generation stores are
+    * path-orphaned and rebuilt.
     */
-  private[graft] val ArtifactFormatVersion = 3
+  private[graft] val ArtifactFormatVersion = 4
 
   /** On-disk layout of an artifact. `partitionCols` hive-partitions the
     * parquet (one directory per value) — under a probe join on that
@@ -147,6 +153,29 @@ private[graft] object FrameCache {
     * otherwise re-infer as int and migrate to the end of the schema).
     */
   private val MetaFile = "_GRAFT_META"
+
+  /** Delta-generation sidecar (round 18), written before the _SUCCESS
+    * marker like [[MetaFile]]: marks a generation that holds ONLY its
+    * delta-touched hive partitions and references every other
+    * partition from a BASE generation of the same key — the manifest
+    * move that makes maintenance publish IO ∝ touched lists instead of
+    * the whole index. Format, one field per line: format version,
+    * partition column, chain depth (base depth + 1), base generation
+    * path, then one touched partition VALUE per line. A generation
+    * without this file is self-contained (full).
+    */
+  private val ManifestFile = "_GRAFT_MANIFEST"
+
+  private final case class GenManifest(partCol: String, depth: Int,
+      basePath: String, touched: Seq[String])
+
+  /** Maximum delta-chain depth before [[graft.streaming.Streaming]]'s
+    * maintenance loop compacts (publishes full): every serve-time read
+    * unions one scan per chain link, so an unbounded chain would trade
+    * publish IO for read fan-out without limit.
+    */
+  private[graft] val MaxDeltaChainConf = "spark.graft.index.maxDeltaChain"
+  private[graft] val DefaultMaxDeltaChain = 8
 
   /** How long a reader/loser waits for a concurrent publisher's
     * _SUCCESS before declaring the publish torn or abandoned. One
@@ -275,7 +304,8 @@ private[graft] object FrameCache {
     * caller waits for the winner's marker).
     */
   private def writeArtifact(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, df: DataFrame, layout: Layout): Boolean = {
+      p: org.apache.hadoop.fs.Path, df: DataFrame, layout: Layout,
+      manifest: Option[String] = None): Boolean = {
     val schemaJson = df.schema.json
     val tmp = new org.apache.hadoop.fs.Path(
       p.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -317,6 +347,10 @@ private[graft] object FrameCache {
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MetaFile))
     try out.write((ArtifactFormatVersion + "\n" + schemaJson).getBytes("UTF-8"))
     finally out.close()
+    manifest.foreach { m =>
+      val mo = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestFile))
+      try mo.write(m.getBytes("UTF-8")) finally mo.close()
+    }
     if (fs.rename(tmp, p)) {
       // publish the read gate strictly AFTER all data files exist
       fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS")).close()
@@ -487,36 +521,205 @@ private[graft] object FrameCache {
     new org.apache.hadoop.fs.Path(
       artifactPath(dir, s"$key#v$ArtifactFormatVersion") + ".gens")
 
+  /** Best-effort store-level mutex keyed on the pointer path: exclusive
+    * create of a `.lock` sibling, stale-broken when a crashed holder's
+    * lock outlives the publish grace. Guards only SHORT critical
+    * sections — the pointer CAS and the retention sweep — never the
+    * index-sized artifact write (which is race-safe on its own: each
+    * writer owns a unique path).
+    */
+  private def withStoreLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, key: String, graceMs: Long)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(
+      artifactPath(dir, s"$key#v$ArtifactFormatVersion") + ".lock")
+    val deadline = System.nanoTime() + graceMs * 1000000L
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch { case _: java.io.IOException =>
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > graceMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lock, false)
+        else if (System.nanoTime() > deadline) throw new IllegalStateException(
+          s"FrameCache: could not acquire store lock $lock within " +
+          s"${graceMs}ms — a concurrent maintainer holds it (or crashed " +
+          "less than the publish grace ago)")
+        else Thread.sleep(20)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      ptr: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  /** Parse the monotonic sequence out of a `gen-<seq>-<token>` name —
+    * the retention ORDER (mtime misorders same-millisecond publishes
+    * across machines; r17 advice).
+    */
+  private def parseSeq(name: String): Option[Long] =
+    if (!name.startsWith("gen-")) None
+    else {
+      val digits = name.drop(4).takeWhile(_.isDigit)
+      if (digits.isEmpty || !name.drop(4 + digits.length).startsWith("-")) None
+      else Some(digits.toLong)
+    }
+
+  private def nextSeq(fs: org.apache.hadoop.fs.FileSystem,
+      gens: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(gens)) 1L
+    else fs.listStatus(gens).flatMap(st => parseSeq(st.getPath.getName))
+      .maxOption.getOrElse(0L) + 1L
+
+  /** Read a generation's delta manifest: None = self-contained (full)
+    * generation. A manifest that EXISTS but fails to parse or carries
+    * a stale version is a loud error, never a silent full-open — an
+    * opened "full" view missing its referenced partitions would serve
+    * wrong rows.
+    */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[GenManifest] = {
+    val mp = new org.apache.hadoop.fs.Path(p, ManifestFile)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n", -1).toSeq.map(_.trim)
+    if (lines.size < 4 || lines.head != ArtifactFormatVersion.toString)
+      throw new IllegalStateException(
+        s"FrameCache: generation $p carries an invalid or stale " +
+        s"v${lines.headOption.getOrElse("?")} manifest — refusing to " +
+        "open it as self-contained")
+    Some(GenManifest(lines(1), lines(2).toInt, lines(3),
+      lines.drop(4).filter(_.nonEmpty)))
+  }
+
+  /** Delta-chain depth of a published generation (0 = full). */
+  private[graft] def generationDepth(s: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    readManifest(fs, p).map(_.depth).getOrElse(0)
+  }
+
+  /** The effective hive-partition VALUE set a generation serves: its
+    * own partition directories plus, through the manifest chain, the
+    * base's — driver-side directory listings only (≤ nLists names per
+    * link), the denominator of the delta-vs-full publish decision.
+    */
+  private[graft] def generationPartitionValues(s: SparkSession,
+      path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val own = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("="))
+      .map(_.split("=", 2)(1)).toSet
+    readManifest(fs, p) match {
+      case None => own
+      case Some(m) => own ++ generationPartitionValues(s, m.basePath)
+    }
+  }
+
   /** Publish `df` as the next generation of `key` under `dir` and
     * repoint `<key>.latest` at it. `gen` must be unique per maintenance
-    * run within a store (a batch id, a run uuid). Returns the artifact
-    * path.
+    * run within a store (a batch id, a run uuid); the store prepends a
+    * monotonic sequence (`gen-<seq>-<token>`) that orders retention.
+    * Returns the artifact path.
+    *
+    * `delta` = Some((basePath, touchedValues)) publishes an INCREMENTAL
+    * generation: `df` must hold exactly the touched partitions' rows
+    * (the maintained view filtered to them), and every other partition
+    * is served by reference to `basePath` — a prior generation of the
+    * SAME key — so publish IO ∝ delta-touched lists, never the index.
+    * Partition values must be non-null (hive null partitions are not
+    * representable in the manifest).
+    *
+    * `expectedBase` = Some(ptr) makes the pointer flip a CHECK-AND-SWAP
+    * under the store lock: the flip succeeds only while `<key>.latest`
+    * still reads `ptr` (None = absent) — the value this maintenance run
+    * captured when it opened its base. A concurrent maintainer that
+    * published in between moves the pointer, OUR flip fails loudly (the
+    * freshly written generation is removed), and the caller reruns from
+    * the new base instead of silently discarding the other run's delta
+    * (the reference's IF-owner CAS semantics,
+    * CassandraLeaderElection.scala:99-111, applied to the index store).
+    * None = unconditional last-writer-wins (single-maintainer callers).
     */
   private[graft] def publishGeneration(s: SparkSession, dir: String,
-      key: String, df: DataFrame, layout: Layout, gen: String): String = {
-    val p = new org.apache.hadoop.fs.Path(generationDir(dir, key), s"gen-$gen")
-    val path = p.toString
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      key: String, df: DataFrame, layout: Layout, gen: String,
+      delta: Option[(String, Seq[String])] = None,
+      expectedBase: Option[Option[String]] = None): String = {
+    val gens = generationDir(dir, key)
+    val fs = gens.getFileSystem(s.sparkContext.hadoopConfiguration)
     verifyStore(fs, new org.apache.hadoop.fs.Path(dir))
+    val grace = publishGraceMs(s)
+    val seq = nextSeq(fs, gens)
+    val p = new org.apache.hadoop.fs.Path(gens, f"gen-$seq%06d-$gen")
+    val path = p.toString
     // a re-used token is a caller bug, but never corrupt the store over
-    // it: the stale same-token artifact is replaced, not nested into
+    // it: the stale same-name artifact is replaced, not nested into
     if (fs.exists(p)) fs.delete(p, true)
-    if (!writeArtifact(fs, p, df, layout))
+    val manifest = delta.map { case (basePath, touched) =>
+      require(layout.partitionCols.size == 1,
+        "delta generations require exactly one partition column")
+      require(new org.apache.hadoop.fs.Path(basePath).getParent.toString
+          == gens.toString,
+        s"delta base $basePath is not a generation of key '$key' — " +
+        "cross-key references would escape retention's ref-tracking")
+      val baseDepth = readManifest(fs,
+        new org.apache.hadoop.fs.Path(basePath)).map(_.depth).getOrElse(0)
+      (Seq(ArtifactFormatVersion.toString, layout.partitionCols.head,
+        (baseDepth + 1).toString, basePath) ++ touched).mkString("\n")
+    }
+    if (!writeArtifact(fs, p, df, layout, manifest))
       throw new IllegalStateException(
         s"FrameCache: generation publish lost a rename race at $path — " +
         "generation tokens must be unique per maintenance run")
-    // atomic pointer flip: readers see the old generation or the new
-    // one, never a torn pointer (FileContext.rename OVERWRITE is atomic
-    // on local/HDFS, unlike delete-then-rename)
+    // pointer flip: atomic (FileContext.rename OVERWRITE — readers see
+    // the old generation or the new one, never a torn pointer), and
+    // with expectedBase a guarded CAS under the store lock
     val ptr = pointerPath(dir, key)
-    val tmp = new org.apache.hadoop.fs.Path(
-      ptr.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val out = fs.create(tmp)
-    try out.write(path.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    withStoreLock(fs, dir, key, grace) {
+      expectedBase.foreach { expected =>
+        val current = readPointer(fs, ptr)
+        if (current != expected) {
+          fs.delete(p, true) // our generation is unreachable — clean up
+          throw new IllegalStateException(
+            s"FrameCache: generation publish for '$key' lost an update " +
+            s"race — the pointer moved from $expected to $current since " +
+            "this maintenance run opened its base; rerun from the new " +
+            "base (its delta is NOT in this run's view)")
+        }
+      }
+      val tmp = new org.apache.hadoop.fs.Path(
+        ptr.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp)
+      try out.write(path.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     path
+  }
+
+  /** The path `<key>.latest` currently points at, if any — the value a
+    * maintenance run captures as its CAS expectation and opens as its
+    * base.
+    */
+  private[graft] def latestGenerationPath(s: SparkSession, dir: String,
+      key: String): Option[String] = {
+    val ptr = pointerPath(dir, key)
+    val fs = ptr.getFileSystem(s.sparkContext.hadoopConfiguration)
+    verifyStore(fs, new org.apache.hadoop.fs.Path(dir))
+    readPointer(fs, ptr)
   }
 
   /** Open the newest published generation of `key` under `dir` — the
@@ -524,40 +727,74 @@ private[graft] object FrameCache {
     * (validated marker + sidecar), zero copies, zero builds.
     */
   private[graft] def openLatestGeneration(s: SparkSession, dir: String,
-      key: String): Option[DataFrame] = {
-    val ptr = pointerPath(dir, key)
-    val fs = ptr.getFileSystem(s.sparkContext.hadoopConfiguration)
-    verifyStore(fs, new org.apache.hadoop.fs.Path(dir))
-    if (!fs.exists(ptr)) return None
-    val in = fs.open(ptr)
-    val path =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    openGeneration(s, path)
-  }
+      key: String): Option[DataFrame] =
+    latestGenerationPath(s, dir, key).flatMap(openGeneration(s, _))
 
   /** Open one published generation by path (the value
-    * [[publishGeneration]] returned), gated on marker + sidecar.
+    * [[publishGeneration]] returned), gated on marker + sidecar. A
+    * DELTA generation resolves through its manifest chain: its own
+    * (touched) partitions union the base's untouched ones — every
+    * chain link a separately prunable parquet scan, each carrying a
+    * static NOT-IN filter on the partitions its descendants rewrote
+    * (a static filter pushes through Union, so the probes' literal
+    * probed-list pruning composes with the chain exclusions at every
+    * scan). A missing or torn base is a loud error: serving the delta
+    * alone would silently drop the untouched partitions.
     */
   private[graft] def openGeneration(s: SparkSession,
-      path: String): Option[DataFrame] = {
+      path: String): Option[DataFrame] = openGenerationDepth(s, path, 0)
+
+  private def openGenerationDepth(s: SparkSession, path: String,
+      depth: Int): Option[DataFrame] = {
+    if (depth > 64) throw new IllegalStateException(
+      s"FrameCache: generation chain deeper than 64 at $path — cyclic " +
+      "or runaway manifest chain")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return None
-    readMeta(fs, p).map(openArtifact(s, _, path))
+    readMeta(fs, p).map { schema =>
+      val own = openArtifact(s, schema, path)
+      readManifest(fs, p) match {
+        case None => own
+        case Some(m) =>
+          val base = openGenerationDepth(s, m.basePath, depth + 1)
+            .getOrElse(throw new IllegalStateException(
+              s"FrameCache: delta generation $path references a missing " +
+              s"or torn base ${m.basePath} — collected under a live " +
+              "reference? (retention must keep a kept delta's chain)"))
+          import org.apache.spark.sql.types._
+          val dt = schema(m.partCol).dataType
+          val lits: Seq[Any] = m.touched.map(v => dt match {
+            case LongType => v.toLong
+            case IntegerType => v.toInt
+            case ShortType => v.toShort
+            case StringType => v
+            case other => throw new IllegalStateException(
+              s"FrameCache: unsupported manifest partition type $other " +
+              s"at $path")
+          })
+          own.unionByName(base.filter(!org.apache.spark.sql.functions
+            .col(m.partCol).isin(lits: _*)))
+      }
+    }
   }
 
   /** Retention sweep over a key's generation store — the GC the
     * Scaladoc has so far left to "the deployment's retention job":
-    * keep the POINTED-AT generation unconditionally plus the newest
-    * `keep − 1` others (publish mtime order), delete the rest
-    * (torn/unmarked generation debris is always deleted). Returns the
-    * deleted paths. The pointer is re-read under the sweep so the
-    * serving generation can never be collected; a reader still holding
-    * a DataFrame over an already-superseded OLD generation races any
-    * retention policy — that is the usual table-store contract (run
-    * the sweep with a retention window longer than your longest
-    * reader, i.e. pick `keep` accordingly).
+    * keep the POINTED-AT generation unconditionally, the newest
+    * `keep − 1` others (monotonic publish-SEQUENCE order — mtime would
+    * misorder same-millisecond publishes across machines), and —
+    * round 18 — the transitive manifest CHAIN of every kept delta
+    * generation (a referenced base outliving `keep` is the price of
+    * the incremental publish; the chain-depth cap bounds it); delete
+    * the rest (torn/unmarked generation debris is always deleted).
+    * Returns the deleted paths. Runs under the store lock and re-reads
+    * the pointer inside it, so a sweep can never race a concurrent
+    * CAS publish into collecting the new serving generation; a reader
+    * still holding a DataFrame over an already-superseded OLD
+    * generation races any retention policy — that is the usual
+    * table-store contract (pick `keep` longer than your longest
+    * reader).
     */
   private[graft] def gcGenerations(s: SparkSession, dir: String,
       key: String, keep: Int): Seq[String] = {
@@ -565,40 +802,51 @@ private[graft] object FrameCache {
     val gens = generationDir(dir, key)
     val fs = gens.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(gens)) return Nil
-    val ptr = pointerPath(dir, key)
-    val current: Option[String] =
-      if (!fs.exists(ptr)) None
-      else {
-        val in = fs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
+    withStoreLock(fs, dir, key, publishGraceMs(s)) {
+      val current = readPointer(fs, pointerPath(dir, key))
+      val all = fs.listStatus(gens).filter(_.isDirectory)
+      val (marked, unmarked) = all.partition(st =>
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      // an UNMARKED generation younger than the publish grace may be a
+      // LIVE publisher inside the rename→marker window (the materialize
+      // ambiguity) — leave it for a later sweep; older ones are torn
+      // debris
+      val now = System.currentTimeMillis()
+      val torn = unmarked.filter(st =>
+        now - st.getModificationTime > publishGraceMs(s))
+      // compare by generation NAME: listStatus returns scheme-qualified
+      // paths (file:/...) while the pointer records the publish-time
+      // string — a string compare would collect the serving generation
+      val ordered = marked.sortBy(st =>
+        (-parseSeq(st.getPath.getName).getOrElse(-1L),
+          -st.getModificationTime))
+      val currentName = current.map(new org.apache.hadoop.fs.Path(_).getName)
+      var keepNames = (currentName.toSeq ++
+        ordered.map(_.getPath.getName).filterNot(currentName.contains)
+          .take(math.max(0, keep - (if (current.isDefined) 1 else 0))))
+        .toSet
+      // transitive closure over manifest references: a kept delta pins
+      // its whole base chain — collecting a referenced base would turn
+      // the kept delta into a loud open failure at serve time
+      var frontier = keepNames
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap { n =>
+          val gp = new org.apache.hadoop.fs.Path(gens, n)
+          if (!fs.exists(gp)) None
+          else readManifest(fs, gp).map(m =>
+            new org.apache.hadoop.fs.Path(m.basePath).getName)
+        } -- keepNames
+        keepNames ++= next
+        frontier = next
       }
-    val all = fs.listStatus(gens).filter(_.isDirectory)
-      .sortBy(-_.getModificationTime)
-    val (marked, unmarked) = all.partition(st =>
-      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-    // an UNMARKED generation younger than the publish grace may be a
-    // LIVE publisher inside the rename→marker window (the materialize
-    // ambiguity) — leave it for a later sweep; older ones are torn
-    // debris
-    val now = System.currentTimeMillis()
-    val torn = unmarked.filter(st =>
-      now - st.getModificationTime > publishGraceMs(s))
-    // compare by generation NAME: listStatus returns scheme-qualified
-    // paths (file:/...) while the pointer records the publish-time
-    // string — a string compare would collect the serving generation
-    val currentName = current.map(new org.apache.hadoop.fs.Path(_).getName)
-    val keepNames = (currentName.toSeq ++
-      marked.map(_.getPath.getName).filterNot(currentName.contains)
-        .take(math.max(0, keep - (if (current.isDefined) 1 else 0))))
-      .toSet
-    val doomed = marked.map(_.getPath).filterNot(p => keepNames(p.getName)) ++
-      torn.map(_.getPath)
-    doomed.foreach(fs.delete(_, true))
-    // report in the publish-time path form (unqualified), as returned
-    // by publishGeneration
-    doomed.map(p =>
-      new org.apache.hadoop.fs.Path(gens, p.getName).toString).toSeq
+      val doomed = marked.map(_.getPath).filterNot(p => keepNames(p.getName)) ++
+        torn.map(_.getPath)
+      doomed.foreach(fs.delete(_, true))
+      // report in the publish-time path form (unqualified), as returned
+      // by publishGeneration
+      doomed.map(p =>
+        new org.apache.hadoop.fs.Path(gens, p.getName).toString).toSeq
+    }
   }
 
   def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =

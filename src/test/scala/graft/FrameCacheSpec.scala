@@ -465,6 +465,115 @@ class FrameCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("delta generation publish: only touched partitions are written, " +
+      "the manifest chain serves the full view, retention pins a kept " +
+      "delta's base, and a severed base fails LOUDLY") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_delta").toString
+    val key = "spec.generation.delta"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    s1.conf.set(FrameCache.PublishGraceConf, "60000")
+    try {
+      val lay = FrameCache.Layout(partitionCols = Seq("cid"))
+      // base: 60 rows over 6 lists
+      val baseDf = s1.range(60).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(6))).select("cid", "id")
+      val p1 = FrameCache.publishGeneration(s1, dir, key, baseDf, lay, "g1")
+      // delta: lists 1 and 4 get an extra row each; publish holds ONLY
+      // those partitions' full contents (base survivors + additions)
+      val additions = {
+        import s1.implicits._
+        Seq((1L, 100L), (4L, 101L)).toDF("cid", "id")
+      }
+      val touchedView = baseDf.filter(col("cid").isin(1L, 4L))
+        .unionByName(additions)
+      val p2 = FrameCache.publishGeneration(s1, dir, key, touchedView, lay,
+        "g2", delta = Some((p1, Seq("1", "4"))),
+        expectedBase = Some(Some(p1)))
+      // publish IO ∝ touched: the new generation directory holds
+      // exactly the two touched partitions
+      val gen2Parts = new java.io.File(p2).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+      assert(gen2Parts.toSet === Set("cid=1", "cid=4"),
+        s"delta generation wrote ${gen2Parts.toSeq}, not only touched")
+      assert(new java.io.File(p2, "_GRAFT_MANIFEST").exists())
+      // the chain read serves the FULL view: 60 base + 2 additions,
+      // with touched partitions coming only from the delta generation
+      val served = FrameCache.openLatestGeneration(s1, dir, key).get
+      assert(served.count() === 62)
+      assert(served.filter(col("id").isin(100L, 101L)).count() === 2)
+      assert(served.filter(col("cid") === 2L).count() === 10) // via base
+      assert(FrameCache.generationDepth(s1, p2) === 1)
+      assert(FrameCache.generationPartitionValues(s1, p2) ===
+        (0 to 5).map(_.toString).toSet)
+      // retention with keep=1: the pointed-at delta PINS its base —
+      // nothing is collected
+      assert(FrameCache.gcGenerations(s1, dir, key, keep = 1) === Seq.empty,
+        "retention collected a base a kept delta references")
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 62)
+      // a compacting FULL publish releases the chain: keep=1 now
+      // collects both old generations
+      val p3 = FrameCache.publishGeneration(s1, dir, key,
+        served.localCheckpoint(), lay, "g3",
+        expectedBase = Some(Some(p2)))
+      assert(FrameCache.gcGenerations(s1, dir, key, keep = 1).toSet ===
+        Set(p1, p2))
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 62)
+      // a severed chain is LOUD: a delta whose base is gone must refuse
+      // to open, never silently serve only its touched partitions
+      val p4 = FrameCache.publishGeneration(s1, dir, key, touchedView, lay,
+        "g4", delta = Some((p3, Seq("1", "4"))))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p3))
+      val e = intercept[IllegalStateException] {
+        FrameCache.openGeneration(s1, p4).get.count()
+      }
+      assert(e.getMessage.contains("missing or torn base"))
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("generation pointer flip is a guarded CAS: a publisher whose base " +
+      "was superseded mid-run fails loudly and leaves no half-published " +
+      "generation behind") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cas").toString
+    val key = "spec.generation.cas"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    s1.conf.set(FrameCache.PublishGraceConf, "60000")
+    try {
+      val lay = FrameCache.Layout(partitionCols = Seq("cid"))
+      def gen(n: Int) = s1.range(n).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(2))).select("cid", "id")
+      // both "maintenance runs" capture the same (absent) base pointer
+      val captured = FrameCache.latestGenerationPath(s1, dir, key)
+      assert(captured.isEmpty)
+      // run A publishes first — CAS against the captured value succeeds
+      val pA = FrameCache.publishGeneration(s1, dir, key, gen(5), lay, "a",
+        expectedBase = Some(captured))
+      // run B raced run A from the SAME captured base: its CAS must
+      // fail loudly (accepting it would silently discard run A's delta)
+      val e = intercept[IllegalStateException] {
+        FrameCache.publishGeneration(s1, dir, key, gen(7), lay, "b",
+          expectedBase = Some(captured))
+      }
+      assert(e.getMessage.contains("lost an update race"))
+      // the loser's generation was cleaned up; the store still serves A
+      val gensDir = new java.io.File(pA).getParentFile
+      assert(gensDir.listFiles().count(_.isDirectory) === 1,
+        s"loser left debris: ${gensDir.listFiles().map(_.getName).toSeq}")
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 5)
+      // run B retried from the NEW base: CAS against pA succeeds
+      FrameCache.publishGeneration(s1, dir, key, gen(7), lay, "b2",
+        expectedBase = Some(Some(pA)))
+      assert(FrameCache.openLatestGeneration(s1, dir, key).get.count() === 7)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("partitioned write spreads a hot partition value over multiple " +
       "files (salted pre-write shuffle), with unchanged read-back") {
     import org.apache.spark.sql.functions._

@@ -715,6 +715,210 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental maintenance publish (A60): a delta touching few lists " +
+      "publishes ONLY those partitions (manifest generation), heals a " +
+      "moved-key stale row in its old list, and the chain serves batch " +
+      "knn_ivf unchanged with the base pinned by retention") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivf")(spark, sf).collect())
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_delta_store").toString
+    val key = s"sim.ivf.lists.delta:$sf"
+    val lists = Sim.ivfLists(spark, sf)
+    // the 2-list cohort: every corpus row of the two smallest lists
+    val cidsAll = lists.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val Seq(c1, c2) = cidsAll.take(2).toSeq
+    val c3 = cidsAll.last // the stale row's wrong list (re-embed moved)
+    val cohortIds = lists.filter(col("cid").isin(c1, c2))
+      .select(col("vec_id"))
+    val moveVec = lists.filter(col("cid") === c1)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    try {
+      // generation 1: the full index, except moveVec's row sits STALE
+      // under list c3 (the state a re-embedding that moved lists leaves
+      // if the old list were not rewritten)
+      val gen1df = lists.withColumn("cid",
+        when(col("vec_id") === moveVec, lit(c3)).otherwise(col("cid")))
+        .select("cid", "vec_id", "ea")
+      val p1 = FrameCache.publishGeneration(spark, store, key, gen1df,
+        FrameCache.Layout(partitionCols = Seq("cid")), "seed")
+      // maintenance run: the cohort re-arrives; base = gen1 (from the
+      // pointer), so the publish must be a DELTA over it
+      val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+        .join(cohortIds, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val srcDir = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+      try {
+        spark.conf.set(graft.streaming.Streaming.GenerationsKeepConf, "1")
+        val probed = keyed(graft.streaming.Streaming.runAnnIndexUpsert(
+          spark, spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+          publishTo = Some((store, key))).collect())
+        assert(probed == batch,
+          "probe over the delta-published chain diverges from batch knn_ivf")
+        val p2 = FrameCache.latestGenerationPath(spark, store, key).get
+        assert(p2 != p1)
+        // publish IO ∝ touched lists: the new generation holds exactly
+        // the arrival-assigned lists plus the stale row's old list
+        val gen2Parts = new java.io.File(p2).listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(gen2Parts === Set(s"cid=$c1", s"cid=$c2", s"cid=$c3"),
+          s"delta generation wrote $gen2Parts — expected only the " +
+            s"touched lists $c1, $c2 and the healed list $c3")
+        assert(new java.io.File(p2, "_GRAFT_MANIFEST").exists())
+        // the moved-key heal: the stale c3 copy is gone; moveVec sits
+        // in its true list; the served view is exactly the full index
+        val served = FrameCache.openLatestGeneration(spark, store, key).get
+        assert(served.count() === lists.count())
+        val moveRows = served.filter(col("vec_id") === moveVec)
+          .select(col("cid")).collect().map(_.getLong(0)).toSeq
+        assert(moveRows === Seq(c1),
+          s"stale moved-key row not healed: lists $moveRows")
+        // retention ran with keep=1 inside the maintenance run, but the
+        // kept delta pins its base: BOTH generations remain
+        val gensDir = new java.io.File(p2).getParentFile
+        assert(gensDir.listFiles().count(_.isDirectory) === 2,
+          "retention collected the base the kept delta references")
+      } finally {
+        spark.conf.unset(graft.streaming.Streaming.GenerationsKeepConf)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
+  test("ann_index_health over an A60-published MAINTAINED generation: a " +
+      "deliberately drifted arriving cohort is priced per list (exact " +
+      "driver-side replay), the aggregate drift is positive, and " +
+      "occupancy skew tracks where the arrivals landed") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_health_store").toString
+    val key = s"sim.ivf.lists.health:$sf"
+    // the drifted cohort: the maintenance cohort re-arrives with its
+    // embeddings REVERSED — same norms, deterministic, decorrelated
+    // from the geometry the codebook was trained on (the codebook-
+    // staleness condition E26 exists to detect)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cohort = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val srcDir = timeSplitSource(cohort, 2, Seq(col("vec_id")))
+    try {
+      graft.streaming.Streaming.runAnnIndexUpsert(spark,
+        spark.readStream.schema(cohort.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+        publishTo = Some((store, key))).collect()
+      val served = FrameCache.openLatestGeneration(spark, store, key).get
+      val cents = Sim.trainedCentroids(spark, sf)
+      val isNew = pmod(col("vec_id"), lit(5)) === 0
+      val report = Sim.indexHealthOver(spark, served, cents, isNew,
+        Sim.exactAnchor(spark, sf), Sim.ivfFrame(spark, sf, Sim.NProbe))
+        .collect().map(r => r.getAs[Long]("cid") -> r).toMap
+      // exact driver-side replay over the served generation's rows
+      def cosTo(v: Array[Float], c: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i)
+          nb += c(i).toDouble * c(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val rows = served.collect().map(r => (r.getAs[Long]("cid"),
+        r.getAs[Long]("vec_id"), r.getSeq[Float](2).toArray))
+        .filter { case (_, _, v) => v.exists(_ != 0f) } // degenerates drop
+      val tBuild = rows.count(_._2 % 5 != 0)
+      val tNow = rows.length
+      def micro(d: Double): Long = math.round(d * 1e6)
+      rows.groupBy(_._1).foreach { case (cid, listRows) =>
+        val r = report(cid)
+        val build = listRows.filter(_._2 % 5 != 0)
+        val fresh = listRows.filter(_._2 % 5 == 0)
+        assert(r.getAs[Long]("n_build") === build.length.toLong)
+        assert(r.getAs[Long]("n_now") === listRows.length.toLong)
+        if (fresh.nonEmpty) {
+          val expectNew = micro(
+            fresh.map(t => cosTo(t._3, cents(cid.toInt))).sum / fresh.length)
+          assert(r.getAs[Long]("cos_own_new_micro") === expectNew,
+            s"list $cid new-cohort cosine mispriced")
+        } else assert(r.isNullAt(r.fieldIndex("cos_own_new_micro")))
+        if (build.nonEmpty) {
+          val skew = micro((listRows.length.toDouble / tNow) /
+            (build.length.toDouble / tBuild))
+          assert(r.getAs[Long]("skew_micro") === skew,
+            s"list $cid occupancy skew mispriced")
+        }
+      }
+      // the deliberate drift is DETECTED: reversed embeddings sit
+      // farther from the frozen centroids than the build did, so the
+      // corpus-level drift is positive, and at least one list outgrew
+      // its build share (the arrivals re-distributed)
+      val summary = report(-1L)
+      assert(summary.getAs[Long]("drift_micro") > 0L,
+        s"drifted cohort not detected: ${summary.getAs[Long]("drift_micro")}")
+      assert(report.values.exists(r => r.getAs[Long]("cid") >= 0 &&
+        !r.isNullAt(r.fieldIndex("skew_micro")) &&
+        r.getAs[Long]("skew_micro") > 1000000L),
+        "no list outgrew its build share under the drifted arrivals")
+      assert(!summary.isNullAt(summary.fieldIndex("recall_canary_micro")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    }
+  }
+
+  test("incremental maintenance publish (A61): the codes delta touching " +
+      "few lists publishes only those partitions and the chain serves " +
+      "batch knn_ivfpq unchanged") {
+    import org.apache.spark.sql.functions._
+    val Sim = graft.queries.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))).toMap
+    val batch = keyed(SparkEntry.queries("knn_ivfpq")(spark, sf).collect())
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_delta_store_pq").toString
+    val key = s"sim.ivfpq.codes.delta:$sf"
+    val codes = Sim.ivfPqCodes(spark, sf)
+    val listsAll = codes.select(col("list")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).sorted
+    val Seq(l1, l2) = listsAll.take(2).toSeq
+    val cohortIds = codes.filter(col("list").isin(l1, l2))
+      .select(col("vec_id")).distinct()
+    try {
+      val p1 = FrameCache.publishGeneration(spark, store, key, codes,
+        FrameCache.Layout(partitionCols = Seq("list")), "seed")
+      val arriving = spark.read.parquet(s"$sf/embeddings.parquet")
+        .join(cohortIds, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val srcDir = timeSplitSource(arriving, 2, Seq(col("vec_id")))
+      try {
+        val probed = keyed(graft.streaming.Streaming.runAnnCodesUpsert(
+          spark, spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir), sf,
+          publishTo = Some((store, key))).collect())
+        assert(probed == batch,
+          "IVFADC probe over the delta chain diverges from batch knn_ivfpq")
+        val p2 = FrameCache.latestGenerationPath(spark, store, key).get
+        assert(p2 != p1)
+        val gen2Parts = new java.io.File(p2).listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+        assert(gen2Parts === Set(s"list=$l1", s"list=$l2"),
+          s"codes delta generation wrote $gen2Parts — not only touched")
+        assert(new java.io.File(p2, "_GRAFT_MANIFEST").exists())
+        assert(FrameCache.openLatestGeneration(spark, store, key)
+          .get.count() === codes.count())
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(srcDir))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("maintain -> publish -> serve (A61/A59 loop): the maintained codes " +
       "generation serves a fresh session's IVFADC probe, row-equal to " +
       "batch knn_ivfpq, with no re-seed copy") {
