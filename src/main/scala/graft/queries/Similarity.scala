@@ -475,13 +475,27 @@ object Similarity {
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
       .localCheckpoint()
-    val probedCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // memoized per (corpus, nProbe), the trainedCentroids pattern: the
+    // probed union is a pure function of the registered query set and
+    // the trained codebook — lists-INDEPENDENT — so repeat probe plans
+    // (recall report, sweeps, bench reruns) skip the collect job
+    val probedCids = probedSetCache.computeIfAbsent(s"ivf:$d:$nProbe",
+      _ => probes.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq.sorted)
     topK(broadcast(probes)
       .join(lists.filter(col("cid").isin(probedCids: _*)), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("ea")))
   }
+
+  /** JVM-lifetime memo of probed-list unions for the REGISTERED query
+    * set, keyed (family:corpus-dir:nProbe) — valid for the same
+    * lifetime [[trainedCentroids]]' per-dir memo is (both are pure
+    * functions of the corpus dir); serving paths that probe ARBITRARY
+    * arrival batches (A57/A59 per trigger) never consult it.
+    */
+  private val probedSetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
 
   /** The DISTINCT probed-cid union the [[ivfProbeWith]] ranking
     * produces for the registered query set — recomputed through the
@@ -1232,7 +1246,8 @@ object Similarity {
   private[graft] def ivfPqFrame(s: SparkSession, d: String,
       nProbe: Int): DataFrame =
     ivfPqProbeWith(queriesDf(s, d), ivfPqBook(s, d), ivfPqCodes(s, d),
-      Tables.embeddings(s, d), nProbe)
+      Tables.embeddings(s, d), nProbe,
+      probedMemoKey = Some(s"ivfpq:$d:$nProbe"))
 
   /** The E11 IVFADC probe pipeline over an ARBITRARY (query_id, qe)
     * frame with the staged artifacts passed in — [[pqProbeWith]]'s
@@ -1241,7 +1256,8 @@ object Similarity {
     * (normalize/LUT + exact re-rank); expensive frames checkpoint.
     */
   private[graft] def ivfPqProbeWith(queries: DataFrame, book: DataFrame,
-      codes: DataFrame, emb: DataFrame, nProbe: Int = NProbe): DataFrame = {
+      codes: DataFrame, emb: DataFrame, nProbe: Int = NProbe,
+      probedMemoKey: Option[String] = None): DataFrame = {
     val qn = queries
       .withColumn("nrm", F.l2norm(col("qe")))
       .filter(col("nrm") > 0)
@@ -1263,9 +1279,17 @@ object Similarity {
         F.dot_product(col("qn"), col("le")).as("coarse"))
       .localCheckpoint()
     // the list column's type follows the book's cid (int) — collect
-    // numerically, not by a fixed accessor
-    val probedLists = probesCut.select(col("list")).distinct()
-      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+    // numerically, not by a fixed accessor. Memoized when the caller
+    // certifies the queries are the registered set (probedMemoKey —
+    // the probedSetCache contract); per-trigger serving batches pass
+    // None and collect fresh.
+    def computeLists(): Seq[Any] = probesCut.select(col("list")).distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue())
+      .toIndexedSeq.sorted
+    val probedLists = probedMemoKey match {
+      case Some(k) => probedSetCache.computeIfAbsent(k, _ => computeLists())
+      case None => computeLists()
+    }
     val probes = broadcast(probesCut)
     // residual ADC lookup table: list-independent, (query, m, cid)
     val lut = broadcast(qn

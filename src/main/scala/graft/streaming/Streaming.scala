@@ -3066,7 +3066,8 @@ object Streaming {
     maintainPublishProbe(s, updates, Seq("vec_id", "m"), onBatch, base,
       partCol = "list", publishTo, basePath)(published =>
       Sim.ivfPqProbeWith(Sim.queriesDf(s, d),
-        book, published, Tables.embeddings(s, d), Sim.NProbe))
+        book, published, Tables.embeddings(s, d), Sim.NProbe,
+        probedMemoKey = Some(s"ivfpq:$d:${Sim.NProbe}")))
   }
 
   /** Shared A60/A61 maintenance drive: delta-only keyed MERGE of
