@@ -849,6 +849,56 @@ private[graft] object FrameCache {
     }
   }
 
+  /** One generation-store entry of [[generationLog]]: pure metadata —
+    * `kind` is "full" (self-contained), "delta" (manifest generation),
+    * "torn" (no _SUCCESS — crashed or in-flight publish), or
+    * "invalid" (marked but its sidecar/manifest fails validation);
+    * `baseSeq` links a delta to its base's publish sequence.
+    */
+  private[graft] final case class GenLogEntry(genSeq: Long, name: String,
+      kind: String, depth: Int, partitions: Int, touched: Int,
+      baseSeq: Option[Long], serving: Boolean)
+
+  /** Driver-side metadata log of a key's generation store — the ops
+    * view a deployment reads before trusting, compacting, or sweeping
+    * a store (which generation serves, how deep the delta chains run,
+    * what debris a crash left): one entry per generation directory,
+    * newest sequence first. Listings and sidecar reads ONLY — no data
+    * file is ever opened, so the log costs ≤ generations × one listing
+    * whatever the index size. Unreadable marked generations report as
+    * "invalid" instead of throwing: an ops view of a damaged store
+    * must describe the damage, not reproduce it.
+    */
+  private[graft] def generationLog(s: SparkSession, dir: String,
+      key: String): Seq[GenLogEntry] = {
+    val gens = generationDir(dir, key)
+    val fs = gens.getFileSystem(s.sparkContext.hadoopConfiguration)
+    verifyStore(fs, new org.apache.hadoop.fs.Path(dir))
+    if (!fs.exists(gens)) return Nil
+    val current = readPointer(fs, pointerPath(dir, key))
+      .map(new org.apache.hadoop.fs.Path(_).getName)
+    fs.listStatus(gens).filter(_.isDirectory).toSeq.map { st =>
+      val p = st.getPath
+      val name = p.getName
+      val seq = parseSeq(name).getOrElse(-1L)
+      val marked = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      val parts = fs.listStatus(p).count(c =>
+        c.isDirectory && c.getPath.getName.contains("="))
+      val (kind, depth, touched, baseSeq) =
+        if (!marked) ("torn", -1, 0, None)
+        else try {
+          if (readMeta(fs, p).isEmpty) ("invalid", -1, 0, None)
+          else readManifest(fs, p) match {
+            case None => ("full", 0, 0, None)
+            case Some(m) => ("delta", m.depth, m.touched.size,
+              parseSeq(new org.apache.hadoop.fs.Path(m.basePath).getName))
+          }
+        } catch { case _: IllegalStateException => ("invalid", -1, 0, None) }
+      GenLogEntry(seq, name, kind, depth, parts, touched, baseSeq,
+        current.contains(name))
+    }.sortBy(-_.genSeq)
+  }
+
   def getOrPersist(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     getOrPersistLayout(s, key, NoLayout)(build)
 

@@ -1332,6 +1332,7 @@ object Similarity {
     graphPairs(s, d).queryExecution.toRdd.count()
     exactAnchor(s, d).queryExecution.toRdd.count()
     exactMipAnchor(s, d).queryExecution.toRdd.count()
+    demoGenerationStore(s, d) // E27's demo store (setup, not operator)
     // the lexical index is warmed by TextAnalysis.warmStages (its owner)
   }
 
@@ -2250,9 +2251,79 @@ object Similarity {
       exactAnchor(s, d), ivfFrame(s, d, NProbe))
   }
 
+  // --- E27: generation-store log — the ops view (round 18) ------------------
+  // The A60/A61 maintenance loop publishes manifest GENERATIONS (full
+  // or delta) with a CAS-guarded pointer; E26 says when the CODEBOOK
+  // has decayed — nothing reported what the STORE itself holds: which
+  // generation serves, how deep the delta chains run (the read
+  // fan-out the maxDeltaChain knob bounds), how many partitions a
+  // delta actually rewrote (the publish-IO claim, auditable), and
+  // what debris a crashed publisher left. This is that report — the
+  // index-store analogue of the reference's listener-registry
+  // introspection (CassandraListenerRegistry.scala:28-66 exposes the
+  // registered watchers; here the store exposes its servable states).
+  //
+  // Scale: pure driver-side METADATA — per generation one directory
+  // listing plus the two fixed-size sidecars; no data file is ever
+  // opened, so cost ∝ generations (a handful, retention-bounded) and
+  // is INDEPENDENT of index size — the one query in this suite whose
+  // 100 TB plan is identical to its 60 kB plan.
+  /** The log over an arbitrary store — seam for the planted-store
+    * spec (torn/invalid/chain cases) and for real deployments.
+    */
+  private[graft] def generationLogOver(s: SparkSession, store: String,
+      key: String): DataFrame = {
+    import s.implicits._
+    graft.FrameCache.generationLog(s, store, key)
+      .map(e => (e.genSeq, e.kind, e.depth, e.partitions, e.touched,
+        e.baseSeq, e.serving))
+      .toDF("gen_seq", "kind", "depth", "partitions", "touched",
+        "base_seq", "serving")
+  }
+
+  /** The registered run's demo store, staged ONCE per (JVM, corpus):
+    * the staged lists publish as the full base, then the two lowest
+    * lists re-publish as a CAS-guarded delta over it (the A60
+    * incremental shape). In production the store EXISTS — the
+    * maintenance loop is what populates it — so the staging is setup,
+    * not the operator; memoizing it keeps the measured query the
+    * actual metadata walk. The scratch dirs are removed at JVM exit.
+    */
+  private val demoStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def demoGenerationStore(s: SparkSession, d: String): String =
+    demoStoreCache.computeIfAbsent(d, { _ =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_genlog_").toString
+      sys.addShutdownHook(org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(store)))
+      val key = s"sim.ivf.lists.genlog:$d"
+      val lists = ivfLists(s, d)
+      val lay = graft.FrameCache.Layout(partitionCols = Seq("cid"))
+      val p1 = graft.FrameCache.publishGeneration(s, store, key, lists,
+        lay, "full")
+      val lowCids = lists.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).sorted.take(2)
+      graft.FrameCache.publishGeneration(s, store, key,
+        lists.filter(col("cid").isin(lowCids: _*)), lay, "delta",
+        delta = Some((p1, lowCids.map(_.toString).toSeq)),
+        expectedBase = Some(Some(p1)))
+      store
+    })
+
+  /** Registered report: the metadata log of the staged demo store —
+    * the rows are computed driver-side; the returned frame is a
+    * LocalRelation with no file dependency.
+    */
+  val generationLogReport = QueryDef.rowsOnly("ann_generation_log") { (s, d) =>
+    generationLogOver(s, demoGenerationStore(s, d),
+      s"sim.ivf.lists.genlog:$d")
+  }
+
   def all: Seq[QueryDef] = Seq(
     bruteForce, lsh, ivf, centroids, quantized, activityPairs, outliers,
     maxip, maxipLsh, pq, ivfPq, graph, dimStats, filtered, rangeSearch,
     binary, clustering, hybrid, mmr, classify, labelAffinity, reciprocal,
-    recallReport, probeSweep, rerankSweep, indexHealth)
+    recallReport, probeSweep, rerankSweep, indexHealth, generationLogReport)
 }

@@ -574,6 +574,56 @@ class FrameCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("generation log: a planted store (full + delta chain + torn + " +
+      "invalid debris) reports every entry's kind, depth, touched " +
+      "count, base link, and serving flag exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_log").toString
+    val key = "spec.generation.log"
+    val s1 = spark.newSession(); s1.conf.set(FrameCache.IndexDirConf, dir)
+    try {
+      val lay = FrameCache.Layout(partitionCols = Seq("cid"))
+      def gen(n: Int) = s1.range(n).toDF("id")
+        .withColumn("cid", pmod(col("id"), lit(2))).select("cid", "id")
+      // seq 1: full (2 partitions); seq 2: delta over it touching cid=1;
+      // seq 3: delta over THAT touching cid=0 (depth 2) — the serving one
+      val p1 = FrameCache.publishGeneration(s1, dir, key, gen(6), lay, "g1")
+      val p2 = FrameCache.publishGeneration(s1, dir, key,
+        gen(6).filter(col("cid") === 1L), lay, "g2",
+        delta = Some((p1, Seq("1"))))
+      val p3 = FrameCache.publishGeneration(s1, dir, key,
+        gen(6).filter(col("cid") === 0L), lay, "g3",
+        delta = Some((p2, Seq("0"))))
+      // debris: a torn (unmarked) publish and a marked-but-sidecar-less
+      // foreign directory — the log must DESCRIBE both, not throw
+      val gensDir = new java.io.File(p1).getParentFile
+      assert(new java.io.File(gensDir, "gen-000008-torn").mkdirs())
+      val bad = new java.io.File(gensDir, "gen-000009-bad")
+      assert(bad.mkdirs())
+      new java.io.FileOutputStream(new java.io.File(bad, "_SUCCESS")).close()
+      val log = FrameCache.generationLog(s1, dir, key)
+      assert(log.map(_.genSeq) === Seq(9L, 8L, 3L, 2L, 1L),
+        s"log order/content: $log")
+      val byName = log.map(e => e.genSeq -> e).toMap
+      assert(byName(9L).kind === "invalid" && !byName(9L).serving)
+      assert(byName(8L).kind === "torn" && !byName(8L).serving)
+      assert(byName(3L).kind === "delta" && byName(3L).depth === 2 &&
+        byName(3L).touched === 1 && byName(3L).baseSeq === Some(2L) &&
+        byName(3L).partitions === 1 && byName(3L).serving,
+        s"serving delta row wrong: ${byName(3L)}")
+      assert(byName(2L).kind === "delta" && byName(2L).depth === 1 &&
+        byName(2L).baseSeq === Some(1L) && !byName(2L).serving)
+      assert(byName(1L).kind === "full" && byName(1L).depth === 0 &&
+        byName(1L).touched === 0 && byName(1L).baseSeq.isEmpty &&
+        byName(1L).partitions === 2 && !byName(1L).serving)
+      // the chain the log describes still serves the full view
+      assert(FrameCache.openGeneration(s1, p3).get.count() === 6)
+    } finally {
+      FrameCache.evict(s1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("partitioned write spreads a hot partition value over multiple " +
       "files (salted pre-write shuffle), with unchanged read-back") {
     import org.apache.spark.sql.functions._

@@ -809,4 +809,30 @@ class SimilaritySpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("ann_generation_log: the registered demo store reports exactly a " +
+      "serving 2-list delta over a full base, base-linked, with the " +
+      "base holding every staged list partition") {
+    val Sim = queries.Similarity
+    val rows = SparkEntry.queries("ann_generation_log")(spark, sf).collect()
+    assert(rows.length === 2, s"expected full + delta, got ${rows.toSeq}")
+    val bySeq = rows.map(r => r.getAs[Long]("gen_seq") -> r).toMap
+    val nLists = Sim.ivfLists(spark, sf)
+      .select(org.apache.spark.sql.functions.col("cid"))
+      .distinct().count().toInt
+    val full = bySeq(1L)
+    assert(full.getAs[String]("kind") === "full" &&
+      full.getAs[Int]("depth") === 0 &&
+      full.getAs[Int]("partitions") === nLists &&
+      full.getAs[Int]("touched") === 0 &&
+      full.isNullAt(full.fieldIndex("base_seq")) &&
+      !full.getAs[Boolean]("serving"), s"full row wrong: $full")
+    val delta = bySeq(2L)
+    assert(delta.getAs[String]("kind") === "delta" &&
+      delta.getAs[Int]("depth") === 1 &&
+      delta.getAs[Int]("partitions") === 2 &&
+      delta.getAs[Int]("touched") === 2 &&
+      delta.getAs[Long]("base_seq") === 1L &&
+      delta.getAs[Boolean]("serving"), s"delta row wrong: $delta")
+  }
 }
