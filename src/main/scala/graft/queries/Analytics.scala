@@ -1595,28 +1595,36 @@ object Analytics {
         lag(col("event_type"), 1).over(byUser).as("from_t"))
       .filter(col("from_t").isNotNull)
       .groupBy(col("from_t"), col("to_t")).agg(count(lit(1)).as("cnt"))
-    val eo = ed
-      .join(ed.groupBy(col("from_t")).agg(sum(col("cnt")).as("outdeg")),
-        Seq("from_t"))
-      .localCheckpoint() // dimension-sized; iterations never re-scan events
-    val nodes = Tables.events(s, d).select(col("event_type").as("t"))
-      .distinct().localCheckpoint()
-    val meta = nodes.agg(count(lit(1)).as("nn"))
-    var r = nodes.crossJoin(broadcast(meta))
-      .select(col("t"), expr(s"${PrScale}L div nn").as("r"))
+    // Aggregate-then-iterate, with the iteration DRIVER-SIDE (r18).
+    // The one event-scale job stays distributed (lag window +
+    // map-side-combined edge rollup); the ten Lloyd-style rank updates
+    // run on the collected |types|²-bounded edge table — the same
+    // dimension-bounded-collect class as the k-means codebooks. The
+    // old unrolled DataFrame loop built a 10-deep nested plan (1334
+    // formatted-plan lines) whose Catalyst planning dominated the
+    // query (cross-SF exponent 0.07 — pure fixed cost, guide §3.3
+    // "planning time itself can become the bottleneck").
+    // Bit-exactness: every step is int64 floor-division arithmetic —
+    // order-independent, identical to the oracle's unrolled CTEs.
+    val edges = ed.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodeTs = Tables.events(s, d).select(col("event_type").as("t"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val nn = nodeTs.length.toLong
+    val outdeg = edges.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(_._3).sum }
+    var rank = nodeTs.map(t => t -> PrScale / nn).toMap
     for (_ <- 1 to PrIters) {
-      val inflow = r.join(eo, r("t") === eo("from_t"))
-        .select(col("to_t"),
-          (expr("(r * 85) div (100 * outdeg)") * col("cnt")).as("c"))
-        .groupBy(col("to_t")).agg(sum(col("c")).as("inflow"))
-      r = nodes.crossJoin(broadcast(meta))
-        .join(inflow.withColumnRenamed("to_t", "t"), Seq("t"), "left")
-        .select(col("t"),
-          (expr(s"(15 * ${PrScale}L) div (100 * nn)") +
-            coalesce(col("inflow"), lit(0L))).as("r"))
+      val inflow = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (f, t, cnt) =>
+        inflow(t) += (rank(f) * 85L / (100L * outdeg(f))) * cnt }
+      rank = nodeTs.map(t =>
+        t -> (15L * PrScale / (100L * nn) + inflow(t))).toMap
     }
-    r.select(col("t").as("event_type"), col("r").as("rank_scaled"),
-      (col("r").cast("double") / PrScale).as("rank"))
+    import s.implicits._
+    nodeTs.map(t => (t, rank(t), rank(t).toDouble / PrScale)).toSeq
+      .toDF("event_type", "rank_scaled", "rank")
       .orderBy(col("event_type"))
   }
 
@@ -2958,14 +2966,24 @@ object Analytics {
       |         CROSS JOIN n
       |ORDER BY support DESC, part_a, part_b""".stripMargin) { (s, d) =>
     val dec38 = DecimalType(38, 0)
-    val inc = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint() // (order, part) incidence: 3 consumers
-    val nOrders = inc.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
-    val pc = inc.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
-    val top = inc.groupBy(col("l_orderkey"))
+    // ONE lineitem-scale shuffle (r18, guide §2.3/§2.4): the old plan
+    // ran distinct(l_orderkey, l_partkey) — an exchange on the pair —
+    // and then RE-SHUFFLED the incidence by l_orderkey for the basket
+    // collect_set. collect_set dedups per group, so grouping the raw
+    // lineitem scan by order directly produces the identical distinct
+    // baskets in a single orderkey exchange; the incidence consumers
+    // (n_orders = one row per basket; per-part distinct-order counts =
+    // explode + map-side-combinable rollup) re-derive from the same
+    // checkpointed basket frame.
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint() // |orders| rows, basket-bounded arrays: 3 consumers
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pc = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val top = baskets
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)),

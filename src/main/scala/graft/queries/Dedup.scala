@@ -659,14 +659,17 @@ object Dedup {
       explode(expr(
         "transform(sequence(0, 3), b -> concat_ws(':', cast(b AS STRING), cast(shiftrightunsigned(sig, 16*b) & 65535 AS STRING)))"))
         .as("bucket"))
+    // hamming filter BEFORE the pair distinct: hamming is a function of
+    // the pair, so filter∘distinct ≡ distinct∘filter — but almost every
+    // band-collision candidate fails hamming ≤ 3, so filtering first
+    // shrinks the distinct's exchange from all-candidates to survivors
+    // (guide §2.3, shuffle fewer bytes; r18)
     bands.as("x").join(bands.as("y"), Seq("bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   val simhash = QueryDef.oracled(
@@ -1128,16 +1131,34 @@ object Dedup {
     // join on the 64-bit shingle hash, not the string — same counts
     // (collision odds ~|shingles|²/2⁶⁵), fixed-width shuffle keys; the
     // oracle joins strings, which only the counts survive.
-    val ss = shingled(s, d)
+    //
+    // ONE shingle-keyed shuffle (r18, guide §2.3/§2.4): the old plan
+    // ran distinct(source, sh) and then SELF-JOINED it on sh — the
+    // distinct subtree was planned (and shuffled) once per join side
+    // plus a sort-merge exchange, three shingle-scale exchanges in
+    // all. collect_set(source) per shingle is the same dedup in one
+    // exchange (map-side partial sets ≈ the distinct's bytes), and
+    // each shingle's pair fan-out is MAP-SIDE from its own sorted
+    // source set — bounded by |sources|² per shingle, never a
+    // shingle-scale join. cnt re-derives per-source distinct-shingle
+    // counts from the same materialized frame (map-side combinable to
+    // |sources| rows). Counts are identical: a sorted-set (i < j)
+    // pair ≡ the old source_a < source_b equi-join predicate.
+    val bySh = shingled(s, d)
       .join(docs, Seq("doc_id"))
       .select(col("source"), explode(col("shingles")).as("shingle"))
       .select(col("source"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
-    val cnt = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val pairs = ss.select(col("source").as("source_a"), col("sh"))
-      .join(ss.select(col("source").as("source_b"), col("sh")), Seq("sh"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint() // |distinct shingles| rows; 2 consumers
+    val cnt = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = bySh
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(cnt.select(col("source").as("source_a"), col("n").as("n_a"))),
@@ -1238,15 +1259,18 @@ object Dedup {
     * early query happens to trigger it (round-5 verdict: the r4↔r5
     * per-query swings came from exactly this attribution drift).
     */
-  private[graft] def warmStages(s: SparkSession, d: String): Unit = {
-    shingled(s, d).queryExecution.toRdd.count()
-    cappedIndex(s, d).queryExecution.toRdd.count()
-    clusterLabels(s, d).queryExecution.toRdd.count()
-    semanticClusterLabels(s, d).queryExecution.toRdd.count()
-    winnowIdx(s, d).queryExecution.toRdd.count()
-    winnowRarePairs(s, d).queryExecution.toRdd.count()
-    exactPairs(s, d).queryExecution.toRdd.count()
-  }
+  private[graft] def warmStages(s: SparkSession, d: String): Unit =
+    // concurrent loads (r18): see FrameCache.warmConcurrently — cold
+    // chains (clusterLabels → exactPairs → shingled, winnowRarePairs →
+    // winnowIdx) serialize on their per-key build locks, building once
+    graft.FrameCache.warmConcurrently(Seq(
+      () => shingled(s, d).queryExecution.toRdd.count(): Unit,
+      () => cappedIndex(s, d).queryExecution.toRdd.count(): Unit,
+      () => clusterLabels(s, d).queryExecution.toRdd.count(): Unit,
+      () => semanticClusterLabels(s, d).queryExecution.toRdd.count(): Unit,
+      () => winnowIdx(s, d).queryExecution.toRdd.count(): Unit,
+      () => winnowRarePairs(s, d).queryExecution.toRdd.count(): Unit,
+      () => exactPairs(s, d).queryExecution.toRdd.count(): Unit))
 
   // --- D12: semantic decontamination --------------------------------------
   // D9's embedding-space twin: the textual shingle containment check

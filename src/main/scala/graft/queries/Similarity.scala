@@ -1323,18 +1323,21 @@ object Similarity {
   /** Materialize the staged PQ + IVFADC indexes (bench warms these off
     * the measured path, under `_stage`).
     */
-  private[graft] def warmStages(s: SparkSession, d: String): Unit = {
-    pqCodebook(s, d).queryExecution.toRdd.count()
-    pqCodes(s, d).queryExecution.toRdd.count()
-    ivfPqBook(s, d).queryExecution.toRdd.count()
-    ivfPqCodes(s, d).queryExecution.toRdd.count()
-    ivfLists(s, d).queryExecution.toRdd.count()
-    graphPairs(s, d).queryExecution.toRdd.count()
-    exactAnchor(s, d).queryExecution.toRdd.count()
-    exactMipAnchor(s, d).queryExecution.toRdd.count()
-    demoGenerationStore(s, d) // E27's demo store (setup, not operator)
+  private[graft] def warmStages(s: SparkSession, d: String): Unit =
+    // concurrent loads (r18): see FrameCache.warmConcurrently — cold
+    // chains (codes → codebook, ivf artifacts → trainedCentroids'
+    // blocking memo) build once; warm mode is 9 independent loads
+    graft.FrameCache.warmConcurrently(Seq(
+      () => pqCodebook(s, d).queryExecution.toRdd.count(): Unit,
+      () => pqCodes(s, d).queryExecution.toRdd.count(): Unit,
+      () => ivfPqBook(s, d).queryExecution.toRdd.count(): Unit,
+      () => ivfPqCodes(s, d).queryExecution.toRdd.count(): Unit,
+      () => ivfLists(s, d).queryExecution.toRdd.count(): Unit,
+      () => graphPairs(s, d).queryExecution.toRdd.count(): Unit,
+      () => exactAnchor(s, d).queryExecution.toRdd.count(): Unit,
+      () => exactMipAnchor(s, d).queryExecution.toRdd.count(): Unit,
+      () => demoGenerationStore(s, d): Unit)) // E27 demo store (setup)
     // the lexical index is warmed by TextAnalysis.warmStages (its owner)
-  }
 
   /** The E10 ADC probe pipeline over an ARBITRARY (query_id, qe) frame,
     * with the staged artifacts passed in — shared verbatim by batch
@@ -1907,49 +1910,59 @@ object Similarity {
           .orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rnk") <= MmrPoolK)
       .select(col("query_id"), col("vec_id"), col("ea"), col("cosine"))
-      .localCheckpoint() // |queries| × 30 rows; the loop never re-scans
-    var selected = pool
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rnk") === 1).drop("rnk")
-      .withColumn("mmr_rank", lit(1L))
-      .withColumn("mmr", expr("(7*cosine - 3*0.0)/10"))
-    var remaining = pool.join(selected.select(col("query_id"), col("vec_id")),
-      Seq("query_id", "vec_id"), "left_anti")
-    for (i <- 2 to MmrK) {
-      val pen = remaining.as("r")
-        .join(selected.select(col("query_id"), col("ea").as("sea")), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          F.cosine_sim(col("ea"), col("sea")).as("pc"))
-        .groupBy(col("query_id"), col("vec_id")).agg(max(col("pc")).as("pen"))
-      val next = remaining.join(pen, Seq("query_id", "vec_id"))
-        .withColumn("mmr", expr("(7*cosine - 3*pen)/10"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("mmr").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), col("ea"), col("cosine"),
-          lit(i.toLong).as("mmr_rank"), col("mmr"))
-      // cut lineage each step: without this the k-th iteration re-plans
-      // and re-executes the whole union/anti-join cascade of the k−1
-      // before it (measured 15 s → ~2 s at sf0.1); the frames are
-      // |queries|-sized, so the eager materialization is free.
-      // Fault-tolerance trade (round-10 advice): localCheckpoint blocks
-      // are executor-local and non-replicated — losing an executor
-      // mid-loop fails the query instead of recomputing. Accepted here
-      // because the checkpointed frames are queries-sized (tiny, fast
-      // to re-run from scratch) and the loop is seconds long; a
-      // deployment where MMR re-ranking must survive executor churn
-      // swaps these for persist(MEMORY_AND_DISK_2) or reliable
-      // checkpoint at the cost of replication writes per iteration.
-      selected = selected.unionByName(next).localCheckpoint()
-      remaining = remaining.join(next.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_anti").localCheckpoint()
+    // Greedy selection DRIVER-SIDE over the collected pool (r18). The
+    // corpus-facing work above stays distributed; the pool is
+    // |queries| × 30 rows — dimension-bounded, the codebook-collect
+    // class — and the old per-step DataFrame loop cost 8 localCheckpoint
+    // jobs plus 4 rounds of Catalyst planning on tiny frames (the query
+    // was planning-bound: cross-SF exponent ~0). Bit-exactness: the
+    // pairwise penalty calls the IDENTICAL HashImpl.cosineFF kernel the
+    // CosineSim expression compiles to, on the same float arrays; the
+    // mmr score replays Spark's literal-promoted double tree
+    // (7·cos − 3·pen)/10; argmax order (mmr desc, vec_id asc) uses
+    // java.lang.Double.compare — Spark's double ordering (no NaNs here:
+    // the pool filtered them, and candidate–candidate cosines of
+    // nonzero-norm vectors are finite).
+    val poolRows = pool.collect()
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double)]
+    poolRows.groupBy(_.getLong(0)).foreach { case (q, rowsQ) =>
+      val cands = rowsQ.map { r =>
+        (r.getLong(1),
+          ArrayData.toArrayData(r.getSeq[Float](2).toArray),
+          r.getDouble(3))
+      }.sortBy(_._1)
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val selected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, ArrayData, Double)]
+      for (i <- 1 to MmrK if remaining.nonEmpty) {
+        // rank 1 replays the original's (cosine desc, vec_id asc) pick;
+        // later ranks score (7·cos − 3·max_pen)/10 and argmax by
+        // (mmr desc, vec_id asc). Candidates are vec_id-sorted, so the
+        // first strict improvement wins ties exactly like the
+        // row_number window did.
+        val (pick, mmr) =
+          if (selected.isEmpty) {
+            val p = remaining.reduceLeft { (a, b) =>
+              if (java.lang.Double.compare(b._3, a._3) > 0) b else a }
+            (p, (7 * p._3 - 3 * 0.0) / 10)
+          } else {
+            remaining.map { case c @ (_, ea, cos) =>
+              val pen = selected.map(sel => graft.functions.HashImpl
+                .cosineFF(ea, sel._2)).max
+              (c, (7 * cos - 3 * pen) / 10)
+            }.reduceLeft { (a, b) =>
+              if (java.lang.Double.compare(b._2, a._2) > 0) b else a }
+          }
+        out += ((q, i.toLong, pick._1, pick._3, mmr))
+        selected += pick
+        remaining -= pick
+      }
     }
-    selected
-      .select(col("query_id"), col("mmr_rank"), col("vec_id").as("neighbor_id"),
-        col("cosine"), col("mmr"))
+    import s.implicits._
+    out.toSeq
+      .toDF("query_id", "mmr_rank", "neighbor_id", "cosine", "mmr")
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
@@ -2018,21 +2031,50 @@ object Similarity {
           col("n_exact"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }
-    val cosineRows = Seq(
-      "knn_lsh" -> lsh, "knn_ivf" -> ivf, "knn_pq" -> pq,
-      "knn_ivfpq" -> ivfPq, "knn_quantized" -> quantized,
-      "knn_binary" -> binary)
-      .map { case (name, q) => row(name, q.fn(s, d), exact, denom) }
-    val graphRow = row("knn_graph",
-      graph.fn(s, d).filter(col("query_id") < NQueries), exact, denom)
     val exactMip = broadcast(exactMipAnchor(s, d))
     val denomMip = exactMip
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
       .localCheckpoint()
-    val mipRow = row("knn_maxip_lsh", maxipLsh.fn(s, d), exactMip, denomMip)
-    (cosineRows :+ graphRow :+ mipRow)
-      .reduce(_ unionAll _).orderBy(col("method"))
+    val specs: Seq[(String, () => DataFrame)] = (Seq(
+      "knn_lsh" -> lsh, "knn_ivf" -> ivf, "knn_pq" -> pq,
+      "knn_ivfpq" -> ivfPq, "knn_quantized" -> quantized,
+      "knn_binary" -> binary)
+      .map { case (name, q) =>
+        name -> (() => row(name, q.fn(s, d), exact, denom)) }) ++ Seq(
+      "knn_graph" -> (() => row("knn_graph",
+        graph.fn(s, d).filter(col("query_id") < NQueries), exact, denom)),
+      "knn_maxip_lsh" ->
+        (() => row("knn_maxip_lsh", maxipLsh.fn(s, d), exactMip, denomMip)))
+    // The 8 method probes are INDEPENDENT plans over shared staged
+    // artifacts, and their cost is planning-dominated (cross-SF
+    // exponent −0.14; 2200+ formatted-plan lines when composed as one
+    // union). Materialize each method's 1-row report concurrently on a
+    // small driver pool (guide §2.6 — overlap independent jobs; the
+    // per-method planning AND the probe stages back-fill each other's
+    // idle cores), then union the 9 one-row checkpoints. Counts are
+    // exact integers, so concurrency cannot change a value.
+    // pool of 4, measured: 4 threads gave a stable 4.0 s (vs 5.3 s
+    // sequential); one-thread-per-method (9) THRASHED — 9 concurrent
+    // 32-partition stages over-subscribe local[32] and the run swung
+    // 4.5–12.8 s. Overlap wants 2-4 jobs in flight (guide §2.6), not
+    // one per unit of work.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rows =
+      try {
+        import scala.concurrent._
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(specs.map { case (name, mk) =>
+            Future {
+              s.sparkContext.setJobDescription(s"knn_recall_report: $name")
+              mk().localCheckpoint()
+            } }),
+          Duration.Inf)
+      } finally pool.shutdown()
+    rows.reduce(_ unionAll _).orderBy(col("method"))
   }
 
   // --- E24: IVF probe sweep — the nProbe tuning curve -----------------------
@@ -2106,13 +2148,15 @@ object Similarity {
   // E24's pattern on the OTHER tunable an index operator dials for a
   // recall SLO: recall@K vs the ADC-candidate depth re-ranked exactly
   // (FAISS's k_factor / rerank depth). One table over the staged PQ
-  // artifacts: per depth, the full pqProbeWith plan at that depth,
+  // artifacts: per depth, the pqProbeWith semantics at that depth,
   // scored against the staged exact anchor. Recall is monotone in
   // depth BY CONSTRUCTION — deeper rerank re-ranks a superset of ADC
   // candidates by exact cosine, and a true top-K hit can only be
   // displaced by a higher-cosine vector, which is itself a true hit —
-  // so the spec pins monotonicity exactly, and the PqRerank point runs
-  // the LITERAL knn_pq plan (same code path, row-identical).
+  // so the spec pins monotonicity exactly, and the PqRerank point
+  // reproduces knn_pq's result row-identically (same crk ≤ PqRerank
+  // candidate set, same cosine kernel, same rank order — the r18
+  // shared-scoring restructure below keeps that equivalence).
   //
   // Scale: all depths share the staged codebook/codes and the broadcast
   // anchor; per depth the extra cost over knn_pq is only the rerank
@@ -2132,17 +2176,32 @@ object Similarity {
     // ONE ADC ranking for the whole sweep (the candidate sets per depth
     // are nested prefixes of it); each point pays only its rerank fetch
     // + top-K + hit join. |queries| × maxDepth slim rows, eagerly cut.
-    val ranked = pqAdcRanked(qs, pqCodebook(s, d), pqCodes(s, d))
+    // Score the max-depth candidate set ONCE (r18): the old loop
+    // re-joined queries + embeddings and recomputed the exact cosines
+    // for every depth — 6 × (2 joins + corpus-vector fetch + cosine)
+    // over nested candidate PREFIXES of the same ranking. Exact-rerank
+    // cosine for a (query, vec) pair is depth-independent, so each
+    // depth is now a crk-prefix filter + its own top-K window over one
+    // checkpointed scored frame — E24's sharing applied to the other
+    // dial. Identical semantics per depth: same candidate set (crk ≤ r),
+    // same NaN drop, same (cosine desc, vec_id) rank, same hit join.
+    val scoredAll = pqAdcRanked(qs, pqCodebook(s, d), pqCodes(s, d))
       .filter(col("crk") <= SweepReranks.max)
       .select(col("query_id"), col("vec_id"), col("crk"))
+      .join(qs, Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")),
+        Seq("vec_id"))
+      .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
+      .filter(!isnan(col("cosine")))
+      .select(col("query_id"), col("vec_id"), col("crk"), col("cosine"))
       .localCheckpoint()
     SweepReranks.map { r =>
-      val hits = topK(ranked.filter(col("crk") <= r)
-          .select(col("query_id"), col("vec_id"))
-          .join(qs, Seq("query_id"))
-          .join(emb.select(col("vec_id"), col("embedding").as("ea")),
-            Seq("vec_id")))
-        .select(col("query_id"), col("neighbor_id"))
+      val hits = scoredAll.filter(col("crk") <= r)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
         .join(exact, Seq("query_id", "neighbor_id"))
       denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(lit(r).as("rerank_depth"),

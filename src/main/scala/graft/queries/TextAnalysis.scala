@@ -592,17 +592,20 @@ object TextAnalysis {
     * the measured path and reports them under `_stage`, like the dedup
     * family's shingle stages).
     */
-  private[graft] def warmStages(s: SparkSession, d: String): Unit = {
-    unigramCounts(s, d).queryExecution.toRdd.count()
-    bigramCounts(s, d).queryExecution.toRdd.count()
-    docBigramHashes(s, d).queryExecution.toRdd.count()
-    lexTf(s, d).queryExecution.toRdd.count()
-    lexDf(s, d).queryExecution.toRdd.count()
-    winnowSel(s, d).queryExecution.toRdd.count()
-    bpeMergesFrame(s, d).queryExecution.toRdd.count()
-    chromeGrams(s, d).queryExecution.toRdd.count()
-    stripStats(s, d).queryExecution.toRdd.count()
-  }
+  private[graft] def warmStages(s: SparkSession, d: String): Unit =
+    // concurrent loads (r18): each artifact is its own parquet scan in
+    // warm-load mode; in cold mode shared dependencies (stripStats →
+    // chromeGrams) build once under their per-key build locks
+    graft.FrameCache.warmConcurrently(Seq(
+      () => unigramCounts(s, d).queryExecution.toRdd.count(): Unit,
+      () => bigramCounts(s, d).queryExecution.toRdd.count(): Unit,
+      () => docBigramHashes(s, d).queryExecution.toRdd.count(): Unit,
+      () => lexTf(s, d).queryExecution.toRdd.count(): Unit,
+      () => lexDf(s, d).queryExecution.toRdd.count(): Unit,
+      () => winnowSel(s, d).queryExecution.toRdd.count(): Unit,
+      () => bpeMergesFrame(s, d).queryExecution.toRdd.count(): Unit,
+      () => chromeGrams(s, d).queryExecution.toRdd.count(): Unit,
+      () => stripStats(s, d).queryExecution.toRdd.count(): Unit))
 
   // --- C13: collocation extraction (corpus-level bigram lift) -------------
   // The phrase-mining primitive behind tokenizer/vocab induction and
