@@ -940,7 +940,7 @@ private[graft] object FrameCache {
       // build closure recursing into getOrPersist for its dependencies
       // takes different keys' monitors — no self-deadlock, and no
       // cycles (the dependency graph is a DAG).
-      memBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      memBuildLocks.computeIfAbsent(k, _ => new Object).synchronized {
         val again = cache.get(k)
         if (again ne null) again
         else {
@@ -958,10 +958,11 @@ private[graft] object FrameCache {
       }
   }
 
-  // in-memory twin of buildLocks, keyed by the getOrPersist key (not
-  // the disk path — session-mode runs have no disk path)
+  // in-memory twin of buildLocks, keyed like the cache by (session, key)
+  // (r19 advice: a key-only lock serialized independent sessions building
+  // the same key and never evicted) — entries are cleared in evict(s)
   private val memBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
 
   /** Run independent warm-up thunks concurrently on a bounded pool and
     * propagate the first failure (r18 — the bench's `_stage` warm-up
@@ -976,10 +977,24 @@ private[graft] object FrameCache {
       par: Int = 4): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     try {
-      import scala.jdk.CollectionConverters._
-      pool.invokeAll(thunks.map(t => new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = t()
-      }).asJava).asScala.foreach(_.get())
+      // completion-service drain (r19 advice): invokeAll waited for ALL
+      // thunks before surfacing the first failure, and rethrew it
+      // wrapped in ExecutionException — a cold-build crash now fails
+      // fast (remaining thunks cancelled) with the original exception
+      // type, like the sequential path threw.
+      val ecs = new java.util.concurrent.ExecutorCompletionService[Unit](pool)
+      val futures = thunks.map(t =>
+        ecs.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      var done = 0
+      try {
+        while (done < futures.size) { ecs.take().get(); done += 1 }
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          futures.foreach(_.cancel(true))
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
   }
 
@@ -996,6 +1011,8 @@ private[graft] object FrameCache {
         try df.unpersist(blocking = false) catch { case _: Throwable => () }
       }
     }
+    memBuildLocks.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(memBuildLocks.remove)
     Option(hooked.remove(s)).foreach { l =>
       try s.sparkContext.removeSparkListener(l) catch { case _: Throwable => () }
     }

@@ -33,6 +33,24 @@ object Analytics {
     */
   private def dec(c: Column) = c.cast(DecimalType(18, 2))
 
+  /** Driver-side collect with an EXPLICIT cardinality bound (r19 —
+    * VERDICT r18 "what's wrong" #3): the dimension-bounded-collect
+    * pattern (codebooks, |types|² edge tables, |queries|×k pools)
+    * rests on an implicit assumption about the dimension; this makes
+    * the assumption a loud, named failure instead of a driver OOM.
+    * `limit(cap + 1)` bounds what ever reaches the driver even when
+    * the assumption is violated.
+    */
+  private[graft] def boundedDriverCollect(df: org.apache.spark.sql.DataFrame,
+      cap: Int, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalStateException(
+      s"$what exceeds the driver-collect bound of $cap rows: this path " +
+      "iterates driver-side over a frame assumed dimension-bounded " +
+      "(SURVEY §4); aggregate or re-partition the dimension first")
+    rows
+  }
+
   private def tsLit(s: String) = lit(s).cast("timestamp")
 
   /** Exact revenue term: extprice * (1 - discount) in DECIMAL. */
@@ -1383,82 +1401,99 @@ object Analytics {
     // does with a sorted run between passes). localCheckpoint = the
     // local flavor (executor-resident); a cluster deployment with
     // executor churn uses a reliable checkpoint dir, same semantics.
+    // Passes 2+3 = the shared driver-side-census core (r19 —
+    // rankPickOwned; event_type is the metric label).
     val parted = percentileParted(s, d).localCheckpoint()
-    // pass 2: slice census — P × |types| rows, all windows/joins below
-    // run on this dimension-sized frame, never on event-scale data
-    val cnts = parted.groupBy(col("pid"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-    val offs = cnts.withColumn("off",
-      coalesce(sum(col("c")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val targets = cnts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
-      .select(col("event_type"), col("n"), explode(array(
-        struct(lit("p50").as("pct"), expr("(n + 1) div 2").as("grank")),
-        struct(lit("p90").as("pct"), expr("(9 * n + 9) div 10").as("grank")),
-        struct(lit("p99").as("pct"), expr("(99 * n + 99) div 100").as("grank"))))
-        .as("t"))
-      .select(col("event_type"), col("n"), col("t.pct"), col("t.grank"))
-    // which slice owns each target rank, and at which local offset
-    val owned = targets.join(offs, Seq("event_type"))
-      .where(col("grank") > col("off") && col("grank") <= col("off") + col("c"))
-      .select(col("event_type"), col("pid"), col("pct"), col("n"),
-        (col("grank") - col("off")).as("lk"))
-    // pass 3: local rank ONLY inside owning slices (≤3 per type); the
-    // window's (pid, type) key has ~P × |types| groups of ~n/P rows —
-    // every sort task handles 1/P of a type, none a whole type
-    val picked = parted
-      .join(broadcast(owned.select(col("pid"), col("event_type")).distinct()),
-        Seq("pid", "event_type"))
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy(col("pid"), col("event_type"))
-          .orderBy(col("value"), col("event_id"))))
-      .join(broadcast(owned), Seq("pid", "event_type"))
-      .where(col("lrn") === col("lk"))
-    picked.groupBy(col("event_type"))
+      .select(col("event_type").as("m"), col("value").as("v"),
+        col("event_id").as("t"), col("pid"))
+    val picked = rankPickOwned(s, parted, n => Seq(
+      ("p50", (n + 1) / 2), ("p90", (9 * n + 9) / 10),
+      ("p99", (99 * n + 99) / 100)))
+    picked.groupBy(col("m"))
       .agg(
-        max(when(col("pct") === "p50", col("value"))).as("p50"),
-        max(when(col("pct") === "p90", col("value"))).as("p90"),
-        max(when(col("pct") === "p99", col("value"))).as("p99"),
+        max(when(col("label") === "p50", col("boundary"))).as("p50"),
+        max(when(col("label") === "p90", col("boundary"))).as("p90"),
+        max(when(col("label") === "p99", col("boundary"))).as("p99"),
         max(col("n")).as("n_events"))
+      .select(col("m").as("event_type"), col("p50"), col("p90"),
+        col("p99"), col("n_events"))
       .orderBy(col("event_type"))
+  }
+
+  /** Pass 2+3 of the range-partitioned two-pass exact rank, shared by
+    * every rank-pick caller (B32 percentiles, B43 RFM quintiles, C24
+    * quality tertiles). `parted` must carry (m, v, t, pid): metric
+    * label, value (any ordered type), tie, slice id — already
+    * range-partitioned on (m, v, t) and checkpointed (ONE boundary
+    * draw). The slice census is ≤ P × |metrics| rows — partition-count-
+    * bounded, the codebook-collect class — so the offsets, ceil-rank
+    * targets and owned-slice table are computed DRIVER-SIDE (r19: the
+    * old per-caller offs window + targets/owned joins were 3-4 extra
+    * dimension-sized subtrees planned and run per metric; B43 paid the
+    * whole machinery three times). Pass 3 local-ranks only owning
+    * slices: no task ever sorts more than 1/P of one metric.
+    * `targetsOf(n)` names each metric's global ceil-ranks; rank 0 or
+    * > n (empty/short metric) owns no slice and yields no row, exactly
+    * like the old grank-vs-offset join.
+    */
+  private[graft] def rankPickOwned(s: SparkSession, parted: DataFrame,
+      targetsOf: Long => Seq[(String, Long)]): DataFrame = {
+    val census = boundedDriverCollect(
+      parted.groupBy(col("pid"), col("m")).agg(count(lit(1)).as("c")),
+      1 << 20, "rank-pick slice census (P x |metrics|)")
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val ownedRows: Seq[(String, Int, String, Long, Long)] =
+      census.map(_._2).distinct.sorted.toSeq.flatMap { m =>
+        val slices = census.filter(_._2 == m).sortBy(_._1)
+        val offs = slices.scanLeft(0L)(_ + _._3)
+        val n = offs.last
+        targetsOf(n).flatMap { case (label, grank) =>
+          slices.indices.collectFirst {
+            case i if grank > offs(i) && grank <= offs(i) + slices(i)._3 =>
+              (m, slices(i)._1, label, n, grank - offs(i)) }
+        }
+      }
+    import s.implicits._
+    if (ownedRows.isEmpty)
+      return parted.select(col("m"), lit("").as("label"), lit(0L).as("n"),
+        col("v").as("boundary")).limit(0)
+    val owned = ownedRows.toDF("m", "pid", "label", "n", "lk")
+    parted
+      .join(broadcast(owned.select(col("m"), col("pid")).distinct()),
+        Seq("m", "pid"))
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid"), col("m"))
+          .orderBy(col("v"), col("t"))))
+      .join(broadcast(owned), Seq("m", "pid"))
+      .where(col("lrn") === col("lk"))
+      .select(col("m"), col("label"), col("n"), col("v").as("boundary"))
+  }
+
+  /** Range-partition + checkpoint pass 1 over an (m, v, t) frame, then
+    * [[rankPickOwned]].
+    */
+  private[graft] def rankPickCore(s: SparkSession, mvt: DataFrame,
+      targetsOf: Long => Seq[(String, Long)]): DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    rankPickOwned(s,
+      mvt.repartitionByRange(p, col("m"), col("v"), col("t"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(),
+      targetsOf)
   }
 
   /** Exact global ceil-rank quantile boundaries over an UN-KEYED
     * frame — B32's range-partitioned two-pass rank minus the per-type
     * key: returns `(q, boundary)` rows for q = 1..k-1, boundary = the
-    * ((q·n+q) div k)-th smallest (v, tie). The scale argument is
-    * B32's verbatim: range-partition once (localCheckpoint pins ONE
-    * boundary draw), census per slice, offset cumsum over the ≤P-row
-    * slice table, local rank only inside owning slices — no task ever
-    * sorts more than 1/P of the frame. Shared by B43 (RFM quintiles)
-    * and C24 (quality tertiles).
+    * ((q·n+q) div k)-th smallest (v, tie). Shared by B43 (RFM
+    * quintiles) and C24 (quality tertiles).
     */
   private[graft] def exactQuantileBoundaries(s: SparkSession, df: DataFrame,
-      v: Column, tie: Column, k: Int): DataFrame = {
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df.select(v.as("v"), tie.as("t"))
-      .repartitionByRange(p, col("v"), col("t"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val cnts = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-    val offs = cnts.withColumn("off",
-      coalesce(sum(col("c")).over(Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val targets = cnts.agg(sum(col("c")).as("n"))
-      .select(col("n"), explode(expr(s"sequence(1, ${k - 1})")).as("q"))
-      .select(col("q"), expr(s"(q * n + q) div $k").as("grank"))
-    val owned = targets.crossJoin(offs)
-      .where(col("grank") > col("off") && col("grank") <= col("off") + col("c"))
-      .select(col("pid"), col("q"), (col("grank") - col("off")).as("lk"))
-    parted
-      .join(broadcast(owned.select(col("pid")).distinct()), Seq("pid"))
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("v"), col("t"))))
-      .join(broadcast(owned), Seq("pid"))
-      .where(col("lrn") === col("lk"))
-      .select(col("q"), col("v").as("boundary"))
-  }
+      v: Column, tie: Column, k: Int): DataFrame =
+    rankPickCore(s,
+      df.select(lit("").as("m"), v.as("v"), tie.as("t")),
+      n => (1 until k).map(q => (q.toString, (q.toLong * n + q) / k)))
+      .select(col("label").cast("int").as("q"), col("boundary"))
 
   // --- B43: RFM segmentation (round 10) -------------------------------------
   // The classic lifecycle-marketing cut: per user, Recency (micros
@@ -1521,13 +1556,36 @@ object Analytics {
       .select(col("user_id"), (col("ge") - col("last_us")).as("rec_us"),
         col("freq"), col("mon"))
       .localCheckpoint()
-    def bl(vCol: String) =
-      exactQuantileBoundaries(s, u, col(vCol), col("user_id"), 5)
-        .agg(array_sort(collect_list(struct(col("q"), col("boundary")))).as("qs"))
-        .select(expr("transform(qs, x -> x.boundary)").as("bl"))
-    u.crossJoin(broadcast(bl("rec_us").withColumnRenamed("bl", "rbl")))
-      .crossJoin(broadcast(bl("freq").withColumnRenamed("bl", "fbl")))
-      .crossJoin(broadcast(bl("mon").withColumnRenamed("bl", "mbl")))
+    // ONE quantile pass for all three metrics (r19, guide §2.4): the
+    // old per-metric exactQuantileBoundaries calls paid the whole
+    // two-pass rank machinery — range exchange, checkpoint, census,
+    // owned-slice pick — three times (the 1134-line r18 plan). The
+    // metrics stack into (m, v, t) rows under ONE range partition;
+    // DECIMAL(38,2) holds longs (rec_us, freq) and the DECIMAL(18,2)
+    // monetary total exactly, so the widened sort order and the
+    // boundary values are bit-identical, and each boundary list is
+    // cast back to its metric's native type before the (unchanged)
+    // bucket comparisons.
+    val dec382 = "decimal(38,2)"
+    val bls = rankPickCore(s,
+      u.select(explode(array(
+        struct(lit("f").as("m"), col("freq").cast(dec382).as("v")),
+        struct(lit("m").as("m"), col("mon").cast(dec382).as("v")),
+        struct(lit("r").as("m"), col("rec_us").cast(dec382).as("v"))))
+        .as("mv"), col("user_id").as("t"))
+        .select(col("mv.m").as("m"), col("mv.v").as("v"), col("t")),
+      n => (1 to 4).map(q => (q.toString, (q.toLong * n + q) / 5)))
+    val blRow = bls
+      .agg(collect_list(struct(col("m"), col("label"), col("boundary")))
+        .as("bs"))
+      .select(
+        expr("transform(array_sort(filter(bs, x -> x.m = 'r')), " +
+          "x -> cast(x.boundary as bigint))").as("rbl"),
+        expr("transform(array_sort(filter(bs, x -> x.m = 'f')), " +
+          "x -> cast(x.boundary as bigint))").as("fbl"),
+        expr("transform(array_sort(filter(bs, x -> x.m = 'm')), " +
+          "x -> cast(x.boundary as decimal(18,2)))").as("mbl"))
+    u.crossJoin(broadcast(blRow))
       .select(col("user_id"), col("rec_us"), col("freq"),
         col("mon").cast("double").as("monetary"),
         (lit(1) + expr("aggregate(rbl, 0, (acc, x) -> acc + IF(x < rec_us, 1, 0))"))
@@ -1606,10 +1664,16 @@ object Analytics {
     // "planning time itself can become the bottleneck").
     // Bit-exactness: every step is int64 floor-division arithmetic —
     // order-independent, identical to the oracle's unrolled CTEs.
-    val edges = ed.collect().map(r =>
+    // |types|² edge rows and |types| node rows, bound stated loudly
+    // (r19): 1024 distinct event types is far beyond any telemetry
+    // taxonomy; past it the driver iteration is the wrong plan.
+    val edges = boundedDriverCollect(ed, 1 << 20,
+      "events_pagerank edge table (|event_types|^2)").map(r =>
       (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodeTs = Tables.events(s, d).select(col("event_type").as("t"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val nodeTs = boundedDriverCollect(
+      Tables.events(s, d).select(col("event_type").as("t")).distinct(),
+      1 << 10, "events_pagerank node set (|event_types|)")
+      .map(_.getString(0)).sorted
     val nn = nodeTs.length.toLong
     val outdeg = edges.groupBy(_._1).map { case (f, es) =>
       f -> es.map(_._3).sum }

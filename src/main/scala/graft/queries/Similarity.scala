@@ -1923,7 +1923,10 @@ object Similarity {
     // java.lang.Double.compare — Spark's double ordering (no NaNs here:
     // the pool filtered them, and candidate–candidate cosines of
     // nonzero-norm vectors are finite).
-    val poolRows = pool.collect()
+    // |queries| × MmrPoolK rows, bound stated loudly (r19): past ~33k
+    // queries per report the greedy selection belongs back on executors.
+    val poolRows = graft.queries.Analytics.boundedDriverCollect(pool,
+      1 << 20, s"knn_mmr candidate pool (|queries| x $MmrPoolK)")
     import org.apache.spark.sql.catalyst.util.ArrayData
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Double, Double)]
@@ -2015,10 +2018,23 @@ object Similarity {
 
   val recallReport = QueryDef.rowsOnly("knn_recall_report") { (s, d) =>
     val exact = broadcast(exactAnchor(s, d))
-    // anchor-independent denominators: one aggregate per anchor, reused
-    // by every method row scored against it (not re-aggregated per
-    // method)
+    val exactMip = broadcast(exactMipAnchor(s, d))
+    // ONE union job (r19 — reverts r18's 4-thread driver pool, the
+    // suite's worst r18 regression: driver bench 3.8 → 13.0 s under
+    // load; 4 concurrent multi-stage foreground jobs amplified
+    // external contention instead of back-filling it). The 8 method
+    // probes are independent subtrees of one adaptive plan, and AQE
+    // materializes every READY query stage concurrently — the union
+    // already gets §2.6's overlap with no driver threads. (An async
+    // per-method submit was measured too: under AQE, toRdd
+    // materializes each plan's stages synchronously on the calling
+    // thread, so it degenerates to sequential — 9.5 s steady vs the
+    // union's 3.8-3.9 s ground truth.)
     val denom = exact
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .localCheckpoint()
+    val denomMip = exactMip
       .agg(countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_exact"))
       .localCheckpoint()
@@ -2031,50 +2047,16 @@ object Similarity {
           col("n_exact"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_exact")).as("recall"))
     }
-    val exactMip = broadcast(exactMipAnchor(s, d))
-    val denomMip = exactMip
-      .agg(countDistinct(col("query_id")).as("n_queries"),
-        count(lit(1)).as("n_exact"))
-      .localCheckpoint()
-    val specs: Seq[(String, () => DataFrame)] = (Seq(
+    val cosineRows = Seq(
       "knn_lsh" -> lsh, "knn_ivf" -> ivf, "knn_pq" -> pq,
       "knn_ivfpq" -> ivfPq, "knn_quantized" -> quantized,
       "knn_binary" -> binary)
-      .map { case (name, q) =>
-        name -> (() => row(name, q.fn(s, d), exact, denom)) }) ++ Seq(
-      "knn_graph" -> (() => row("knn_graph",
-        graph.fn(s, d).filter(col("query_id") < NQueries), exact, denom)),
-      "knn_maxip_lsh" ->
-        (() => row("knn_maxip_lsh", maxipLsh.fn(s, d), exactMip, denomMip)))
-    // The 8 method probes are INDEPENDENT plans over shared staged
-    // artifacts, and their cost is planning-dominated (cross-SF
-    // exponent −0.14; 2200+ formatted-plan lines when composed as one
-    // union). Materialize each method's 1-row report concurrently on a
-    // small driver pool (guide §2.6 — overlap independent jobs; the
-    // per-method planning AND the probe stages back-fill each other's
-    // idle cores), then union the 9 one-row checkpoints. Counts are
-    // exact integers, so concurrency cannot change a value.
-    // pool of 4, measured: 4 threads gave a stable 4.0 s (vs 5.3 s
-    // sequential); one-thread-per-method (9) THRASHED — 9 concurrent
-    // 32-partition stages over-subscribe local[32] and the run swung
-    // 4.5–12.8 s. Overlap wants 2-4 jobs in flight (guide §2.6), not
-    // one per unit of work.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val rows =
-      try {
-        import scala.concurrent._
-        import scala.concurrent.duration._
-        implicit val ec: ExecutionContext =
-          ExecutionContext.fromExecutor(pool)
-        Await.result(
-          Future.sequence(specs.map { case (name, mk) =>
-            Future {
-              s.sparkContext.setJobDescription(s"knn_recall_report: $name")
-              mk().localCheckpoint()
-            } }),
-          Duration.Inf)
-      } finally pool.shutdown()
-    rows.reduce(_ unionAll _).orderBy(col("method"))
+      .map { case (name, q) => row(name, q.fn(s, d), exact, denom) }
+    val graphRow = row("knn_graph",
+      graph.fn(s, d).filter(col("query_id") < NQueries), exact, denom)
+    val mipRow = row("knn_maxip_lsh", maxipLsh.fn(s, d), exactMip, denomMip)
+    (cosineRows :+ graphRow :+ mipRow)
+      .reduce(_ unionAll _).orderBy(col("method"))
   }
 
   // --- E24: IVF probe sweep — the nProbe tuning curve -----------------------
@@ -2125,23 +2107,42 @@ object Similarity {
       .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
       .filter(!isnan(col("cosine")))
       .select(col("query_id"), col("lrk"), col("vec_id"), col("cosine"))
-      .localCheckpoint()
-    SweepProbes.map { p =>
-      // identical semantics to ivfFrame(s, d, p): top-K over the
-      // candidates of the p nearest lists, same NaN filter (above) and
-      // the same (cosine desc, vec_id) total order
-      val hits = scored.filter(col("lrk") <= p)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine").desc, col("vec_id"))))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"))
-      denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(p).as("n_probe"), lit(NCentroids).as("n_lists"),
-          col("n_queries"), lit(K).as("k"), col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
-    }.reduce(_ unionAll _).orderBy(col("n_probe"))
+    // ALL sweep points in ONE window pass (r19, guide §2.4): the old
+    // loop ran, per point, its own top-K window (an exchange + sort
+    // each) + hit join + aggregate, unioned — 6 windows, 6 joins,
+    // 6 aggregates over the same checkpointed frame. row_number over
+    // the lrk ≤ p subset equals the running count of lrk ≤ p rows
+    // under the SAME (cosine desc, vec_id) total order — vec_id is
+    // unique per query (each vector lives in exactly one list), so
+    // there are no peer rows and the identity is exact. All per-point
+    // running counts share one window frame ⇒ one WindowExec, one
+    // exchange; the hit join runs once (left, flag-only) and the six
+    // (point ∈ top-K ∧ hit) counts collapse into one aggregate.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = scored
+      .join(exact.select(col("query_id"),
+        col("neighbor_id").as("vec_id"), lit(true).as("is_hit")),
+        Seq("query_id", "vec_id"), "left")
+    val withCnt = SweepProbes.foldLeft(flagged) { (df, p) =>
+      df.withColumn(s"c$p", sum(when(col("lrk") <= p, 1L)).over(w)) }
+    val aggCols = SweepProbes.map { p =>
+      coalesce(sum(when(col("lrk") <= p && col(s"c$p") <= K
+        && col("is_hit"), 1L)), lit(0L)).as(s"nh$p") }
+    val counts = withCnt.agg(aggCols.head, aggCols.tail: _*)
+    denom.crossJoin(counts)
+      .select(explode(array(SweepProbes.map { p =>
+        struct(lit(p).as("n_probe"), lit(NCentroids).as("n_lists"),
+          col("n_queries"), lit(K).as("k"), col("n_exact"),
+          col(s"nh$p").as("n_hits"),
+          (col(s"nh$p").cast("double") / col("n_exact")).as("recall"))
+      }: _*)).as("t"))
+      .select(col("t.n_probe").as("n_probe"), col("t.n_lists").as("n_lists"),
+        col("t.n_queries").as("n_queries"), col("t.k").as("k"),
+        col("t.n_exact").as("n_exact"), col("t.n_hits").as("n_hits"),
+        col("t.recall").as("recall"))
+      .orderBy(col("n_probe"))
   }
 
   // --- E25: PQ rerank sweep — the second recall dial (round 15) -------------
@@ -2194,21 +2195,39 @@ object Similarity {
       .withColumn("cosine", F.cosine_sim(col("qe"), col("ea")))
       .filter(!isnan(col("cosine")))
       .select(col("query_id"), col("vec_id"), col("crk"), col("cosine"))
-      .localCheckpoint()
-    SweepReranks.map { r =>
-      val hits = scoredAll.filter(col("crk") <= r)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine").desc, col("vec_id"))))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"))
-      denom.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(r).as("rerank_depth"),
-          lit(PqRerank).as("operating_depth"),
-          col("n_queries"), lit(K).as("k"), col("n_exact"), col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact")).as("recall"))
-    }.reduce(_ unionAll _).orderBy(col("rerank_depth"))
+    // ALL depths in ONE window pass (r19, guide §2.4 — the E24 trick
+    // applied here too): row_number over the crk ≤ r prefix equals the
+    // running count of crk ≤ r rows under the same (cosine desc,
+    // vec_id) total order (vec_id unique per query in the ADC ranking
+    // ⇒ no peers). Six per-depth windows + hit joins + aggregates
+    // collapse into one WindowExec, one left hit join, one aggregate;
+    // the checkpoint goes with them (single consumer now).
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = scoredAll
+      .join(exact.select(col("query_id"),
+        col("neighbor_id").as("vec_id"), lit(true).as("is_hit")),
+        Seq("query_id", "vec_id"), "left")
+    val withCnt = SweepReranks.foldLeft(flagged) { (df, r) =>
+      df.withColumn(s"c$r", sum(when(col("crk") <= r, 1L)).over(w)) }
+    val aggCols = SweepReranks.map { r =>
+      coalesce(sum(when(col("crk") <= r && col(s"c$r") <= K
+        && col("is_hit"), 1L)), lit(0L)).as(s"nh$r") }
+    val counts = withCnt.agg(aggCols.head, aggCols.tail: _*)
+    denom.crossJoin(counts)
+      .select(explode(array(SweepReranks.map { r =>
+        struct(lit(r).as("rerank_depth"), lit(PqRerank).as("operating_depth"),
+          col("n_queries"), lit(K).as("k"), col("n_exact"),
+          col(s"nh$r").as("n_hits"),
+          (col(s"nh$r").cast("double") / col("n_exact")).as("recall"))
+      }: _*)).as("t"))
+      .select(col("t.rerank_depth").as("rerank_depth"),
+        col("t.operating_depth").as("operating_depth"),
+        col("t.n_queries").as("n_queries"), col("t.k").as("k"),
+        col("t.n_exact").as("n_exact"), col("t.n_hits").as("n_hits"),
+        col("t.recall").as("recall"))
+      .orderBy(col("rerank_depth"))
   }
 
   // --- E26: ANN index health — the rebuild trigger (round 17) ---------------

@@ -1854,19 +1854,31 @@ object TextAnalysis {
     val ucnt = unigramCounts(s, d)
     val tot = ucnt.agg(sum(col("n")).cast("long").as("total_tokens"),
       count(lit(1)).as("n_distinct"))
-    val top = ucnt.orderBy(col("n").desc, col("tok"))
+    // The ≤ 4096-row head as ONE sorted array (r19): the old rank
+    // window over the TakeOrdered head was the single-partition
+    // WindowExec the B32 family exists to avoid (harmless at 4096
+    // rows, but an exchange + sort + join + re-aggregate of pure fixed
+    // cost). Each grid point's covered mass is now a prefix sum over
+    // the array — same longs, order-independent addition, no window,
+    // no join, no second aggregate.
+    val head = ucnt.orderBy(col("n").desc, col("tok"))
       .limit(CoverageGrid.max)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("tok"))))
-    val grid = s.range(1)
-      .select(explode(array(CoverageGrid.map(lit): _*)).as("vocab_size"))
-    grid.join(top, col("rk") <= col("vocab_size"), "left")
-      .groupBy(col("vocab_size"))
-      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("covered_tokens"))
-      .crossJoin(broadcast(tot))
-      .select(col("vocab_size"), col("covered_tokens"),
+      .agg(collect_list(struct(col("n"), col("tok"))).as("bs"))
+      .select(expr(
+        """array_sort(bs, (a, b) -> CASE
+          |  WHEN a.n > b.n THEN -1 WHEN a.n < b.n THEN 1
+          |  WHEN a.tok < b.tok THEN -1 WHEN a.tok > b.tok THEN 1
+          |  ELSE 0 END)""".stripMargin).as("bs"))
+    head.crossJoin(broadcast(tot))
+      .select(explode(array(CoverageGrid.map { g =>
+        struct(lit(g).as("vocab_size"),
+          expr(s"aggregate(slice(bs, 1, $g), CAST(0 AS BIGINT), " +
+            "(acc, x) -> acc + x.n)").as("covered_tokens"))
+      }: _*)).as("t"), col("total_tokens"), col("n_distinct"))
+      .select(col("t.vocab_size").as("vocab_size"),
+        col("t.covered_tokens").as("covered_tokens"),
         col("total_tokens"), col("n_distinct"),
-        (col("covered_tokens").cast("double")
+        (col("t.covered_tokens").cast("double")
           / col("total_tokens").cast("double")).as("coverage"))
       .orderBy(col("vocab_size"))
   }
