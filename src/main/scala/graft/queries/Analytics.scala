@@ -2395,13 +2395,21 @@ object Analytics {
         greatest(max(col("om")), max(col("cm"))).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"),
         expr("interval 1 month"))).as("month"))
-    // single-partition window over the ≤ few-hundred-row month axis
-    val w = Window.orderBy(col("month"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumulative backlog via ONE sorted month array (r19): the ≤ few-
+    // hundred-row month axis used to pay an everything-to-one-partition
+    // WindowExec for the running sum; prefix sums stay exact long
+    // additions. months are unique, so the struct sort is total.
     axis.join(opened, Seq("month"), "left")
       .join(closed, Seq("month"), "left")
       .na.fill(0L, Seq("n_opened", "n_closed"))
-      .withColumn("backlog", sum(col("n_opened") - col("n_closed")).over(w))
+      .agg(array_sort(collect_list(struct(col("month"), col("n_opened"),
+        col("n_closed")))).as("ms"))
+      .select(col("ms"), posexplode(col("ms")))
+      .select(col("col.month").as("month"),
+        col("col.n_opened").as("n_opened"),
+        col("col.n_closed").as("n_closed"),
+        expr("aggregate(slice(ms, 1, pos + 1), CAST(0 AS BIGINT), " +
+          "(acc, e) -> acc + (e.n_opened - e.n_closed))").as("backlog"))
       .orderBy(col("month"))
   }
 

@@ -461,25 +461,38 @@ object Dedup {
         "left")
       .select(col("siga"), col("sigb"),
         coalesce(col("is_true"), lit(false)).as("is_true"))
-      .localCheckpoint() // candidate-bounded; one pass per geometry
-    SweepBandings.map { case (b, r) =>
-      val isCand = expr(
-        s"""exists(sequence(0, ${b - 1}), i ->
-           |  size(filter(sequence(0, ${r - 1}),
-           |    j -> siga[i*$r+j] = sigb[i*$r+j])) = $r)""".stripMargin)
-      val agg = withSigs.filter(isCand)
-        .agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
-            .as("n_caught"))
-      denom.crossJoin(agg)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_candidates"), col("n_true"), col("n_caught"),
+    // ALL geometries in ONE aggregate (r19 — the conditional-
+    // aggregation trick of the other sweeps): each banding's candidacy
+    // is already a map-side predicate over the joined signature pair,
+    // so the per-geometry filter+aggregate+union (and the checkpoint
+    // the 4 passes needed) collapse into 4×2 conditional sums over a
+    // single pass of the widest-banding candidates.
+    def isCand(b: Int, r: Int) = expr(
+      s"""exists(sequence(0, ${b - 1}), i ->
+         |  size(filter(sequence(0, ${r - 1}),
+         |    j -> siga[i*$r+j] = sigb[i*$r+j])) = $r)""".stripMargin)
+    val aggs = SweepBandings.flatMap { case (b, r) => Seq(
+      coalesce(sum(when(isCand(b, r), 1L)), lit(0L)).as(s"nc_${b}_$r"),
+      coalesce(sum(when(isCand(b, r) && col("is_true"), 1L)), lit(0L))
+        .as(s"ng_${b}_$r")) }
+    val row = withSigs.agg(aggs.head, aggs.tail: _*)
+    denom.crossJoin(row)
+      .select(explode(array(SweepBandings.map { case (b, r) =>
+        struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col(s"nc_${b}_$r").as("n_candidates"), col("n_true"),
+          col(s"ng_${b}_$r").as("n_caught"),
           when(col("n_true") === 0, lit(null).cast("double"))
-            .otherwise(col("n_caught").cast("double") / col("n_true"))
+            .otherwise(col(s"ng_${b}_$r").cast("double") / col("n_true"))
             .as("recall"),
           lit(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
             .as("p_catch_at_tau"))
-    }.reduce(_ unionAll _).orderBy(col("rows_per_band").desc)
+      }: _*)).as("t"))
+      .select(col("t.bands").as("bands"),
+        col("t.rows_per_band").as("rows_per_band"),
+        col("t.n_candidates").as("n_candidates"), col("t.n_true").as("n_true"),
+        col("t.n_caught").as("n_caught"), col("t.recall").as("recall"),
+        col("t.p_catch_at_tau").as("p_catch_at_tau"))
+      .orderBy(col("rows_per_band").desc)
   }
 
   // --- D2b: the warehouse-scale exact-Jaccard path ------------------------
@@ -1803,27 +1816,45 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .localCheckpoint() // pair-scale frame, 2 rollups + the grid fan-out
-    val taus = s.createDataFrame(
-      Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(Tuple1(_))).toDF("tau")
-    val f = pj.crossJoin(broadcast(taus)).filter(col("jaccard") >= col("tau"))
-      .localCheckpoint() // ≤ 5× pairs; feeds both rollups
-    val ag = f.groupBy(col("tau"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"),
-        sum(col("un")).as("sum_union"))
-    val dc = f.select(col("tau"), col("doc_a").as("doc"))
-      .unionAll(f.select(col("tau"), col("doc_b").as("doc")))
-      .groupBy(col("tau"))
-      .agg(countDistinct(col("doc")).as("n_docs"))
-    taus.join(ag, Seq("tau"), "left").join(dc, Seq("tau"), "left")
-      .select(col("tau"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("sum_inter"), lit(0L)).as("sum_inter"),
-        coalesce(col("sum_union"), lit(0L)).as("sum_union"),
-        when(col("sum_union").isNotNull,
-          col("sum_inter").cast("double") / col("sum_union"))
-          .as("mass_containment"))
+      .localCheckpoint() // pair-scale frame; pair rollup + per-doc rollup
+    // ALL taus in ONE pass (r19 — the E24/E25 conditional-aggregation
+    // trick): the old plan fanned pairs ×5 through a crossJoin, cut a
+    // second checkpoint, and re-aggregated per tau twice. The taus are
+    // NESTED (pairs(0.9) ⊆ pairs(0.8) ⊆ ...), so the pair rollup is
+    // 5×3 conditional sums in one aggregate, and a doc is touched at
+    // tau iff the MAX jaccard over its pairs clears tau — one doc-keyed
+    // rollup, then 5 conditional counts. Same single-divide
+    // mass_containment; a tau with no pairs keeps NULL sums pre-
+    // coalesce exactly like the old left join's no-match row.
+    val Taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    def tag(t: Double) = t.toString.replace('.', '_')
+    val pairAggs = Taus.flatMap { t => Seq(
+      coalesce(sum(when(col("jaccard") >= t, 1L)), lit(0L))
+        .as(s"np_${tag(t)}"),
+      sum(when(col("jaccard") >= t, col("inter"))).as(s"si_${tag(t)}"),
+      sum(when(col("jaccard") >= t, col("un"))).as(s"su_${tag(t)}")) }
+    val pairRow = pj.agg(pairAggs.head, pairAggs.tail: _*)
+    val docMax = pj.select(col("doc_a").as("doc"), col("jaccard"))
+      .unionAll(pj.select(col("doc_b").as("doc"), col("jaccard")))
+      .groupBy(col("doc")).agg(max(col("jaccard")).as("mj"))
+    val docAggs = Taus.map { t =>
+      coalesce(sum(when(col("mj") >= t, 1L)), lit(0L)).as(s"nd_${tag(t)}") }
+    val docRow = docMax.agg(docAggs.head, docAggs.tail: _*)
+    pairRow.crossJoin(docRow)
+      .select(explode(array(Taus.map { t =>
+        struct(lit(t).as("tau"),
+          col(s"np_${tag(t)}").as("n_pairs"),
+          col(s"nd_${tag(t)}").as("n_docs"),
+          coalesce(col(s"si_${tag(t)}"), lit(0L)).as("sum_inter"),
+          coalesce(col(s"su_${tag(t)}"), lit(0L)).as("sum_union"),
+          when(col(s"su_${tag(t)}").isNotNull,
+            col(s"si_${tag(t)}").cast("double") / col(s"su_${tag(t)}"))
+            .as("mass_containment"))
+      }: _*)).as("t"))
+      .select(col("t.tau").as("tau"), col("t.n_pairs").as("n_pairs"),
+        col("t.n_docs").as("n_docs"), col("t.sum_inter").as("sum_inter"),
+        col("t.sum_union").as("sum_union"),
+        col("t.mass_containment").as("mass_containment"))
       .orderBy(col("tau"))
   }
 

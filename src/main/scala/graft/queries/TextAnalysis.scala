@@ -202,7 +202,6 @@ object TextAnalysis {
       |    AS cum_share
       |FROM g, tot
       |ORDER BY n_tokens DESC, source, lang""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, d)
       .select(col("source"), col("lang"),
         size(regexp_extract_all(lower(col("text")),
@@ -210,12 +209,26 @@ object TextAnalysis {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
     val tot = g.agg(sum(col("n_tokens")).cast("double").as("tt"))
-    val w = Window.orderBy(col("n_tokens").desc, col("source"), col("lang"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.crossJoin(broadcast(tot))
-      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / col("tt")).as("token_share"),
-        (sum(col("n_tokens")).over(w).cast("double") / col("tt"))
+    // cumulative share via ONE sorted stratum array (r19): the
+    // |sources × langs|-bounded frame used to pay an everything-to-one-
+    // partition WindowExec (exchange + sort) for the running sum; the
+    // prefix sums are exact long additions either way.
+    g.agg(collect_list(struct(col("n_tokens"), col("source"), col("lang"),
+        col("n_docs"))).as("gs"))
+      .select(expr(
+        """array_sort(gs, (a, b) -> CASE
+          |  WHEN a.n_tokens > b.n_tokens THEN -1
+          |  WHEN a.n_tokens < b.n_tokens THEN 1
+          |  WHEN a.source < b.source THEN -1 WHEN a.source > b.source THEN 1
+          |  WHEN a.lang < b.lang THEN -1 WHEN a.lang > b.lang THEN 1
+          |  ELSE 0 END)""".stripMargin).as("gs"))
+      .crossJoin(broadcast(tot))
+      .select(col("gs"), posexplode(col("gs")), col("tt"))
+      .select(col("col.source").as("source"), col("col.lang").as("lang"),
+        col("col.n_docs").as("n_docs"), col("col.n_tokens").as("n_tokens"),
+        (col("col.n_tokens").cast("double") / col("tt")).as("token_share"),
+        (expr("aggregate(slice(gs, 1, pos + 1), CAST(0 AS BIGINT), " +
+          "(acc, e) -> acc + e.n_tokens)").cast("double") / col("tt"))
           .as("cum_share"))
       .orderBy(col("n_tokens").desc, col("source"), col("lang"))
   }

@@ -176,6 +176,7 @@ object Streaming {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+
   private def parquetSchema(s: SparkSession, path: String) =
     schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
 
@@ -241,10 +242,10 @@ object Streaming {
     val table = s.table(name)
     val rows = phase("collect")(table.collect().toIndexedSeq)
     s.catalog.dropTempView(name)
-    s.createDataFrame(
+    phase("rebuild")(s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      table.schema)
+      table.schema))
   }
 
   /** Start a streaming query under the harness-sized stream confs,
