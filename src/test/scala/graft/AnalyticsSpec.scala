@@ -959,4 +959,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gini(Seq.fill(10)(7L)) == 0.0)
     assert(gini(Seq.fill(99)(1L) :+ 100000L) > 0.97)
   }
+
+  test("boundedDriverCollect: passes within the bound, fails loudly past it") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(col("id"))
+    // within the bound: all rows arrive
+    val ok = graft.queries.Analytics.boundedDriverCollect(df, 100, "test frame")
+    assert(ok.length == 100)
+    // past the bound: loud, named failure (and limit(cap+1) means at
+    // most cap+1 rows ever reached the driver)
+    val e = intercept[IllegalStateException] {
+      graft.queries.Analytics.boundedDriverCollect(df, 99, "test frame")
+    }
+    assert(e.getMessage.contains("test frame") &&
+      e.getMessage.contains("99"))
+  }
 }
